@@ -1,0 +1,36 @@
+"""Test bootstrap.
+
+Forces JAX onto the CPU platform with 8 virtual devices so multi-chip
+sharding paths can be exercised without TPU hardware. Must run before any
+``import jax`` anywhere in the test session.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def miniredis():
+    """A live embedded redis server, one per test session."""
+    from vcp_tpu.queue.miniredis import MiniRedisServer
+    srv = MiniRedisServer()
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def redis_address(miniredis):
+    """Fresh-db address for a test (flushes everything first)."""
+    miniredis.engine.dbs.clear()
+    return miniredis.address
