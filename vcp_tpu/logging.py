@@ -75,7 +75,7 @@ class Logger:
     def __init__(self, component: str):
         self.component = component
 
-    def _log(self, level: int, msg: str, **fields: Any) -> None:
+    def _log(self, level: int, msg: str, /, **fields: Any) -> None:
         if level < _global_level:
             return
         ts = time.strftime("%Y/%m/%d %H:%M:%S")
@@ -99,14 +99,16 @@ class Logger:
         self._log(ERROR, msg, **fields)
 
     # Task-lifecycle helpers (ref logger.go:110-124).
-    def task_start(self, task_id: str, **fields: Any) -> None:
+    def task_start(self, task_id: str, /, **fields: Any) -> None:
         self.info("task start", task=task_id, **fields)
 
-    def task_success(self, task_id: str, duration: float, **fields: Any) -> None:
+    def task_success(self, task_id: str, duration: float, /,
+                     **fields: Any) -> None:
         self.info("task success", task=task_id,
                   duration=format_duration(duration), **fields)
 
-    def task_failed(self, task_id: str, reason: str, **fields: Any) -> None:
+    def task_failed(self, task_id: str, reason: str, /,
+                    **fields: Any) -> None:
         self.error("task failed", task=task_id, reason=reason, **fields)
 
 

@@ -154,7 +154,10 @@ class RedisClient:
 
     # -- conveniences -------------------------------------------------------
     def ping(self) -> bool:
-        return self.execute("PING") == "PONG"
+        try:
+            return self.execute("PING") == "PONG"
+        except (OSError, RedisError):
+            return False
 
 
 def decode(v: Any) -> Any:
