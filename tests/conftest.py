@@ -8,11 +8,20 @@ sharding paths can be exercised without TPU hardware. Must run before any
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# This image preloads jax via a site hook and pins the platform to the
+# axon TPU plugin regardless of the JAX_PLATFORMS env var; the TPU is also
+# process-exclusive, so tests must never touch it. Backend creation is
+# lazy, so forcing the platform through jax.config before any device use
+# reliably lands tests on 8 virtual CPU devices.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # honored by vanilla jax installs
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
