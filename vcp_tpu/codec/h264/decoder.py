@@ -1,0 +1,368 @@
+"""H.264 validation decoder (host, numpy).
+
+Decodes the baseline streams this framework emits (CAVLC; I_PCM,
+Intra_16x16 all pred modes, P_L0_16x16 + P_Skip) and reconstructs frames
+via the spec 8.5 integer math (shared with vcp_tpu.ops.transform). Used
+to close the loop in tests: decode(encode(x)).recon must equal the
+encoder's own reconstruction exactly, and PSNR vs the source must be
+sane. Also doubles as the in-repo probe for "is this H.264 stream sane"
+(the role ffprobe played in the reference, cmd/consumer.go:396-419).
+
+Not a general-purpose decoder: no CABAC, no B-frames, no MBAFF, no FMO.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...ops import transform as tf
+from ...utils.bitstream import BitReader, emulation_remove
+from ..mp4 import split_annexb
+from . import headers as H
+from .cavlc import decode_residual_block
+from .entropy import CHROMA_BLK_ORDER, MB_TYPE_I_PCM
+from .frame_ops import LUMA_BLK_ORDER
+from .tables import CBP_TABLE, ZIGZAG_4x4
+
+_ZZ = np.array(ZIGZAG_4x4)
+_INV_ZZ = np.argsort(_ZZ)
+
+
+def unzigzag(levels16) -> np.ndarray:
+    """16 zig-zag-ordered coeffs → 4x4 raster block."""
+    arr = np.zeros(16, np.int32)
+    arr[_ZZ] = levels16
+    return arr.reshape(4, 4)
+
+
+class DecodeError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class DecodedFrame:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    is_idr: bool = False
+
+
+class _Nz:
+    def __init__(self, bh, bw_):
+        self.nz = np.full((bh, bw_), -1, np.int16)
+
+    def nc(self, by, bx):
+        na = self.nz[by, bx - 1] if bx > 0 else -1
+        nb = self.nz[by - 1, bx] if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (int(na) + int(nb) + 1) >> 1
+        if na >= 0:
+            return int(na)
+        if nb >= 0:
+            return int(nb)
+        return 0
+
+
+class H264Decoder:
+    def __init__(self):
+        self.sp: H.SeqParams | None = None
+        self.pp: H.PicParams | None = None
+        self.ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self.frames: list[DecodedFrame] = []
+
+    # -- top level ------------------------------------------------------
+    def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
+        for nal in split_annexb(data):
+            self._decode_nal(nal)
+        return self.frames
+
+    def decode_nals(self, nals: list[bytes]) -> list[DecodedFrame]:
+        for nal in nals:
+            self._decode_nal(nal)
+        return self.frames
+
+    def _decode_nal(self, nal: bytes) -> None:
+        nal_type = nal[0] & 0x1F
+        rbsp = emulation_remove(nal[1:])
+        if nal_type == H.NAL_SPS:
+            self.sp = H.parse_sps(rbsp)
+        elif nal_type == H.NAL_PPS:
+            self.pp = H.parse_pps(rbsp)
+        elif nal_type in (H.NAL_SLICE_IDR, H.NAL_SLICE_NONIDR):
+            self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR)
+
+    # -- slice ----------------------------------------------------------
+    def _decode_slice(self, rbsp: bytes, is_idr: bool) -> None:
+        if self.sp is None or self.pp is None:
+            raise DecodeError("slice before SPS/PPS")
+        sp, pp = self.sp, self.pp
+        br = BitReader(rbsp)
+        first_mb = br.ue()
+        if first_mb != 0:
+            raise DecodeError("multi-slice pictures unsupported")
+        slice_type = br.ue()
+        is_p = slice_type % 5 == 0
+        is_i = slice_type % 5 == 2
+        if not (is_p or is_i):
+            raise DecodeError(f"slice_type {slice_type} unsupported")
+        br.ue()                                   # pps id
+        br.u(sp.log2_max_frame_num)               # frame_num
+        if is_idr:
+            br.ue()                               # idr_pic_id
+        if is_p:
+            if br.u(1):                           # num_ref_idx_override
+                br.ue()
+            if br.u(1):                           # ref_pic_list_modification
+                raise DecodeError("ref list modification unsupported")
+        if is_idr:
+            br.u(1)
+            br.u(1)
+        else:
+            if br.u(1):
+                raise DecodeError("adaptive ref marking unsupported")
+        qp = pp.init_qp + br.se()
+        if pp.deblocking_filter_control_present:
+            idc = br.ue()
+            if idc != 1:
+                br.se()
+                br.se()
+
+        w16, h16 = sp.mb_width * 16, sp.mb_height * 16
+        y = np.zeros((h16, w16), np.int32)
+        u = np.zeros((h16 // 2, w16 // 2), np.int32)
+        v = np.zeros((h16 // 2, w16 // 2), np.int32)
+        nz_y = _Nz(sp.mb_height * 4, sp.mb_width * 4)
+        nz_cb = _Nz(sp.mb_height * 2, sp.mb_width * 2)
+        nz_cr = _Nz(sp.mb_height * 2, sp.mb_width * 2)
+        mvs = np.zeros((sp.mb_height, sp.mb_width, 2), np.int32)
+        mv_valid = np.zeros((sp.mb_height, sp.mb_width), bool)
+        intra_mb = np.zeros((sp.mb_height, sp.mb_width), bool)
+
+        ctx = dict(br=br, sp=sp, pp=pp, qp=qp, y=y, u=u, v=v,
+                   nz_y=nz_y, nz_cb=nz_cb, nz_cr=nz_cr,
+                   mvs=mvs, mv_valid=mv_valid, intra_mb=intra_mb)
+
+        n_mbs = sp.mb_width * sp.mb_height
+        mb = 0
+        while mb < n_mbs:
+            if is_p:
+                # mb_skip_run precedes every coded MB (and may end the slice)
+                run = br.ue()
+                for _ in range(run):
+                    mby, mbx = divmod(mb, sp.mb_width)
+                    self._decode_pskip(ctx, mbx, mby)
+                    mb += 1
+                if mb >= n_mbs:
+                    break
+                mby, mbx = divmod(mb, sp.mb_width)
+                mb_type = br.ue()
+                if mb_type >= 5:
+                    self._decode_intra_mb(ctx, mbx, mby, mb_type - 5,
+                                          in_p_slice=True)
+                else:
+                    self._decode_inter_mb(ctx, mbx, mby, mb_type)
+            else:
+                mby, mbx = divmod(mb, sp.mb_width)
+                mb_type = br.ue()
+                self._decode_intra_mb(ctx, mbx, mby, mb_type,
+                                      in_p_slice=False)
+            mb += 1
+
+        crop_y = (y[: sp.height, : sp.width]).astype(np.uint8)
+        crop_u = (u[: sp.height // 2, : sp.width // 2]).astype(np.uint8)
+        crop_v = (v[: sp.height // 2, : sp.width // 2]).astype(np.uint8)
+        self.ref = (y.astype(np.uint8), u.astype(np.uint8),
+                    v.astype(np.uint8))
+        self.frames.append(DecodedFrame(crop_y, crop_u, crop_v, is_idr))
+
+    # -- intra MBs --------------------------------------------------------
+    def _decode_intra_mb(self, ctx, mbx, mby, mb_type, in_p_slice):
+        br = ctx["br"]
+        if mb_type == MB_TYPE_I_PCM:
+            self._decode_pcm(ctx, mbx, mby)
+            return
+        if mb_type == 0:
+            raise DecodeError("I_4x4 unsupported")
+        if not 1 <= mb_type <= 24:
+            raise DecodeError(f"mb_type {mb_type} unsupported")
+        t = mb_type - 1
+        pred_mode = t % 4
+        cbp_chroma = (t // 4) % 3
+        cbp_luma = 15 if t >= 12 else 0
+        chroma_mode = br.ue()
+        br.se()                                   # mb_qp_delta (always 0 here)
+        qp = ctx["qp"]
+        qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
+        ctx["intra_mb"][mby, mbx] = True
+        ctx["mv_valid"][mby, mbx] = False
+
+        # ---- luma residual parse
+        nz_y = ctx["nz_y"]
+        nc = nz_y.nc(4 * mby, 4 * mbx)
+        dc_zz = decode_residual_block(br, nc, 16)
+        ac = np.zeros((16, 16), np.int32)
+        totals = np.zeros(16, np.int32)
+        for blk in range(16):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            if cbp_luma:
+                ncb = nz_y.nc(by, bx)
+                coeffs = decode_residual_block(br, ncb, 15)
+                ac[blk, 1:] = coeffs
+                totals[blk] = np.count_nonzero(coeffs)
+            nz_y.nz[by, bx] = totals[blk]
+
+        # ---- chroma residual parse
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 16), np.int32)
+        if cbp_chroma:
+            for c in range(2):
+                cdc[c] = decode_residual_block(br, -1, 4)
+        for c, nzc in ((0, ctx["nz_cb"]), (1, ctx["nz_cr"])):
+            for blk in range(4):
+                oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+                by, bx = 2 * mby + oy, 2 * mbx + ox
+                total = 0
+                if cbp_chroma == 2:
+                    coeffs = decode_residual_block(br, nzc.nc(by, bx), 15)
+                    cac[c, blk, 1:] = coeffs
+                    total = int(np.count_nonzero(coeffs))
+                nzc.nz[by, bx] = total
+
+        # ---- luma recon
+        y = ctx["y"]
+        y0, x0 = 16 * mby, 16 * mbx
+        pred = self._intra16_pred(y, y0, x0, pred_mode)
+        dc_blk = unzigzag(dc_zz)
+        dc_rec = np.asarray(tf.dequant_dc4(dc_blk[None], qp))[0]
+        wq = np.zeros((16, 4, 4), np.int32)
+        for blk in range(16):
+            wq[blk] = unzigzag(ac[blk])
+        w_rec = np.array(tf.dequant4(wq, qp))
+        for blk in range(16):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            w_rec[blk, 0, 0] = dc_rec[oy, ox]
+        res = np.asarray(tf.idct4(w_rec))
+        mb_rec = pred.astype(np.int64)
+        for blk in range(16):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            mb_rec[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += res[blk]
+        y[y0:y0 + 16, x0:x0 + 16] = np.clip(mb_rec, 0, 255)
+
+        # ---- chroma recon
+        for c, plane in ((0, ctx["u"]), (1, ctx["v"])):
+            c0y, c0x = 8 * mby, 8 * mbx
+            predc = self._chroma_pred(plane, c0y, c0x, chroma_mode)
+            dc2 = cdc[c].reshape(2, 2)
+            dc2_rec = np.asarray(tf.dequant_dc2(dc2[None], qpc))[0]
+            wqc = np.zeros((4, 4, 4), np.int32)
+            for blk in range(4):
+                wqc[blk] = unzigzag(cac[c, blk])
+            wc_rec = np.array(tf.dequant4(wqc, qpc))
+            for blk in range(4):
+                oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+                wc_rec[blk, 0, 0] = dc2_rec[oy, ox]
+            resc = np.asarray(tf.idct4(wc_rec))
+            rec = predc.astype(np.int64)
+            for blk in range(4):
+                oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+                rec[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += resc[blk]
+            plane[c0y:c0y + 8, c0x:c0x + 8] = np.clip(rec, 0, 255)
+
+    def _intra16_pred(self, y, y0, x0, mode) -> np.ndarray:
+        top_ok = y0 > 0
+        left_ok = x0 > 0
+        if mode == 0:                              # Vertical
+            if not top_ok:
+                raise DecodeError("V pred without top")
+            return np.broadcast_to(y[y0 - 1, x0:x0 + 16], (16, 16)).copy()
+        if mode == 1:                              # Horizontal
+            if not left_ok:
+                raise DecodeError("H pred without left")
+            return np.broadcast_to(y[y0:y0 + 16, x0 - 1][:, None], (16, 16)).copy()
+        if mode == 2:                              # DC
+            if top_ok and left_ok:
+                dc = (int(y[y0 - 1, x0:x0 + 16].sum())
+                      + int(y[y0:y0 + 16, x0 - 1].sum()) + 16) >> 5
+            elif top_ok:
+                dc = (int(y[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+            elif left_ok:
+                dc = (int(y[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+            else:
+                dc = 128
+            return np.full((16, 16), dc, np.int64)
+        raise DecodeError("Plane pred unsupported")
+
+    def _chroma_pred(self, plane, c0y, c0x, mode) -> np.ndarray:
+        top_ok = c0y > 0
+        left_ok = c0x > 0
+        if mode == 2:                              # Vertical
+            if not top_ok:
+                raise DecodeError("chroma V without top")
+            return np.broadcast_to(plane[c0y - 1, c0x:c0x + 8], (8, 8)).copy()
+        if mode == 1:                              # Horizontal
+            if not left_ok:
+                raise DecodeError("chroma H without left")
+            return np.broadcast_to(
+                plane[c0y:c0y + 8, c0x - 1][:, None], (8, 8)).copy()
+        if mode == 0:                              # DC (per 4x4 sub-block)
+            out = np.zeros((8, 8), np.int64)
+            for sy in range(2):
+                for sx in range(2):
+                    tvals = plane[c0y - 1, c0x + 4 * sx:c0x + 4 * sx + 4] \
+                        if top_ok else None
+                    lvals = plane[c0y + 4 * sy:c0y + 4 * sy + 4, c0x - 1] \
+                        if left_ok else None
+                    # corner blocks use specific neighbor choices
+                    use_t = tvals is not None and (sy == 0 or (sy, sx) == (1, 1) or lvals is None)
+                    use_l = lvals is not None and (sx == 0 or (sy, sx) == (1, 1) or tvals is None)
+                    if (sy, sx) == (0, 1) and tvals is not None:
+                        use_t, use_l = True, False
+                    if (sy, sx) == (1, 0) and lvals is not None:
+                        use_t, use_l = False, True
+                    if use_t and use_l:
+                        dc = (int(tvals.sum()) + int(lvals.sum()) + 4) >> 3
+                    elif use_t:
+                        dc = (int(tvals.sum()) + 2) >> 2
+                    elif use_l:
+                        dc = (int(lvals.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                    out[4 * sy:4 * sy + 4, 4 * sx:4 * sx + 4] = dc
+            return out
+        raise DecodeError("chroma Plane pred unsupported")
+
+    def _decode_pcm(self, ctx, mbx, mby):
+        br = ctx["br"]
+        br.byte_align()
+        y0, x0 = 16 * mby, 16 * mbx
+        for r in range(16):
+            for c in range(16):
+                ctx["y"][y0 + r, x0 + c] = br.u(8)
+        c0y, c0x = 8 * mby, 8 * mbx
+        for plane in (ctx["u"], ctx["v"]):
+            for r in range(8):
+                for c in range(8):
+                    plane[c0y + r, c0x + c] = br.u(8)
+        ctx["nz_y"].nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+        ctx["nz_cb"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+        ctx["nz_cr"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+        ctx["intra_mb"][mby, mbx] = True
+
+    # -- inter MBs (filled in with the P-frame milestone) -----------------
+    def _decode_pskip(self, ctx, mbx, mby):
+        from . import pframe
+        pframe.decode_pskip(self, ctx, mbx, mby, self.ref)
+
+    def _decode_inter_mb(self, ctx, mbx, mby, mb_type):
+        from . import pframe
+        pframe.decode_inter_mb(self, ctx, mbx, mby, mb_type, self.ref)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return 99.0
+    return 10.0 * np.log10(255.0 ** 2 / mse)

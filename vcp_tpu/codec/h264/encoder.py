@@ -1,0 +1,241 @@
+"""H.264 encoder orchestration: device math + host entropy + mux.
+
+The in-process replacement for the reference's ``exec ffmpeg`` with
+``-c:v h264_nvenc`` / ``libx264`` presets (ref cmd/consumer.go:370-394,
+internal/config/config.go:44-52). Per frame:
+
+  device (jit): predict → transform → quantize → reconstruct
+  host:         CAVLC slice writing (Python reference or C++ fast path)
+  host:         MP4 mux with faststart (vcp_tpu.codec.mp4)
+
+Round-1 toolset: IDR intra frames (PCM row 0 + I16x16-V rows, see
+frame_ops), fixed-QP rate control mapped from -crf / -b:v. P-frames land
+in frame_ops/pframe next.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+
+import numpy as np
+
+from .. import mp4 as mp4mod
+from ..args import EncodeParams
+from ..y4m import read_y4m
+from ...logging import new_logger
+from ...ops.transform import chroma_qp
+from . import entropy, frame_ops, headers
+
+log = new_logger("h264")
+
+
+class EncodeAbort(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    fps_num: int = 30
+    fps_den: int = 1
+    qp: int = 28
+    gop_size: int = 30
+    effort: int = 4
+    deblock: bool = False          # round 1: deblocking disabled per slice
+
+    @classmethod
+    def from_params(cls, params: EncodeParams, width: int, height: int,
+                    fps_num: int, fps_den: int) -> "EncoderConfig":
+        cfg = cls(width=width, height=height, fps_num=fps_num,
+                  fps_den=fps_den, effort=params.effort)
+        if params.gop_size:
+            cfg.gop_size = params.gop_size
+        else:
+            fps = fps_num / max(1, fps_den)
+            cfg.gop_size = max(1, int(round(fps)))
+        cfg.qp = resolve_qp(params, width, height, fps_num / max(1, fps_den))
+        return cfg
+
+
+def resolve_qp(params: EncodeParams, width: int, height: int,
+               fps: float) -> int:
+    """Map -crf / -b:v to a starting QP.
+
+    CRF mode: QP ≈ CRF (libx264's CRF is calibrated near QP for typical
+    content). ABR mode: invert an empirical bits-per-pixel model
+    bpp ≈ 1.5 * 2^(-qp/6) so that rate halves every +6 QP.
+    """
+    if params.crf >= 0:
+        return int(np.clip(round(params.crf), 0, 51))
+    if params.bitrate > 0:
+        bpp = params.bitrate / max(1.0, width * height * fps)
+        qp = 6.0 * math.log2(1.5 / max(bpp, 1e-6))
+        return int(np.clip(round(qp), 10, 51))
+    return 28
+
+
+class H264Encoder:
+    """Stateful per-task encoder: feeds frames, emits Annex-B access units."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.sp = headers.SeqParams(width=cfg.width, height=cfg.height)
+        self.pp = headers.PicParams(init_qp=26)
+        self.frame_index = 0
+        self.idr_count = 0
+        self._recon = None          # (y, u, v) uint8 padded planes
+
+    def headers_annexb(self) -> bytes:
+        return headers.write_sps(self.sp) + headers.write_pps(self.pp)
+
+    def sps_rbsp(self) -> bytes:
+        from ...utils.bitstream import emulation_remove
+        nal = headers.write_sps(self.sp)
+        return nal[5:]  # strip 4-byte start code + header… see sps_pps_raw
+
+    def sps_pps_raw(self) -> tuple[bytes, bytes]:
+        """(sps, pps) NAL payloads incl. the NAL header byte, for avcC."""
+        sps_nal = headers.write_sps(self.sp)
+        pps_nal = headers.write_pps(self.pp)
+        return sps_nal[4:], pps_nal[4:]  # strip 00 00 00 01
+
+    def _pad(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        yp = frame_ops.pad_plane(y, 16).astype(np.int32)
+        up = frame_ops.pad_plane(u, 8).astype(np.int32)
+        vp = frame_ops.pad_plane(v, 8).astype(np.int32)
+        return yp, up, vp
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     force_idr: bool = False) -> tuple[bytes, bool]:
+        """Encode one frame; returns (annexb access unit, is_idr)."""
+        cfg = self.cfg
+        is_idr = force_idr or (self.frame_index % cfg.gop_size == 0) \
+            or self._recon is None
+        yp, up, vp = self._pad(y, u, v)
+        qp = cfg.qp
+        qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
+
+        if is_idr:
+            out = frame_ops.encode_iframe(yp, up, vp, qp, qpc)
+            data = {k: np.asarray(v) for k, v in out.items()}
+            nal = entropy.write_islice(
+                self.sp, self.pp, frame_num=0,
+                idr_pic_id=self.idr_count % 65536, qp=qp, data=data,
+                src_y=yp, src_u=up, src_v=vp)
+            self.idr_count += 1
+            self._frame_num = 1
+        else:
+            nal = self._encode_pframe(yp, up, vp, qp, qpc)
+            data = self._last_p_data
+            self._frame_num += 1
+        self._recon = (data["recon_y"], data["recon_u"], data["recon_v"])
+        self.frame_index += 1
+        return nal, is_idr
+
+    def _encode_pframe(self, yp, up, vp, qp, qpc) -> bytes:
+        from . import pframe
+        ry, ru, rv = self._recon
+        out = pframe.encode_pframe(yp, up, vp,
+                                   ry.astype(np.int32), ru.astype(np.int32),
+                                   rv.astype(np.int32), qp, qpc,
+                                   search_range=pframe.search_range_for_effort(
+                                       self.cfg.effort))
+        data = {k: np.asarray(v) for k, v in out.items()}
+        self._last_p_data = data
+        return pframe.write_pslice(self.sp, self.pp,
+                                   frame_num=self._frame_num, qp=qp,
+                                   data=data)
+
+    @property
+    def recon_planes(self):
+        """Last reconstructed (unpadded) planes, for PSNR checks."""
+        if self._recon is None:
+            return None
+        y, u, v = self._recon
+        return (y[: self.cfg.height, : self.cfg.width],
+                u[: self.cfg.height // 2, : self.cfg.width // 2],
+                v[: self.cfg.height // 2, : self.cfg.width // 2])
+
+
+def encode_stream(frames, cfg: EncoderConfig, deadline: float | None = None,
+                  on_frame=None):
+    """Encode an iterable of (y, u, v) uint8 planes → (sps, pps, samples).
+
+    samples: list of (annexb_au, is_idr). Cooperative deadline between
+    frames (replaces the reference's 60-min ffmpeg kill, consumer.go:262).
+    """
+    enc = H264Encoder(cfg)
+    samples = []
+    for i, (y, u, v) in enumerate(frames):
+        if deadline is not None and time.monotonic() > deadline:
+            raise EncodeAbort(f"deadline exceeded at frame {i}")
+        au, is_idr = enc.encode_frame(y, u, v)
+        samples.append((au, is_idr))
+        if on_frame:
+            on_frame(i, enc)
+    sps, pps = enc.sps_pps_raw()
+    return sps, pps, samples
+
+
+def mux_mp4(path: str, sps: bytes, pps: bytes, samples, width: int,
+            height: int, fps_num: int, fps_den: int,
+            faststart: bool = True) -> None:
+    w = mp4mod.Mp4Writer()
+    timescale = fps_num * 1000
+    dur = fps_den * 1000
+    tr = mp4mod.VideoTrack(codec="h264", width=width, height=height,
+                           timescale=timescale, sps=[sps], pps=[pps])
+    for au, is_idr in samples:
+        tr.samples.append(mp4mod.Sample(
+            data=mp4mod.annexb_to_length_prefixed(au),
+            duration=dur, is_sync=is_idr))
+    w.add_track(tr)
+    w.write(path, faststart=faststart)
+
+
+def encode_file(input_path: str, output_path: str, params: EncodeParams,
+                deadline: float | None = None) -> int:
+    """Encode a raw-video file (.y4m) to MP4. Returns output size.
+
+    Compressed-input decode (the reference's ffmpeg ``-i`` handling) is the
+    demux/decode layer tracked in SURVEY.md §2.5; the in-repo H.264
+    decoder covers streams this encoder produced.
+    """
+    ext = os.path.splitext(input_path)[1].lower()
+    if ext != ".y4m":
+        raise ValueError(
+            f"h264 encode currently ingests .y4m raw video; got {ext}")
+    vid = read_y4m(input_path)
+    w, h = vid.width, vid.height
+    if params.scale_width and params.scale_height:
+        from ...ops.scale import scale_yuv420
+        tgt = (params.scale_height, params.scale_width)
+    else:
+        tgt = None
+
+    cfg = EncoderConfig.from_params(params, width=tgt[1] if tgt else w,
+                                    height=tgt[0] if tgt else h,
+                                    fps_num=vid.fps_num, fps_den=vid.fps_den)
+    t0 = time.monotonic()
+
+    def frames():
+        for i in range(vid.num_frames):
+            y, u, v = vid.planes(i)
+            if tgt is not None:
+                from ...ops.scale import scale_yuv420
+                y, u, v = scale_yuv420(y, u, v, tgt[0], tgt[1])
+            yield y, u, v
+
+    sps, pps, samples = encode_stream(frames(), cfg, deadline)
+    mux_mp4(output_path, sps, pps, samples, cfg.width, cfg.height,
+            cfg.fps_num, cfg.fps_den, faststart=params.faststart or True)
+    dt = time.monotonic() - t0
+    size = os.path.getsize(output_path)
+    log.info("encode done", frames=vid.num_frames, qp=cfg.qp,
+             fps=f"{vid.num_frames / max(dt, 1e-9):.1f}",
+             size=size)
+    return size

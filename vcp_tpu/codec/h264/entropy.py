@@ -1,0 +1,160 @@
+"""Host entropy coding: macroblock-layer CAVLC slice writer (Python).
+
+Semantic reference for the C++ fast path in ``vcp_tpu.native``. Consumes
+the device pipeline's zig-zag level arrays (vcp_tpu.codec.h264.frame_ops)
+plus source planes (for PCM row 0) and emits one complete slice NAL per
+frame.
+
+Syntax per ITU-T H.264 7.3.5 (macroblock_layer), 7.4.5, 9.1-9.2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...utils.bitstream import BitWriter, nal_unit
+from . import headers as H
+from .cavlc import encode_residual_block
+from .tables import CBP_INTRA_TO_CODE, CBP_INTER_TO_CODE
+from .frame_ops import LUMA_BLK_ORDER
+
+# Chroma 4x4 block raster offsets within the MB (y, x) in 4-pel units.
+CHROMA_BLK_ORDER = np.array([(0, 0), (0, 1), (1, 0), (1, 1)], dtype=np.int32)
+
+MB_TYPE_I_PCM = 25
+
+
+class NzContext:
+    """Per-4x4-block TotalCoeff context for nC prediction (spec 9.2.1)."""
+
+    def __init__(self, blocks_h: int, blocks_w: int):
+        self.nz = np.full((blocks_h, blocks_w), -1, np.int16)
+
+    def set(self, by: int, bx: int, total: int) -> None:
+        self.nz[by, bx] = total
+
+    def nc(self, by: int, bx: int) -> int:
+        na = self.nz[by, bx - 1] if bx > 0 else -1
+        nb = self.nz[by - 1, bx] if by > 0 else -1
+        a_ok, b_ok = na >= 0, nb >= 0
+        if a_ok and b_ok:
+            return (int(na) + int(nb) + 1) >> 1
+        if a_ok:
+            return int(na)
+        if b_ok:
+            return int(nb)
+        return 0
+
+
+def _mb_i16_type(pred_mode: int, cbp_chroma: int, cbp_luma15: bool) -> int:
+    return 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma15 else 0)
+
+
+def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                 idr_pic_id: int, qp: int, data: dict,
+                 src_y: np.ndarray, src_u: np.ndarray,
+                 src_v: np.ndarray) -> bytes:
+    """Encode one IDR slice NAL. MB row 0 = I_PCM; rows 1.. = I16x16-V."""
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    bw = BitWriter()
+    H.write_slice_header(bw, sp, pp, is_idr=True, frame_num=frame_num,
+                         slice_qp=qp, idr_pic_id=idr_pic_id)
+
+    nz_y = NzContext(4 * n_mby, 4 * n_mbx)
+    nz_cb = NzContext(2 * n_mby, 2 * n_mbx)
+    nz_cr = NzContext(2 * n_mby, 2 * n_mbx)
+
+    luma_dc = data["luma_dc"]      # (n_mby-1, n_mbx, 16)
+    luma_ac = data["luma_ac"]      # (n_mby-1, n_mbx, 16, 16)
+    cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
+    cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
+
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            if mby == 0:
+                _write_pcm_mb(bw, mbx, mby, src_y, src_u, src_v,
+                              nz_y, nz_cb, nz_cr)
+                continue
+            r = mby - 1
+            _write_i16_mb(
+                bw, mbx, mby,
+                luma_dc[r, mbx], luma_ac[r, mbx],
+                (cb_dc[r, mbx], cr_dc[r, mbx]),
+                (cb_ac[r, mbx], cr_ac[r, mbx]),
+                nz_y, nz_cb, nz_cr)
+    bw.rbsp_trailing_bits()
+    return nal_unit(H.NAL_SLICE_IDR, bw.to_bytes(), nal_ref_idc=3)
+
+
+def _write_pcm_mb(bw, mbx, mby, src_y, src_u, src_v, nz_y, nz_cb, nz_cr):
+    bw.ue(MB_TYPE_I_PCM)
+    bw.byte_align(0)               # pcm_alignment_zero_bit
+    y0, x0 = 16 * mby, 16 * mbx
+    bw.write_bytes(np.ascontiguousarray(
+        src_y[y0:y0 + 16, x0:x0 + 16], np.uint8).tobytes())
+    cy, cx = 8 * mby, 8 * mbx
+    bw.write_bytes(np.ascontiguousarray(
+        src_u[cy:cy + 8, cx:cx + 8], np.uint8).tobytes())
+    bw.write_bytes(np.ascontiguousarray(
+        src_v[cy:cy + 8, cx:cx + 8], np.uint8).tobytes())
+    # PCM blocks count as TotalCoeff 16 for nC prediction (spec 9.2.1).
+    nz_y.nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
+    nz_cb.nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+    nz_cr.nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
+
+
+def _write_i16_mb(bw, mbx, mby, z_dc, z_ac, chroma_dc, chroma_ac,
+                  nz_y, nz_cb, nz_cr, slice_type_p: bool = False):
+    """Intra_16x16 vertical MB: mb_type, chroma mode V, qp_delta 0, residual."""
+    cbp_luma15 = bool(np.any(z_ac[:, 1:]))
+    any_cac = bool(np.any(chroma_ac[0][:, 1:])) or \
+        bool(np.any(chroma_ac[1][:, 1:]))
+    any_cdc = bool(np.any(chroma_dc[0])) or bool(np.any(chroma_dc[1]))
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+
+    mb_type = _mb_i16_type(pred_mode=0, cbp_chroma=cbp_chroma,
+                           cbp_luma15=cbp_luma15)
+    bw.ue(mb_type + (5 if slice_type_p else 0))
+    bw.ue(2)                       # intra_chroma_pred_mode = Vertical
+    bw.se(0)                       # mb_qp_delta
+    _write_i16_residual(bw, mbx, mby, z_dc, z_ac, chroma_dc, chroma_ac,
+                        cbp_luma15, cbp_chroma, nz_y, nz_cb, nz_cr)
+
+
+def _write_i16_residual(bw, mbx, mby, z_dc, z_ac, chroma_dc, chroma_ac,
+                        cbp_luma15, cbp_chroma, nz_y, nz_cb, nz_cr):
+    # Intra16x16DCLevel: nC from luma blk (0,0)'s neighbors.
+    nc = nz_y.nc(4 * mby, 4 * mbx)
+    encode_residual_block(bw, [int(v) for v in z_dc], nc)
+
+    # Luma AC (15 coeffs from zig-zag pos 1) in coding order.
+    for blk in range(16):
+        oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+        by, bx = 4 * mby + oy, 4 * mbx + ox
+        if cbp_luma15:
+            nc = nz_y.nc(by, bx)
+            total = encode_residual_block(
+                bw, [int(v) for v in z_ac[blk, 1:]], nc)
+        else:
+            total = 0
+        nz_y.set(by, bx, total)
+
+    # Chroma DC (both components), then chroma AC.
+    if cbp_chroma:
+        for c in range(2):
+            encode_residual_block(bw, [int(v) for v in chroma_dc[c]], -1)
+    for c, nzc in ((0, nz_cb), (1, nz_cr)):
+        for blk in range(4):
+            oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+            by, bx = 2 * mby + oy, 2 * mbx + ox
+            if cbp_chroma == 2:
+                nc = nzc.nc(by, bx)
+                total = encode_residual_block(
+                    bw, [int(v) for v in chroma_ac[c][blk, 1:]], nc)
+            else:
+                total = 0
+            nzc.set(by, bx, total)
+
+
+__all__ = ["write_islice", "NzContext", "CHROMA_BLK_ORDER",
+           "CBP_INTRA_TO_CODE", "CBP_INTER_TO_CODE", "MB_TYPE_I_PCM"]
