@@ -1,0 +1,102 @@
+"""Closed-loop P-frame tests: GOP encode → decode → exact recon match."""
+
+import numpy as np
+import pytest
+
+from vcp_tpu.codec.h264.decoder import H264Decoder, psnr
+from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
+from vcp_tpu.codec.h264 import pframe
+
+from video_util import synth_video
+
+
+def encode_gop(w, h, n, qp, gop):
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp, gop_size=gop,
+                                    effort=2))
+    frames = synth_video(w, h, n)
+    aus, recons = [], []
+    for y, u, v in frames:
+        au, is_idr = enc.encode_frame(y, u, v)
+        aus.append((au, is_idr))
+        recons.append(tuple(np.asarray(p) for p in enc.recon_planes))
+    return enc, frames, aus, recons
+
+
+def test_gop_encode_decode_exact_recon():
+    w, h, n = 64, 48, 6
+    enc, frames, aus, recons = encode_gop(w, h, n, qp=26, gop=3)
+    assert [is_idr for _, is_idr in aus] == [True, False, False,
+                                             True, False, False]
+    dec = H264Decoder()
+    stream = enc.headers_annexb() + b"".join(au for au, _ in aus)
+    out = dec.decode_annexb(stream)
+    assert len(out) == n
+    for i, f in enumerate(out):
+        ry, ru, rv = recons[i]
+        np.testing.assert_array_equal(f.y, ry, err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(f.u, ru, err_msg=f"frame {i} cb")
+        np.testing.assert_array_equal(f.v, rv, err_msg=f"frame {i} cr")
+
+
+def test_pframe_quality_and_rate():
+    w, h, n = 64, 48, 5
+    enc, frames, aus, recons = encode_gop(w, h, n, qp=26, gop=n)
+    i_size = len(aus[0][0])
+    p_sizes = [len(au) for au, _ in aus[1:]]
+    # P frames must be much cheaper than the I frame for moving-box content
+    assert max(p_sizes) < i_size * 0.7, (i_size, p_sizes)
+    dec = H264Decoder()
+    out = dec.decode_annexb(enc.headers_annexb()
+                            + b"".join(au for au, _ in aus))
+    for i, f in enumerate(out):
+        y = frames[i][0]
+        assert psnr(f.y, y) > 30, (i, psnr(f.y, y))
+
+
+def test_static_scene_all_skip():
+    """A fully static scene after the IDR should collapse to skip runs."""
+    w, h = 48, 48
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=30, gop_size=10))
+    y = np.tile(np.linspace(40, 200, w, dtype=np.uint8), (h, 1))
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    au0, _ = enc.encode_frame(y, u, v)
+    au1, is_idr = enc.encode_frame(y, u, v)
+    assert not is_idr
+    # a skip-only P slice is tiny: header + one skip_run + trailing bits
+    assert len(au1) < 32, len(au1)
+    dec = H264Decoder()
+    out = dec.decode_annexb(enc.headers_annexb() + au0 + au1)
+    np.testing.assert_array_equal(out[0].y, out[1].y)
+
+
+def test_motion_is_tracked():
+    """The moving box must yield nonzero MVs (not all-intra fallback)."""
+    w, h, n = 64, 48, 3
+    enc, frames, aus, _ = encode_gop(w, h, n, qp=26, gop=n)
+    data = enc._last_p_data
+    assert np.any(data["mv"] != 0)
+
+
+def test_mv_pred_rules():
+    mvs = np.zeros((3, 3, 2), np.int32)
+    valid = np.ones((3, 3), bool)
+    # interior median
+    mvs[1, 0] = (4, 0)   # A for (1,1)
+    mvs[0, 1] = (2, 2)   # B
+    mvs[0, 2] = (0, 6)   # C
+    assert pframe.mv_pred(mvs, valid, 1, 1, 3) == (2, 2)
+    # first MB: everything unavailable → 0
+    assert pframe.mv_pred(mvs, valid, 0, 0, 3) == (0, 0)
+    # row 0, A available only → copies A
+    mvs[0, 0] = (8, 8)
+    assert pframe.mv_pred(mvs, valid, 1, 0, 3) == (8, 8)
+    # skip mv: zero-neighbor rule
+    mvs[1, 0] = (0, 0)
+    assert pframe.skip_mv(mvs, valid, 1, 1, 3) == (0, 0)
+
+
+def test_search_range_effort_ladder():
+    rs = [pframe.search_range_for_effort(e) for e in range(10)]
+    assert rs == sorted(rs)
+    assert rs[0] >= 4 and rs[-1] <= 24

@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--mode", default="", choices=["", "new", "all"])
     p.add_argument("-p", "--preset", default="", help="preset name")
     p.add_argument("--ffmpeg-args", default="",
-                   help="raw encode args (beats --preset)")
+                   help="raw encode args (beats --preset); values starting "
+                        "with '-' need the = form: --ffmpeg-args='-c:v ...'")
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--keep-local", action="store_true")
     p.add_argument("--list-presets", action="store_true",
@@ -89,7 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("input")
     e.add_argument("output")
     e.add_argument("-p", "--preset", default="")
-    e.add_argument("--ffmpeg-args", default="")
+    e.add_argument("--ffmpeg-args", default="",
+                   help="raw encode args; use = form: --ffmpeg-args='-c:v ...'")
     e.add_argument("--timeout", type=float, default=3600.0)
 
     return ap

@@ -1,0 +1,405 @@
+"""P-frame encode/decode: motion-compensated inter coding.
+
+TPU-first shape: unlike intra, inter prediction reads only the *previous*
+frame's reconstruction, so the entire P-frame — motion search, motion
+compensation, transform, quantization, reconstruction — is one fully
+parallel jitted device step (no wavefront). Entropy (mb_skip_run, mvd,
+CBP, CAVLC residuals) and MV median prediction stay on host.
+
+Round-1 toolset: P_L0_16x16 partitions, one reference, full-pel MVs
+(quarter-pel interpolation is a planned kernel), P_Skip, CBP-gated
+residuals. Spec refs: 8.4.1.1/8.4.1.3 (MV prediction), 9.2, 7.3.5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import motion as mops
+from ...ops import transform as tf
+from ...utils.bitstream import BitWriter, nal_unit
+from . import headers as H
+from .cavlc import decode_residual_block, encode_residual_block
+from .entropy import CHROMA_BLK_ORDER, NzContext
+from .frame_ops import LUMA_BLK_ORDER, _zigzag
+from .decoder import unzigzag
+from .tables import CBP_INTER_TO_CODE, CBP_TABLE
+
+MB_TYPE_P16x16 = 0
+
+
+def search_range_for_effort(effort: int) -> int:
+    """ffmpeg preset ladder (p1..p7 / ultrafast..placebo) → ME window."""
+    return (4, 4, 6, 8, 8, 12, 16, 16, 24, 24)[max(0, min(9, effort))]
+
+
+def lam_for_qp(qp: int) -> int:
+    """MV-rate bias for the SAD cost (~0.8 * Qstep)."""
+    return max(1, int(0.5 * 2 ** (qp / 6)))
+
+
+# ---------------------------------------------------------------------------
+# Device step
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
+                          qp: int, qpc: int, sr: int, lam: int):
+    h, w = y.shape
+    n_mby, n_mbx = h // 16, w // 16
+
+    mv, _cost = mops.full_search(y, ref_y, sr, lam)
+    pred_y = mops.mc_luma(ref_y, mv, sr)
+
+    res = y - pred_y
+    blocks = tf.to_blocks4(res)                        # (H/4, W/4, 4, 4)
+    coef = tf.fdct4(blocks)
+    z = tf.quant4(coef, qp, intra=False)
+    w_rec = tf.dequant4(z, qp)
+    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(w_rec)), 0, 255)
+
+    # per-MB luma levels in coding order, zig-zagged: (nMBy, nMBx, 16, 16)
+    zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+    by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
+    z_luma = _zigzag(zb[:, :, by, bx])
+
+    def chroma(cur, ref):
+        hc, wc = cur.shape
+        pred = mops.mc_chroma(ref, mv, sr)
+        resc = cur - pred
+        blk = tf.to_blocks4(resc)                      # (Hc/4, Wc/4, 4, 4)
+        cf = tf.fdct4(blk)
+        dc = cf[..., 0, 0]                             # (Hc/4, Wc/4)
+        dc_mb = dc.reshape(n_mby, 2, n_mbx, 2).transpose(0, 2, 1, 3)
+        z_dc = tf.quant_dc2(tf.hadamard2(dc_mb), qpc, intra=False)
+        z_ac = tf.quant4(cf, qpc, intra=False)
+        dc_rec = tf.dequant_dc2(z_dc, qpc)             # (nMBy, nMBx, 2, 2)
+        wr = tf.dequant4(z_ac, qpc)
+        wr = wr.at[..., 0, 0].set(
+            dc_rec.transpose(0, 2, 1, 3).reshape(hc // 4, wc // 4))
+        rec = jnp.clip(pred + tf.from_blocks4(tf.idct4(wr)), 0, 255)
+        zc = z_ac.reshape(n_mby, 2, n_mbx, 2, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+        z_ac_ord = zc.reshape(n_mby, n_mbx, 4, 4, 4)
+        return (z_dc.reshape(n_mby, n_mbx, 4), _zigzag(z_ac_ord), rec)
+
+    cb_dc, cb_ac, recon_u = chroma(u, ref_u)
+    cr_dc, cr_ac, recon_v = chroma(v, ref_v)
+
+    return {
+        "mv": mv,
+        "luma": z_luma,
+        "cb_dc": cb_dc, "cb_ac": cb_ac,
+        "cr_dc": cr_dc, "cr_ac": cr_ac,
+        "recon_y": recon_y.astype(jnp.uint8),
+        "recon_u": recon_u.astype(jnp.uint8),
+        "recon_v": recon_v.astype(jnp.uint8),
+    }
+
+
+def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8):
+    lam = lam_for_qp(qp)
+    return _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
+                                 qp, qpc, search_range, lam)
+
+
+# ---------------------------------------------------------------------------
+# MV prediction (spec 8.4.1.3; shared by encoder and decoder)
+# ---------------------------------------------------------------------------
+
+def _neighbor(mvs, valid, mbx, mby, n_mbx):
+    """Returns (mvA, refA, mvB, refB, mvC, refC) with ref=-1 for
+    unavailable/intra; C substituted by D when above-right is unavailable."""
+    def get(x, y):
+        if x < 0 or y < 0 or x >= n_mbx:
+            return (0, 0), -1
+        if not valid[y, x]:
+            return (0, 0), -1
+        return (int(mvs[y, x, 0]), int(mvs[y, x, 1])), 0
+
+    a, ra = get(mbx - 1, mby)
+    b, rb = get(mbx, mby - 1)
+    if mby > 0 and mbx + 1 < n_mbx:
+        c, rc = get(mbx + 1, mby - 1)
+        c_exists = True
+    else:
+        c_exists = False
+        c, rc = (0, 0), -1
+    if not c_exists or rc < 0:
+        # substitute D (above-left); note rc<0 also covers intra C
+        d, rd = get(mbx - 1, mby - 1)
+        if rc < 0:
+            c, rc = d, rd
+    return a, ra, b, rb, c, rc
+
+
+def _exists(mbx, mby, n_mbx):
+    return 0 <= mbx < n_mbx and mby >= 0
+
+
+def mv_pred(mvs, valid, mbx, mby, n_mbx):
+    """Median MV predictor for a 16x16 partition, full-pel units."""
+    a, ra, b, rb, c, rc = _neighbor(mvs, valid, mbx, mby, n_mbx)
+    # B and C (post-substitution) unavailable, A available → A.
+    b_exists = _exists(mbx, mby - 1, n_mbx) and rb >= 0
+    c_avail = rc >= 0
+    a_avail = ra >= 0
+    if not b_exists and not c_avail and a_avail:
+        return a
+    # exactly one neighbor references the current picture (refIdx 0)
+    refs = [ra, rb, rc]
+    hits = [i for i, r in enumerate(refs) if r == 0]
+    if len(hits) == 1:
+        return (a, b, c)[hits[0]]
+    # componentwise median (unavailable → 0)
+    xs = sorted((a[0], b[0], c[0]))
+    ys = sorted((a[1], b[1], c[1]))
+    return (xs[1], ys[1])
+
+
+def skip_mv(mvs, valid, mbx, mby, n_mbx):
+    """P_Skip motion vector (spec 8.4.1.1)."""
+    a_in = _exists(mbx - 1, mby, n_mbx)
+    b_in = _exists(mbx, mby - 1, n_mbx)
+    if not a_in or not b_in:
+        return (0, 0)
+    a, ra, b, rb, _, _ = _neighbor(mvs, valid, mbx, mby, n_mbx)
+    if (ra == 0 and a == (0, 0)) or (rb == 0 and b == (0, 0)):
+        return (0, 0)
+    # also intra/unavailable neighbors (ref -1) force zero
+    if ra < 0 or rb < 0:
+        return (0, 0)
+    return mv_pred(mvs, valid, mbx, mby, n_mbx)
+
+
+# ---------------------------------------------------------------------------
+# Host entropy: P slice
+# ---------------------------------------------------------------------------
+
+def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                 qp: int, data: dict) -> bytes:
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    bw = BitWriter()
+    H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
+                         slice_qp=qp)
+
+    mv = data["mv"]                # (nMBy, nMBx, 2) full-pel [dy, dx]
+    luma = data["luma"]            # (nMBy, nMBx, 16, 16)
+    cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
+    cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
+
+    nz_y = NzContext(4 * n_mby, 4 * n_mbx)
+    nz_cb = NzContext(2 * n_mby, 2 * n_mbx)
+    nz_cr = NzContext(2 * n_mby, 2 * n_mbx)
+    valid = np.ones((n_mby, n_mbx), bool)   # all MBs inter in this encoder
+    # store mv as (x, y) for prediction convenience
+    mv_xy = np.stack([mv[..., 1], mv[..., 0]], axis=-1)
+
+    # precompute per-MB cbp
+    luma_nz = np.any(luma != 0, axis=-1)                 # (nMBy, nMBx, 16)
+    quad_nz = luma_nz.reshape(n_mby, n_mbx, 4, 4).any(axis=-1)
+    cbp_luma = (quad_nz * np.array([1, 2, 4, 8])).sum(axis=-1)
+    any_cac = np.any(cb_ac[..., 1:] != 0, axis=(-1, -2)) | \
+        np.any(cr_ac[..., 1:] != 0, axis=(-1, -2))
+    any_cdc = np.any(cb_dc != 0, axis=-1) | np.any(cr_dc != 0, axis=-1)
+    cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+
+    skip_run = 0
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
+            cbp = int(cbp_luma[mby, mbx]) | (int(cbp_chroma[mby, mbx]) << 4)
+            smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+            if cbp == 0 and m == smv:
+                skip_run += 1
+                _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby)
+                continue
+            bw.ue(skip_run)
+            skip_run = 0
+            pred = mv_pred(mv_xy, valid, mbx, mby, n_mbx)
+            bw.ue(MB_TYPE_P16x16)
+            bw.se(4 * (m[0] - pred[0]))     # mvd_l0 x, quarter-pel units
+            bw.se(4 * (m[1] - pred[1]))
+            bw.ue(CBP_INTER_TO_CODE[cbp])
+            if cbp:
+                bw.se(0)                    # mb_qp_delta
+            _write_p_residual(bw, mbx, mby, cbp,
+                              luma[mby, mbx],
+                              (cb_dc[mby, mbx], cr_dc[mby, mbx]),
+                              (cb_ac[mby, mbx], cr_ac[mby, mbx]),
+                              nz_y, nz_cb, nz_cr)
+    if skip_run:
+        bw.ue(skip_run)
+    bw.rbsp_trailing_bits()
+    return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes(), nal_ref_idc=2)
+
+
+def _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby):
+    nz_y.nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
+    nz_cb.nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    nz_cr.nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+
+
+def _write_p_residual(bw, mbx, mby, cbp, z_luma, chroma_dc, chroma_ac,
+                      nz_y, nz_cb, nz_cr):
+    cbp_luma = cbp & 15
+    cbp_chroma = cbp >> 4
+    for blk in range(16):
+        oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+        by, bx = 4 * mby + oy, 4 * mbx + ox
+        if cbp_luma & (1 << (blk // 4)):
+            nc = nz_y.nc(by, bx)
+            total = encode_residual_block(
+                bw, [int(x) for x in z_luma[blk]], nc)
+        else:
+            total = 0
+        nz_y.set(by, bx, total)
+    if cbp_chroma:
+        for c in range(2):
+            encode_residual_block(bw, [int(x) for x in chroma_dc[c]], -1)
+    for c, nzc in ((0, nz_cb), (1, nz_cr)):
+        for blk in range(4):
+            oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+            by, bx = 2 * mby + oy, 2 * mbx + ox
+            if cbp_chroma == 2:
+                total = encode_residual_block(
+                    bw, [int(x) for x in chroma_ac[c][blk, 1:]],
+                    nzc.nc(by, bx))
+            else:
+                total = 0
+            nzc.set(by, bx, total)
+
+
+# ---------------------------------------------------------------------------
+# Decoder halves (called from decoder.H264Decoder)
+# ---------------------------------------------------------------------------
+
+def _mc_luma_np(ref_y, y0, x0, dy, dx):
+    h, w = ref_y.shape
+    rows = np.clip(np.arange(y0 + dy, y0 + dy + 16), 0, h - 1)
+    cols = np.clip(np.arange(x0 + dx, x0 + dx + 16), 0, w - 1)
+    return ref_y[np.ix_(rows, cols)].astype(np.int64)
+
+
+def _mc_chroma_np(ref_c, c0y, c0x, mv_y, mv_x):
+    hc, wc = ref_c.shape
+    iy, ix = mv_y >> 1, mv_x >> 1
+    fy, fx = (mv_y & 1) * 4, (mv_x & 1) * 4
+    base_r = np.arange(c0y + iy, c0y + iy + 8)
+    base_c = np.arange(c0x + ix, c0x + ix + 8)
+    # spec 8.4.2.2.2: each sample position is clipped independently from
+    # the UNCLIPPED integer position (clip(x)+1 != clip(x+1) when x <= -2)
+    rows = np.clip(base_r, 0, hc - 1)
+    cols = np.clip(base_c, 0, wc - 1)
+    rows1 = np.clip(base_r + 1, 0, hc - 1)
+    cols1 = np.clip(base_c + 1, 0, wc - 1)
+    a = ref_c[np.ix_(rows, cols)].astype(np.int64)
+    b = ref_c[np.ix_(rows, cols1)].astype(np.int64)
+    c = ref_c[np.ix_(rows1, cols)].astype(np.int64)
+    d = ref_c[np.ix_(rows1, cols1)].astype(np.int64)
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+
+def _recon_inter_mb(dec_ctx, mbx, mby, mv, ref, z_luma=None,
+                    chroma_dc=None, chroma_ac=None):
+    """Shared recon: MC + (optional) residuals, writes into frame planes."""
+    y, u, v = dec_ctx["y"], dec_ctx["u"], dec_ctx["v"]
+    qp = dec_ctx["qp"]
+    qpc = tf.chroma_qp(qp, dec_ctx["pp"].chroma_qp_index_offset)
+    ref_y, ref_u, ref_v = ref
+    y0, x0 = 16 * mby, 16 * mbx
+    c0y, c0x = 8 * mby, 8 * mbx
+    mvx, mvy = mv
+
+    pred = _mc_luma_np(ref_y.astype(np.int32), y0, x0, mvy, mvx)
+    if z_luma is not None:
+        wq = np.stack([unzigzag(z_luma[blk]) for blk in range(16)])
+        res = np.asarray(tf.idct4(np.array(tf.dequant4(wq, qp))))
+        for blk in range(16):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            pred[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += res[blk]
+    y[y0:y0 + 16, x0:x0 + 16] = np.clip(pred, 0, 255)
+
+    for ci, (plane, refc) in enumerate(((u, ref_u), (v, ref_v))):
+        predc = _mc_chroma_np(refc.astype(np.int32), c0y, c0x, mvy, mvx)
+        if chroma_dc is not None:
+            dc2 = chroma_dc[ci].reshape(2, 2)
+            dc_rec = np.asarray(tf.dequant_dc2(dc2[None], qpc))[0]
+            wqc = np.stack([unzigzag(chroma_ac[ci][blk])
+                            for blk in range(4)])
+            wc = np.array(tf.dequant4(wqc, qpc))
+            for blk in range(4):
+                oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+                wc[blk, 0, 0] = dc_rec[oy, ox]
+            resc = np.asarray(tf.idct4(wc))
+            for blk in range(4):
+                oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+                predc[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += resc[blk]
+        plane[c0y:c0y + 8, c0x:c0x + 8] = np.clip(predc, 0, 255)
+
+
+def decode_pskip(dec, ctx, mbx, mby, ref):
+    sp = ctx["sp"]
+    mvs, valid = ctx["mvs"], ctx["mv_valid"]
+    mv = skip_mv(mvs, valid, mbx, mby, sp.mb_width)
+    _recon_inter_mb(ctx, mbx, mby, mv, ref)
+    mvs[mby, mbx] = mv
+    valid[mby, mbx] = True
+    ctx["nz_y"].nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
+    ctx["nz_cb"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+    ctx["nz_cr"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+
+
+def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
+    from .decoder import DecodeError
+    if mb_type != MB_TYPE_P16x16:
+        raise DecodeError(f"P mb_type {mb_type} unsupported")
+    br = ctx["br"]
+    sp = ctx["sp"]
+    mvs, valid = ctx["mvs"], ctx["mv_valid"]
+    mvd_x, mvd_y = br.se(), br.se()
+    if mvd_x % 4 or mvd_y % 4:
+        raise DecodeError("sub-pel MVs unsupported by this decoder")
+    pred = mv_pred(mvs, valid, mbx, mby, sp.mb_width)
+    mv = (pred[0] + mvd_x // 4, pred[1] + mvd_y // 4)
+    code = br.ue()
+    cbp = CBP_TABLE[code][1]
+    if cbp:
+        br.se()                          # mb_qp_delta (0 in our streams)
+
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    z_luma = np.zeros((16, 16), np.int32)
+    nz_y = ctx["nz_y"]
+    for blk in range(16):
+        oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+        by, bx = 4 * mby + oy, 4 * mbx + ox
+        total = 0
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
+            z_luma[blk] = coeffs
+            total = int(np.count_nonzero(coeffs))
+        nz_y.nz[by, bx] = total
+    cdc = np.zeros((2, 4), np.int32)
+    cac = np.zeros((2, 4, 16), np.int32)
+    if cbp_chroma:
+        for c in range(2):
+            cdc[c] = decode_residual_block(br, -1, 4)
+    for c, nzc in ((0, ctx["nz_cb"]), (1, ctx["nz_cr"])):
+        for blk in range(4):
+            oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
+            by, bx = 2 * mby + oy, 2 * mbx + ox
+            total = 0
+            if cbp_chroma == 2:
+                coeffs = decode_residual_block(br, nzc.nc(by, bx), 15)
+                cac[c, blk, 1:] = coeffs
+                total = int(np.count_nonzero(coeffs))
+            nzc.nz[by, bx] = total
+
+    _recon_inter_mb(ctx, mbx, mby, mv, ref, z_luma, cdc, cac)
+    mvs[mby, mbx] = mv
+    valid[mby, mbx] = True
