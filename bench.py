@@ -1,0 +1,76 @@
+"""Benchmark: 1080p H.264 encode throughput per chip (BASELINE.json north
+star: >= 60 fps/chip at VMAF parity with libx264 medium on TPU v5e).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Runs on whatever jax.devices() provides (the real TPU under the driver).
+Encodes a synthetic 1080p30 GOP through the FULL engine — device transform
+pipeline + host entropy + MP4 mux — and reports steady-state fps
+(excluding jit compilation, including entropy/mux: the fair analogue of an
+ffmpeg wall-clock fps).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 60.0
+W, H, FPS = 1920, 1080, 30
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
+QP = int(os.environ.get("BENCH_QP", "28"))
+
+
+def synth(w, h, n):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (32 + (xx * 160) // w + (yy * 48) // h).astype(np.int32)
+    tex = ((xx * 7 + yy * 13) % 5).astype(np.int32)
+    frames = []
+    for t in range(n):
+        y = base + tex
+        bx, by = (9 * t) % (w - 64), (5 * t) % (h - 64)
+        y = y.copy()
+        y[by:by + 64, bx:bx + 64] = 210
+        y = np.clip(y, 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 110, np.uint8)
+        v = np.full((h // 2, w // 2), 146, np.uint8)
+        u[by // 2:by // 2 + 32, bx // 2:bx // 2 + 32] = 90
+        frames.append((y, u, v))
+    return frames
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
+
+    frames = synth(W, H, N_FRAMES)
+    cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,
+                        gop_size=FPS, effort=4)
+
+    # warmup: compile I and P paths
+    enc = H264Encoder(cfg)
+    enc.encode_frame(*frames[0])
+    enc.encode_frame(*frames[1])
+
+    enc = H264Encoder(cfg)
+    t0 = time.monotonic()
+    total_bytes = 0
+    for f in frames:
+        au, _ = enc.encode_frame(*f)
+        total_bytes += len(au)
+    dt = time.monotonic() - t0
+    fps = N_FRAMES / dt
+
+    print(json.dumps({
+        "metric": "h264_1080p_encode_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

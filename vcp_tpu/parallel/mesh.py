@@ -1,0 +1,150 @@
+"""Multi-chip sharding of the encode step (jax.sharding.Mesh + shard_map).
+
+The reference scales only by task-level data parallelism (one process per
+GPU, Redis as the scheduler — SURVEY.md §2.3). The TPU build adds
+*within-encode* parallelism for large frames / high throughput:
+
+* ``data`` axis — independent frames (or GOP streams) sharded across
+  chips: batch data parallelism, zero communication.
+* ``tile`` axis — horizontal bands of a single frame sharded across
+  chips: spatial parallelism for 4K motion search (the CP/SP analogue,
+  SURVEY.md §5 long-context note). Motion search at a band boundary needs
+  reference rows from neighboring bands, so the reference planes are
+  all-gathered along ``tile`` over ICI before the local band search; all
+  transform/quant/recon math stays band-local.
+
+Collectives ride the mesh via ``jax.lax.all_gather`` inside ``shard_map``
+— no NCCL/MPI analogue, XLA inserts the ICI transfers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import transform as tf
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None,
+              tile: int | None = None) -> Mesh:
+    """Build a (data, tile) mesh over the available devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if data is None or tile is None:
+        # favor tile parallelism up to 4, rest data
+        tile = tile or min(4, n)
+        while n % tile:
+            tile -= 1
+        data = n // tile
+    arr = np.array(devs).reshape(data, tile)
+    return Mesh(arr, axis_names=("data", "tile"))
+
+
+def _band_search_and_mc(cur_band, ref_full, band_row0, sr: int, lam: int):
+    """Full-pel SAD search + MC for one horizontal band against the full
+    reference plane. Mirrors ops.motion exactly (same padding semantics)."""
+    hb, w = cur_band.shape
+    n_mby, n_mbx = hb // 16, w // 16
+    side = 2 * sr + 1
+    ref_pad = jnp.pad(ref_full, sr, mode="edge")
+    cur_mb = cur_band.reshape(n_mby, 16, n_mbx, 16)
+
+    def body(o, carry):
+        best_cost, best_o = carry
+        dy = o // side - sr
+        dx = o % side - sr
+        shifted = jax.lax.dynamic_slice(
+            ref_pad, (band_row0 + dy + sr, dx + sr), (hb, w))
+        sad = jnp.abs(cur_mb - shifted.reshape(n_mby, 16, n_mbx, 16)
+                      ).sum(axis=(1, 3))
+        cost = sad + lam * (jnp.abs(dx) + jnp.abs(dy))
+        better = cost < best_cost
+        return (jnp.where(better, cost, best_cost),
+                jnp.where(better, o, best_o))
+
+    init = (jnp.full((n_mby, n_mbx), 2**30, jnp.int32),
+            jnp.zeros((n_mby, n_mbx), jnp.int32))
+    _, best_o = jax.lax.fori_loop(0, side * side, body, init)
+    mv = jnp.stack([best_o // side - sr, best_o % side - sr], axis=-1)
+
+    dy = jnp.repeat(jnp.repeat(mv[..., 0], 16, axis=0), 16, axis=1)
+    dx = jnp.repeat(jnp.repeat(mv[..., 1], 16, axis=0), 16, axis=1)
+    rows = jnp.arange(hb)[:, None] + band_row0 + dy + sr
+    cols = jnp.arange(w)[None, :] + dx + sr
+    pred = ref_pad[rows, cols]
+    return mv, pred
+
+
+def encode_pframe_sharded(mesh: Mesh, y, ref_y, qp: int, sr: int = 8,
+                          lam: int = 4):
+    """Sharded P-frame luma step: (B, H, W) int32 frames + refs →
+    (mv, levels, recon), batch on ``data``, frame rows on ``tile``.
+
+    Each tile shard all-gathers the reference rows along ``tile`` (ICI
+    collective) and computes its band's ME/MC/transform/quant/recon
+    locally. Results are numerically identical to the single-chip step.
+    """
+    n_tile = mesh.shape["tile"]
+    b, h, w = y.shape
+    assert (h // n_tile) % 16 == 0, "band height must be MB-aligned"
+
+    spec_frames = P("data", "tile", None)
+    spec_mv = P("data", "tile", None, None)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec_frames, spec_frames),
+        out_specs=(spec_mv, P("data", "tile", None, None, None),
+                   spec_frames),
+        check_rep=False)
+    def step(y_band, ref_band):
+        # gather full reference plane along the tile axis (ICI)
+        ref_full = jax.lax.all_gather(ref_band, "tile", axis=1, tiled=True)
+        band_h = y_band.shape[1]
+        band_row0 = jax.lax.axis_index("tile") * band_h
+
+        def per_frame(cur_b, ref_f):
+            mv, pred = _band_search_and_mc(cur_b, ref_f, band_row0, sr, lam)
+            res = cur_b - pred
+            coef = tf.fdct4(tf.to_blocks4(res))
+            z = tf.quant4(coef, qp, intra=False)
+            rec = jnp.clip(
+                pred + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
+                0, 255)
+            return mv, z, rec
+
+        return jax.vmap(per_frame)(y_band, ref_full)
+
+    sharding = NamedSharding(mesh, spec_frames)
+    y = jax.device_put(y, sharding)
+    ref_y = jax.device_put(ref_y, sharding)
+    return jax.jit(step)(y, ref_y)
+
+
+def encode_iframe_batch_sharded(mesh: Mesh, y, u, v, qp: int, qpc: int):
+    """Batch-data-parallel intra step: frames sharded on ``data`` only
+    (the intra row-scan is sequential within a frame)."""
+    from ..codec.h264 import frame_ops
+
+    spec = P(("data", "tile"))
+
+    def one(y1, u1, v1):
+        out = frame_ops.encode_iframe.__wrapped__(y1, u1, v1, qp, qpc)
+        return out["recon_y"], out["recon_u"], out["recon_v"]
+
+    fn = shard_map(jax.vmap(one), mesh=mesh,
+                   in_specs=(P(("data", "tile")), P(("data", "tile")),
+                             P(("data", "tile"))),
+                   out_specs=(spec, spec, spec), check_rep=False)
+    shard = NamedSharding(mesh, spec)
+    y = jax.device_put(y, shard)
+    u = jax.device_put(u, shard)
+    v = jax.device_put(v, shard)
+    return jax.jit(fn)(y, u, v)
