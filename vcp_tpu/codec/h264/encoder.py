@@ -104,10 +104,27 @@ class H264Encoder:
         return sps_nal[4:], pps_nal[4:]  # strip 00 00 00 01
 
     def _pad(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
-        yp = frame_ops.pad_plane(y, 16).astype(np.int32)
-        up = frame_ops.pad_plane(u, 8).astype(np.int32)
-        vp = frame_ops.pad_plane(v, 8).astype(np.int32)
+        # planes stay uint8 on host; device steps cast to int32 on chip
+        # (uploading uint8 quarters host->device traffic)
+        yp = frame_ops.pad_plane(np.asarray(y, np.uint8), 16)
+        up = frame_ops.pad_plane(np.asarray(u, np.uint8), 8)
+        vp = frame_ops.pad_plane(np.asarray(v, np.uint8), 8)
         return yp, up, vp
+
+    def _encode_idr(self, yp, up, vp, qp, qpc) -> bytes:
+        """One IDR frame; recon stays resident on device."""
+        out = frame_ops.encode_iframe(yp, up, vp, qp, qpc)
+        # fetch only the level arrays the entropy layer needs
+        data = {k: np.asarray(out[k]) for k in
+                ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+        nal = entropy.write_islice(
+            self.sp, self.pp, frame_num=0,
+            idr_pic_id=self.idr_count % 65536, qp=qp, data=data,
+            src_y=yp, src_u=up, src_v=vp)
+        self.idr_count += 1
+        self._frame_num = 1
+        self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
+        return nal
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      force_idr: bool = False) -> tuple[bytes, bool]:
@@ -120,42 +137,95 @@ class H264Encoder:
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
 
         if is_idr:
-            out = frame_ops.encode_iframe(yp, up, vp, qp, qpc)
-            data = {k: np.asarray(v) for k, v in out.items()}
-            nal = entropy.write_islice(
-                self.sp, self.pp, frame_num=0,
-                idr_pic_id=self.idr_count % 65536, qp=qp, data=data,
-                src_y=yp, src_u=up, src_v=vp)
-            self.idr_count += 1
-            self._frame_num = 1
+            nal = self._encode_idr(yp, up, vp, qp, qpc)
         else:
             nal = self._encode_pframe(yp, up, vp, qp, qpc)
-            data = self._last_p_data
             self._frame_num += 1
-        self._recon = (data["recon_y"], data["recon_u"], data["recon_v"])
         self.frame_index += 1
         return nal, is_idr
 
     def _encode_pframe(self, yp, up, vp, qp, qpc) -> bytes:
         from . import pframe
         ry, ru, rv = self._recon
-        out = pframe.encode_pframe(yp, up, vp,
-                                   ry.astype(np.int32), ru.astype(np.int32),
-                                   rv.astype(np.int32), qp, qpc,
+        out = pframe.encode_pframe(yp, up, vp, ry, ru, rv, qp, qpc,
                                    search_range=pframe.search_range_for_effort(
                                        self.cfg.effort))
-        data = {k: np.asarray(v) for k, v in out.items()}
+        data = {k: np.asarray(out[k]) for k in
+                ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
         self._last_p_data = data
+        self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         return pframe.write_pslice(self.sp, self.pp,
                                    frame_num=self._frame_num, qp=qp,
                                    data=data)
 
+    # -- GOP-chunked hot path (one device call + one fetch per chunk) -----
+    P_CHUNKS = (8, 4, 2, 1)
+
+    def encode_gop(self, frames: list) -> list[tuple[bytes, bool]]:
+        """Encode a list of (y, u, v) frames, first as IDR, rest as P,
+        using device-resident GOP chunks (see gop_ops)."""
+        from . import gop_ops, pframe
+        cfg = self.cfg
+        qp = cfg.qp
+        qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
+        sr = pframe.search_range_for_effort(cfg.effort)
+        lam = pframe.lam_for_qp(qp)
+
+        out: list[tuple[bytes, bool]] = []
+        yp, up, vp = self._pad(*frames[0])
+        out.append((self._encode_idr(yp, up, vp, qp, qpc), True))
+        self.frame_index += 1
+
+        n_mby, n_mbx = self.sp.mb_height, self.sp.mb_width
+        h16, w16 = 16 * n_mby, 16 * n_mbx
+
+        # Phase 1: dispatch ALL chunks (async) — device compute and the
+        # single packed upload per chunk overlap with phase 2's fetches.
+        pending = []
+        recon = self._recon
+        i = 1
+        while i < len(frames):
+            chunk = next(c for c in self.P_CHUNKS if c <= len(frames) - i)
+            buf = gop_ops.pack_frames(
+                [self._pad(*frames[i + k]) for k in range(chunk)])
+            meta, count, blocks, ry, ru, rv = gop_ops.encode_pchunk_sparse(
+                buf, *recon, qp, qpc, sr, lam, h16, w16)
+            recon = (ry.astype("uint8"), ru.astype("uint8"),
+                     rv.astype("uint8"))
+            for a in (meta, count):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            pending.append((chunk, meta, count, blocks))
+            i += chunk
+        self._recon = recon
+
+        # Phase 2: two fetches per chunk (meta+count, then the compacted
+        # nonzero blocks only) and host entropy.
+        for chunk, meta, count, blocks in pending:
+            cnt = int(np.asarray(count)[0])
+            cap = blocks.shape[0]
+            bucket = gop_ops.fetch_bucket(cnt, cap)
+            blocks_h = np.asarray(blocks[:bucket])
+            meta_h = np.asarray(meta)
+            for data in gop_ops.unpack_sparse_chunk(
+                    meta_h, blocks_h, cnt, n_mby, n_mbx):
+                nal = pframe.write_pslice(self.sp, self.pp,
+                                          frame_num=self._frame_num,
+                                          qp=qp, data=data)
+                self._frame_num += 1
+                self.frame_index += 1
+                out.append((nal, False))
+        return out
+
     @property
     def recon_planes(self):
-        """Last reconstructed (unpadded) planes, for PSNR checks."""
+        """Last reconstructed (unpadded) planes, for PSNR checks
+        (fetches from device on demand)."""
         if self._recon is None:
             return None
-        y, u, v = self._recon
+        y, u, v = (np.asarray(p) for p in self._recon)
         return (y[: self.cfg.height, : self.cfg.width],
                 u[: self.cfg.height // 2, : self.cfg.width // 2],
                 v[: self.cfg.height // 2, : self.cfg.width // 2])
@@ -165,18 +235,30 @@ def encode_stream(frames, cfg: EncoderConfig, deadline: float | None = None,
                   on_frame=None):
     """Encode an iterable of (y, u, v) uint8 planes → (sps, pps, samples).
 
-    samples: list of (annexb_au, is_idr). Cooperative deadline between
-    frames (replaces the reference's 60-min ffmpeg kill, consumer.go:262).
+    samples: list of (annexb_au, is_idr). Frames are grouped into GOPs and
+    encoded via the device-resident GOP path (one device call + one fetch
+    per chunk). Cooperative deadline between GOPs (replaces the
+    reference's 60-min ffmpeg kill, consumer.go:262).
     """
     enc = H264Encoder(cfg)
     samples = []
-    for i, (y, u, v) in enumerate(frames):
+    gop: list = []
+
+    def flush():
+        if not gop:
+            return
         if deadline is not None and time.monotonic() > deadline:
-            raise EncodeAbort(f"deadline exceeded at frame {i}")
-        au, is_idr = enc.encode_frame(y, u, v)
-        samples.append((au, is_idr))
+            raise EncodeAbort(f"deadline exceeded at frame {len(samples)}")
+        samples.extend(enc.encode_gop(gop))
+        gop.clear()
         if on_frame:
-            on_frame(i, enc)
+            on_frame(len(samples) - 1, enc)
+
+    for f in frames:
+        gop.append(f)
+        if len(gop) >= cfg.gop_size:
+            flush()
+    flush()
     sps, pps = enc.sps_pps_raw()
     return sps, pps, samples
 

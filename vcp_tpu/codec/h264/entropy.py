@@ -50,11 +50,67 @@ def _mb_i16_type(pred_mode: int, cbp_chroma: int, cbp_luma15: bool) -> int:
     return 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma15 else 0)
 
 
+def _nal_from_rbsp_native(lib, rbsp_buf, rbsp_len: int, nal_type: int,
+                          nal_ref_idc: int) -> bytes:
+    import ctypes
+    out = np.empty(rbsp_len + rbsp_len // 2 + 16, np.uint8)
+    n = lib.vcp_escape(
+        rbsp_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rbsp_len, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return (b"\x00\x00\x01" + bytes([(nal_ref_idc << 5) | nal_type])
+            + out[:n].tobytes())
+
+
 def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  idr_pic_id: int, qp: int, data: dict,
                  src_y: np.ndarray, src_u: np.ndarray,
                  src_v: np.ndarray) -> bytes:
-    """Encode one IDR slice NAL. MB row 0 = I_PCM; rows 1.. = I16x16-V."""
+    """Encode one IDR slice NAL. MB row 0 = I_PCM; rows 1.. = I16x16-V.
+
+    Uses the C++ engine when available (bit-identical to the Python path,
+    asserted by tests); falls back to Python."""
+    from ... import native
+    lib = native.get_lib()
+    if lib is not None:
+        return _write_islice_native(lib, sp, pp, frame_num=frame_num,
+                                    idr_pic_id=idr_pic_id, qp=qp, data=data,
+                                    src_y=src_y, src_u=src_u, src_v=src_v)
+    return _write_islice_py(sp, pp, frame_num=frame_num,
+                            idr_pic_id=idr_pic_id, qp=qp, data=data,
+                            src_y=src_y, src_u=src_u, src_v=src_v)
+
+
+def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
+                         src_y, src_u, src_v) -> bytes:
+    import ctypes
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    y = np.ascontiguousarray(src_y, np.uint8)
+    u = np.ascontiguousarray(src_u, np.uint8)
+    v = np.ascontiguousarray(src_v, np.uint8)
+    # PCM bytes + coded residual upper bound
+    cap = y.size + u.size + v.size + n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    # keep converted arrays alive for the duration of the call
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma_dc", "luma_ac", "cb_dc", "cb_ac",
+                      "cr_dc", "cr_ac")]
+    n = lib.vcp_write_islice(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
+        frame_num, idr_pic_id,
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.shape[1],
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), u.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError("native islice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_IDR, 3)
+
+
+def _write_islice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                     idr_pic_id: int, qp: int, data: dict,
+                     src_y: np.ndarray, src_u: np.ndarray,
+                     src_v: np.ndarray) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=True, frame_num=frame_num,

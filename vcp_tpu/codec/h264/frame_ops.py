@@ -143,6 +143,9 @@ def encode_iframe(y, u, v, qp: int, qp_c: int):
     Returns dict of level arrays + recon planes. MB row 0 is PCM: its level
     arrays are unused and its recon equals the source.
     """
+    y = y.astype(jnp.int32)
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
     h, w = y.shape
     n_mby, n_mbx = h // 16, w // 16
 

@@ -1,0 +1,254 @@
+"""GOP-at-once device encoding (the production hot path).
+
+Per-frame device dispatch pays a host↔device round trip per array, which
+on tunneled TPU deployments dominates wall clock (measured ~0.1 s/fetch vs
+~25 ms of actual 1080p P-step compute). This module keeps the whole GOP on
+device:
+
+* the P-frame recurrence (each frame predicts from the previous frame's
+  reconstruction) runs as a ``lax.scan`` ON DEVICE — reference planes
+  never leave HBM,
+* each chunk of N P-frames is ONE jit call, and all level/mv outputs are
+  packed into ONE int16 buffer → one fetch per chunk instead of ~9 per
+  frame.
+
+The math is identical to pframe._encode_pframe_device (asserted by
+equivalence tests): same search, quant, recon.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import motion as mops
+from ...ops import transform as tf
+from .frame_ops import LUMA_BLK_ORDER, _zigzag
+
+# per-MB int16 words in the packed layout
+MB_WORDS_MV = 2
+MB_WORDS_LUMA = 256
+MB_WORDS_CDC = 4
+MB_WORDS_CAC = 64
+MB_WORDS = MB_WORDS_MV + MB_WORDS_LUMA + 2 * (MB_WORDS_CDC + MB_WORDS_CAC)
+
+
+def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam):
+    """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes)."""
+    h, w = cur_y.shape
+    n_mby, n_mbx = h // 16, w // 16
+
+    mv, _ = mops.full_search(cur_y, ref_y, sr, lam)
+    pred_y = mops.mc_luma(ref_y, mv, sr)
+    coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
+    z = tf.quant4(coef, qp, intra=False)
+    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
+                       0, 255)
+    zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+    by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
+    z_luma = _zigzag(zb[:, :, by, bx]).reshape(n_mby, n_mbx, 256)
+
+    def chroma(cur, ref):
+        hc, wc = cur.shape
+        pred = mops.mc_chroma(ref, mv, sr)
+        cf = tf.fdct4(tf.to_blocks4(cur - pred))
+        dc = cf[..., 0, 0]
+        dc_mb = dc.reshape(n_mby, 2, n_mbx, 2).transpose(0, 2, 1, 3)
+        z_dc = tf.quant_dc2(tf.hadamard2(dc_mb), qpc, intra=False)
+        z_ac = tf.quant4(cf, qpc, intra=False)
+        dc_rec = tf.dequant_dc2(z_dc, qpc)
+        wr = tf.dequant4(z_ac, qpc)
+        wr = wr.at[..., 0, 0].set(
+            dc_rec.transpose(0, 2, 1, 3).reshape(hc // 4, wc // 4))
+        rec = jnp.clip(pred + tf.from_blocks4(tf.idct4(wr)), 0, 255)
+        zc = z_ac.reshape(n_mby, 2, n_mbx, 2, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+        z_ac_zz = _zigzag(zc.reshape(n_mby, n_mbx, 4, 4, 4))
+        return (z_dc.reshape(n_mby, n_mbx, 4),
+                z_ac_zz.reshape(n_mby, n_mbx, 64), rec)
+
+    cb_dc, cb_ac, recon_u = chroma(cur_u, ref_u)
+    cr_dc, cr_ac, recon_v = chroma(cur_v, ref_v)
+
+    packed = jnp.concatenate([
+        mv.reshape(n_mby, n_mbx, 2),
+        z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+    ], axis=-1).astype(jnp.int16).reshape(-1)
+    return packed, recon_y, recon_u, recon_v
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
+                  qp: int, qpc: int, sr: int, lam: int):
+    """Encode N consecutive P frames in one device call.
+
+    ys: (N, H, W) int32; refs: (H, W) int32 (previous recon).
+    Returns (packed (N, nMB*MB_WORDS) int16, recon_y/u/v of the last frame).
+    """
+    ys, us, vs = (a.astype(jnp.int32) for a in (ys, us, vs))
+    ref_y, ref_u, ref_v = (a.astype(jnp.int32)
+                           for a in (ref_y, ref_u, ref_v))
+
+    def step(carry, xs):
+        ref_y, ref_u, ref_v = carry
+        cy, cu, cv = xs
+        packed, ry, ru, rv = _pstep(cy, cu, cv, ref_y, ref_u, ref_v,
+                                    qp, qpc, sr, lam)
+        return (ry, ru, rv), packed
+
+    (ry, ru, rv), packed = jax.lax.scan(
+        step, (ref_y, ref_u, ref_v), (ys, us, vs))
+    return packed, ry, ru, rv
+
+
+# ---------------------------------------------------------------------------
+# Sparse fetch path: compact nonzero 4x4 blocks on device
+# ---------------------------------------------------------------------------
+#
+# At production QPs the vast majority of 4x4 blocks quantize to all-zero;
+# fetching them through a tunneled host link wastes ~10x bandwidth. The
+# device emits instead:
+#   meta   (F, nMB*10 + nW) int16 — per MB: mv(2) + cbDC(4) + crDC(4),
+#          then per-block nonzero flag bits packed into int16 words,
+#   count  (1,) int32 — number of nonzero blocks in the chunk,
+#   blocks (F*nMB*24, 16) int16 — nonzero blocks compacted to the front
+#          (prefix-sum scatter); the host fetches only blocks[:count]
+#          (rounded to a bucket to bound retrace count).
+BLOCKS_PER_MB = 24  # 16 luma + 4 cbAC + 4 crAC, each 16 zig-zag words
+
+
+def _flag_words(flags_f):
+    """(F, B) bool → (F, ceil(B/16)) int16 packed little-endian bits."""
+    f, b = flags_f.shape
+    pad = (-b) % 16
+    if pad:
+        flags_f = jnp.concatenate(
+            [flags_f, jnp.zeros((f, pad), flags_f.dtype)], axis=1)
+    bits = flags_f.reshape(f, -1, 16).astype(jnp.int32)
+    weights = jnp.asarray([1 << i for i in range(16)], jnp.int32)
+    words = (bits * weights).sum(axis=-1)
+    return (words.astype(jnp.uint16)).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
+                         qp: int, qpc: int, sr: int, lam: int,
+                         h: int, w: int):
+    """Sparse-output variant of encode_pchunk_packed."""
+    packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
+        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w)
+    f = packed.shape[0]
+    n_mb = (h // 16) * (w // 16)
+    arr = packed.reshape(f, n_mb, MB_WORDS)
+    mv = arr[..., :2]
+    luma = arr[..., 2:258]
+    cb_dc = arr[..., 258:262]
+    cb_ac = arr[..., 262:326]
+    cr_dc = arr[..., 326:330]
+    cr_ac = arr[..., 330:394]
+    blocks = jnp.concatenate([
+        luma.reshape(f, n_mb, 16, 16),
+        cb_ac.reshape(f, n_mb, 4, 16),
+        cr_ac.reshape(f, n_mb, 4, 16),
+    ], axis=2)                                    # (F, nMB, 24, 16)
+    flags = jnp.any(blocks != 0, axis=-1)         # (F, nMB, 24)
+    flat_flags = flags.reshape(-1)
+    nblk = flat_flags.shape[0]
+    dest = jnp.cumsum(flat_flags.astype(jnp.int32)) - 1
+    count = flat_flags.sum(dtype=jnp.int32)
+    idx = jnp.where(flat_flags, dest, nblk)       # nblk = out of range
+    buffer = jnp.zeros((nblk, 16), jnp.int16).at[idx].set(
+        blocks.reshape(nblk, 16), mode="drop")
+    meta = jnp.concatenate([
+        jnp.concatenate([mv, cb_dc, cr_dc], axis=-1).reshape(f, n_mb * 10),
+        _flag_words(flags.reshape(f, n_mb * BLOCKS_PER_MB)),
+    ], axis=1)
+    return meta, count.reshape(1), buffer, ry, ru, rv
+
+
+def fetch_bucket(count: int, cap: int) -> int:
+    """Round the nonzero-block count up to a fetch bucket (bounds the
+    number of distinct device slice programs)."""
+    k = 4096
+    while k < count:
+        k *= 2
+    return min(k, cap)
+
+
+def unpack_sparse_chunk(meta_h: np.ndarray, blocks_h: np.ndarray,
+                        count: int, n_mby: int, n_mbx: int) -> list[dict]:
+    """Host-side: rebuild per-frame entropy dicts from the sparse fetch."""
+    f = meta_h.shape[0]
+    n_mb = n_mby * n_mbx
+    nbits = n_mb * BLOCKS_PER_MB
+    nwords = (nbits + 15) // 16
+    meta = meta_h[:, : n_mb * 10].reshape(f, n_mb, 10)
+    words = meta_h[:, n_mb * 10: n_mb * 10 + nwords]
+    bits = np.unpackbits(
+        words.astype(np.uint16).view(np.uint8), bitorder="little",
+        axis=1)[:, :nbits]
+    flags = bits.astype(bool).reshape(f, n_mb, BLOCKS_PER_MB)
+    blocks = np.zeros((f, n_mb, BLOCKS_PER_MB, 16), np.int16)
+    blocks[flags] = blocks_h[:count]
+
+    out = []
+    for i in range(f):
+        m = meta[i]
+        blk = blocks[i]
+        out.append({
+            "mv": m[:, :2].reshape(n_mby, n_mbx, 2).astype(np.int32),
+            "cb_dc": m[:, 2:6].reshape(n_mby, n_mbx, 4),
+            "cr_dc": m[:, 6:10].reshape(n_mby, n_mbx, 4),
+            "luma": blk[:, :16].reshape(n_mby, n_mbx, 16, 16),
+            "cb_ac": blk[:, 16:20].reshape(n_mby, n_mbx, 4, 16),
+            "cr_ac": blk[:, 20:24].reshape(n_mby, n_mbx, 4, 16),
+        })
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
+                         qp: int, qpc: int, sr: int, lam: int,
+                         h: int, w: int):
+    """encode_pchunk taking ONE packed uint8 planar buffer
+    (N, h*w*3//2) — a single host→device transfer per chunk."""
+    n = buf.shape[0]
+    hw = h * w
+    cw = (h // 2) * (w // 2)
+    ys = buf[:, :hw].reshape(n, h, w)
+    us = buf[:, hw:hw + cw].reshape(n, h // 2, w // 2)
+    vs = buf[:, hw + cw:].reshape(n, h // 2, w // 2)
+    return encode_pchunk.__wrapped__(ys, us, vs, ref_y, ref_u, ref_v,
+                                     qp, qpc, sr, lam)
+
+
+def pack_frames(batch: list) -> np.ndarray:
+    """[(y, u, v) uint8 padded planes] → (N, h*w*3//2) uint8 buffer."""
+    return np.stack([
+        np.concatenate([y.reshape(-1), u.reshape(-1), v.reshape(-1)])
+        for y, u, v in batch])
+
+
+def unpack_frame(packed: np.ndarray, n_mby: int, n_mbx: int) -> dict:
+    """Split one frame's packed int16 buffer back into entropy-layer arrays
+    (host-side, zero-copy views where possible)."""
+    arr = packed.reshape(n_mby, n_mbx, MB_WORDS)
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = arr[..., o:o + n]
+        o += n
+        return out
+
+    mv = take(2).astype(np.int32)
+    luma = take(256).reshape(n_mby, n_mbx, 16, 16)
+    cb_dc = take(4)
+    cb_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
+    cr_dc = take(4)
+    cr_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
+    return {"mv": mv, "luma": luma, "cb_dc": cb_dc, "cb_ac": cb_ac,
+            "cr_dc": cr_dc, "cr_ac": cr_ac}

@@ -50,6 +50,8 @@ def lam_for_qp(qp: int) -> int:
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                           qp: int, qpc: int, sr: int, lam: int):
+    y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
+    ref_y, ref_u, ref_v = (a.astype(jnp.int32) for a in (ref_y, ref_u, ref_v))
     h, w = y.shape
     n_mby, n_mbx = h // 16, w // 16
 
@@ -182,6 +184,38 @@ def skip_mv(mvs, valid, mbx, mby, n_mbx):
 
 def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  qp: int, data: dict) -> bytes:
+    """P slice NAL. C++ engine when available (bit-identical), else Python."""
+    from ... import native
+    lib = native.get_lib()
+    if lib is not None:
+        return _write_pslice_native(lib, sp, pp, frame_num=frame_num,
+                                    qp=qp, data=data)
+    return _write_pslice_py(sp, pp, frame_num=frame_num, qp=qp, data=data)
+
+
+def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data) -> bytes:
+    import ctypes
+    from .entropy import _nal_from_rbsp_native
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    mv = np.asarray(data["mv"])
+    mv_xy = np.ascontiguousarray(
+        np.stack([mv[..., 1], mv[..., 0]], axis=-1), np.int32)
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")]
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.vcp_write_pslice(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
+        mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError("native pslice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
+
+
+def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                     qp: int, data: dict) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,

@@ -1,0 +1,54 @@
+"""ctypes loader for the native entropy engine (with Python fallback).
+
+``get_lib()`` returns the loaded CDLL or None; callers fall back to the
+pure-Python entropy coder when unavailable. Set ``VCP_NO_NATIVE=1`` to
+force the Python path (used by equivalence tests)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _configure(lib) -> None:
+    i64, i32 = ctypes.c_int64, ctypes.c_int32
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vcp_escape.restype = i64
+    lib.vcp_escape.argtypes = [u8p, i64, u8p]
+    lib.vcp_write_islice.restype = i64
+    lib.vcp_write_islice.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32,
+        i32p, i32p, i32p, i32p, i32p, i32p,
+        u8p, i32, u8p, u8p, i32, u8p, i64]
+    lib.vcp_write_pslice.restype = i64
+    lib.vcp_write_pslice.argtypes = [
+        i32, i32, i32, i32, i32, i32,
+        i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+
+
+def get_lib():
+    global _lib, _tried
+    if os.environ.get("VCP_NO_NATIVE"):
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            from .build import build
+            so = build()
+            if so is None:
+                return None
+            _lib = ctypes.CDLL(so)
+            _configure(_lib)
+        except Exception as e:  # pragma: no cover
+            import sys
+            print(f"vcp native load failed: {e}", file=sys.stderr)
+            _lib = None
+        return _lib

@@ -1,0 +1,111 @@
+"""Build the native entropy engine.
+
+Generates ``tables_gen.h`` from the Python VLC tables (single source of
+truth — vcp_tpu.codec.h264.tables) and compiles ``entropy.cpp`` with g++
+into a cached shared library. No pybind11: plain C ABI via ctypes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+BUILD_DIR = os.path.join(_DIR, "_build")
+
+
+def _vlc(code: str) -> str:
+    return "{%d,%d}" % (len(code), int(code, 2) if code else 0)
+
+
+def generate_tables_header() -> str:
+    from ..codec.h264 import tables as T
+
+    lines = [
+        "// GENERATED from vcp_tpu/codec/h264/tables.py — do not edit.",
+        "#pragma once",
+        "#include <cstdint>",
+        "struct VLC { uint8_t len; uint16_t bits; };",
+    ]
+
+    def ct(name, tab, max_tc):
+        rows = []
+        for tc in range(max_tc + 1):
+            cells = []
+            for t1 in range(4):
+                code = tab.get((t1, tc))
+                cells.append(_vlc(code) if code is not None else "{0,0}")
+            rows.append("{" + ",".join(cells) + "}")
+        lines.append(f"static const VLC {name}[{max_tc + 1}][4] = "
+                     "{" + ",".join(rows) + "};")
+
+    ct("CT_NC0", T.COEFF_TOKEN_NC0, 16)
+    ct("CT_NC2", T.COEFF_TOKEN_NC2, 16)
+    ct("CT_NC4", T.COEFF_TOKEN_NC4, 16)
+    ct("CT_CHROMA", T.COEFF_TOKEN_CHROMA_DC, 4)
+
+    rows = []
+    for tc in range(16):
+        cells = ["{0,0}"] * 16
+        if tc in T.TOTAL_ZEROS_4x4:
+            for tz, code in enumerate(T.TOTAL_ZEROS_4x4[tc]):
+                cells[tz] = _vlc(code)
+        rows.append("{" + ",".join(cells) + "}")
+    lines.append("static const VLC TZ_4x4[16][16] = {" + ",".join(rows) + "};")
+
+    rows = []
+    for tc in range(4):
+        cells = ["{0,0}"] * 4
+        if tc in T.TOTAL_ZEROS_CHROMA_DC:
+            for tz, code in enumerate(T.TOTAL_ZEROS_CHROMA_DC[tc]):
+                cells[tz] = _vlc(code)
+        rows.append("{" + ",".join(cells) + "}")
+    lines.append("static const VLC TZ_CHROMA[4][4] = {" + ",".join(rows) + "};")
+
+    rows = []
+    for zl in range(8):
+        cells = ["{0,0}"] * 15
+        if zl in T.RUN_BEFORE:
+            for run, code in enumerate(T.RUN_BEFORE[zl]):
+                cells[run] = _vlc(code)
+        rows.append("{" + ",".join(cells) + "}")
+    lines.append("static const VLC RUN_BEFORE[8][15] = {" + ",".join(rows) + "};")
+
+    inter = [str(T.CBP_INTER_TO_CODE[c]) for c in range(48)]
+    intra = [str(T.CBP_INTRA_TO_CODE[c]) for c in range(48)]
+    lines.append("static const uint8_t CBP_INTER_CODE[48] = {"
+                 + ",".join(inter) + "};")
+    lines.append("static const uint8_t CBP_INTRA_CODE[48] = {"
+                 + ",".join(intra) + "};")
+    return "\n".join(lines) + "\n"
+
+
+def build(force: bool = False) -> str | None:
+    """Compile (if stale) and return the .so path, or None on failure."""
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    src = os.path.join(_DIR, "entropy.cpp")
+    header = generate_tables_header()
+    hdr_path = os.path.join(BUILD_DIR, "tables_gen.h")
+
+    key = hashlib.sha256(
+        header.encode() + open(src, "rb").read()).hexdigest()[:16]
+    so_path = os.path.join(BUILD_DIR, f"libvcp_entropy_{key}.so")
+    if os.path.exists(so_path) and not force:
+        return so_path
+
+    with open(hdr_path, "w") as fh:
+        fh.write(header)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+           f"-I{BUILD_DIR}", src, "-o", so_path + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError) as e:
+        err = getattr(e, "stderr", b"") or b""
+        import sys
+        print(f"vcp native build failed: {err.decode()[:2000]}",
+              file=sys.stderr)
+        return None
+    os.replace(so_path + ".tmp", so_path)
+    return so_path

@@ -162,12 +162,18 @@ def _fq(qp: int, intra: bool) -> tuple[int, int]:
     return qbits, f
 
 
+# Levels are clamped so the CAVLC level escape (suffixLength 0, 12-bit
+# suffix → levelCode <= 4125, |level| <= 2063) can always represent them;
+# the clamp is applied before recon too, so encoder and decoder agree.
+MAX_LEVEL = 2000
+
+
 def quant4(coeffs, qp: int, intra: bool):
     """Quantize 4x4 core coefficients: (..., 4, 4) int32 → levels."""
     qbits, f = _fq(qp, intra)
     mf = jnp.asarray(MF_TABLE[qp % 6])
     w = coeffs.astype(jnp.int32)
-    mag = (jnp.abs(w) * mf + f) >> qbits
+    mag = jnp.minimum((jnp.abs(w) * mf + f) >> qbits, MAX_LEVEL)
     return jnp.where(w < 0, -mag, mag)
 
 
@@ -182,7 +188,7 @@ def quant_dc4(dc_had, qp: int, intra: bool = True):
     qbits, f = _fq(qp, intra)
     mf00 = int(MF_TABLE[qp % 6, 0, 0])
     w = dc_had.astype(jnp.int32)
-    mag = (jnp.abs(w) * mf00 + 2 * f) >> (qbits + 1)
+    mag = jnp.minimum((jnp.abs(w) * mf00 + 2 * f) >> (qbits + 1), MAX_LEVEL)
     return jnp.where(w < 0, -mag, mag)
 
 
@@ -201,7 +207,7 @@ def quant_dc2(dc_had, qp: int, intra: bool):
     qbits, f = _fq(qp, intra)
     mf00 = int(MF_TABLE[qp % 6, 0, 0])
     w = dc_had.astype(jnp.int32)
-    mag = (jnp.abs(w) * mf00 + 2 * f) >> (qbits + 1)
+    mag = jnp.minimum((jnp.abs(w) * mf00 + 2 * f) >> (qbits + 1), MAX_LEVEL)
     return jnp.where(w < 0, -mag, mag)
 
 

@@ -103,7 +103,7 @@ def encode_pframe_sharded(mesh: Mesh, y, ref_y, qp: int, sr: int = 8,
         in_specs=(spec_frames, spec_frames),
         out_specs=(spec_mv, P("data", "tile", None, None, None),
                    spec_frames),
-        check_rep=False)
+        check_vma=False)
     def step(y_band, ref_band):
         # gather full reference plane along the tile axis (ICI)
         ref_full = jax.lax.all_gather(ref_band, "tile", axis=1, tiled=True)
@@ -142,7 +142,7 @@ def encode_iframe_batch_sharded(mesh: Mesh, y, u, v, qp: int, qpc: int):
     fn = shard_map(jax.vmap(one), mesh=mesh,
                    in_specs=(P(("data", "tile")), P(("data", "tile")),
                              P(("data", "tile"))),
-                   out_specs=(spec, spec, spec), check_rep=False)
+                   out_specs=(spec, spec, spec), check_vma=False)
     shard = NamedSharding(mesh, spec)
     y = jax.device_put(y, shard)
     u = jax.device_put(u, shard)
