@@ -46,6 +46,7 @@ class EncoderConfig:
     gop_size: int = 30
     effort: int = 4
     deblock: bool = False          # round 1: deblocking disabled per slice
+    params: EncodeParams | None = None   # original preset args (rate control)
 
     @classmethod
     def from_params(cls, params: EncodeParams, width: int, height: int,
@@ -58,24 +59,15 @@ class EncoderConfig:
             fps = fps_num / max(1, fps_den)
             cfg.gop_size = max(1, int(round(fps)))
         cfg.qp = resolve_qp(params, width, height, fps_num / max(1, fps_den))
+        cfg.params = params
         return cfg
 
 
 def resolve_qp(params: EncodeParams, width: int, height: int,
                fps: float) -> int:
-    """Map -crf / -b:v to a starting QP.
-
-    CRF mode: QP ≈ CRF (libx264's CRF is calibrated near QP for typical
-    content). ABR mode: invert an empirical bits-per-pixel model
-    bpp ≈ 1.5 * 2^(-qp/6) so that rate halves every +6 QP.
-    """
-    if params.crf >= 0:
-        return int(np.clip(round(params.crf), 0, 51))
-    if params.bitrate > 0:
-        bpp = params.bitrate / max(1.0, width * height * fps)
-        qp = 6.0 * math.log2(1.5 / max(bpp, 1e-6))
-        return int(np.clip(round(qp), 10, 51))
-    return 28
+    """Starting QP from -crf / -b:v (see ratecontrol.initial_qp)."""
+    from .ratecontrol import initial_qp
+    return initial_qp(params, width, height, fps)
 
 
 class H264Encoder:
@@ -87,7 +79,12 @@ class H264Encoder:
         self.pp = headers.PicParams(init_qp=26)
         self.frame_index = 0
         self.idr_count = 0
-        self._recon = None          # (y, u, v) uint8 padded planes
+        self._recon = None          # (y, u, v) uint8 planes, device-resident
+        self.rc = None
+        if cfg.params is not None and cfg.params.rate_mode() == "abr":
+            from .ratecontrol import RateController
+            self.rc = RateController(cfg.params, cfg.width, cfg.height,
+                                     cfg.fps_num / max(1, cfg.fps_den))
 
     def headers_annexb(self) -> bytes:
         return headers.write_sps(self.sp) + headers.write_pps(self.pp)
@@ -166,7 +163,7 @@ class H264Encoder:
         using device-resident GOP chunks (see gop_ops)."""
         from . import gop_ops, pframe
         cfg = self.cfg
-        qp = cfg.qp
+        qp = self.rc.gop_qp() if self.rc else cfg.qp
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
         sr = pframe.search_range_for_effort(cfg.effort)
         lam = pframe.lam_for_qp(qp)
@@ -217,6 +214,8 @@ class H264Encoder:
                 self._frame_num += 1
                 self.frame_index += 1
                 out.append((nal, False))
+        if self.rc:
+            self.rc.update(len(frames), sum(len(nal) for nal, _ in out))
         return out
 
     @property

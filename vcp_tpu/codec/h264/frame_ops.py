@@ -133,8 +133,8 @@ def _intra_row_chroma(cur_rows, top_row, qp_c: int):
     return z_dc_flat, z_ac_zz, recon
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def encode_iframe(y, u, v, qp: int, qp_c: int):
+@jax.jit
+def encode_iframe(y, u, v, qp, qp_c):
     """Encode one intra frame (device side).
 
     y: (H, W) int32 (H, W multiples of 16, already padded);

@@ -80,9 +80,9 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam):
     return packed, recon_y, recon_u, recon_v
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(8,))
 def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
-                  qp: int, qpc: int, sr: int, lam: int):
+                  qp, qpc, sr: int, lam):
     """Encode N consecutive P frames in one device call.
 
     ys: (N, H, W) int32; refs: (H, W) int32 (previous recon).
@@ -133,9 +133,9 @@ def _flag_words(flags_f):
     return (words.astype(jnp.uint16)).astype(jnp.int16)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9))
 def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
-                         qp: int, qpc: int, sr: int, lam: int,
+                         qp, qpc, sr: int, lam,
                          h: int, w: int):
     """Sparse-output variant of encode_pchunk_packed."""
     packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
@@ -209,9 +209,9 @@ def unpack_sparse_chunk(meta_h: np.ndarray, blocks_h: np.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9))
 def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
-                         qp: int, qpc: int, sr: int, lam: int,
+                         qp, qpc, sr: int, lam,
                          h: int, w: int):
     """encode_pchunk taking ONE packed uint8 planar buffer
     (N, h*w*3//2) — a single host→device transfer per chunk."""

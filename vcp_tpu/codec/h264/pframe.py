@@ -47,9 +47,9 @@ def lam_for_qp(qp: int) -> int:
 # Device step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(8,))
 def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
-                          qp: int, qpc: int, sr: int, lam: int):
+                          qp, qpc, sr: int, lam):
     y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
     ref_y, ref_u, ref_v = (a.astype(jnp.int32) for a in (ref_y, ref_u, ref_v))
     h, w = y.shape

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def full_search(cur, ref, search_range: int, lam: int = 4):
+@functools.partial(jax.jit, static_argnums=(2,))
+def full_search(cur, ref, search_range: int, lam=4):
     """Full-pel exhaustive SAD search over ±search_range, 16x16 MBs.
 
     cur, ref: (H, W) int32 with H, W multiples of 16.

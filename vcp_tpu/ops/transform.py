@@ -60,10 +60,19 @@ _CHROMA_QP_TAIL = np.array(
     [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38,
      38, 39, 39, 39, 39], dtype=np.int32)
 
+CHROMA_QP_FULL = np.concatenate(
+    [np.arange(30, dtype=np.int32), _CHROMA_QP_TAIL])  # (52,)
+
 
 def chroma_qp(qp_y: int, offset: int = 0) -> int:
     q = int(np.clip(qp_y + offset, 0, 51))
-    return int(q if q < 30 else _CHROMA_QP_TAIL[q - 30])
+    return int(CHROMA_QP_FULL[q])
+
+
+def chroma_qp_t(qp_y, offset: int = 0):
+    """Traced-friendly chroma QP mapping (qp may be a jax scalar)."""
+    q = jnp.clip(qp_y + offset, 0, 51)
+    return jnp.asarray(CHROMA_QP_FULL)[q]
 
 
 # ---------------------------------------------------------------------------
@@ -156,9 +165,16 @@ def hadamard2(blocks):
 # Quantization
 # ---------------------------------------------------------------------------
 
-def _fq(qp: int, intra: bool) -> tuple[int, int]:
+# All quantization entry points accept ``qp`` either as a Python int
+# (static: table lookups fold into constants) or as a traced jax scalar
+# (dynamic: enables per-GOP rate control without recompilation).
+
+def _fq(qp, intra: bool):
     qbits = 15 + qp // 6
-    f = (1 << qbits) // (3 if intra else 6)
+    if isinstance(qp, int):
+        f = (1 << qbits) // (3 if intra else 6)
+    else:
+        f = jnp.left_shift(1, qbits) // (3 if intra else 6)
     return qbits, f
 
 
@@ -168,53 +184,58 @@ def _fq(qp: int, intra: bool) -> tuple[int, int]:
 MAX_LEVEL = 2000
 
 
-def quant4(coeffs, qp: int, intra: bool):
+def quant4(coeffs, qp, intra: bool):
     """Quantize 4x4 core coefficients: (..., 4, 4) int32 → levels."""
     qbits, f = _fq(qp, intra)
-    mf = jnp.asarray(MF_TABLE[qp % 6])
+    mf = jnp.asarray(MF_TABLE)[qp % 6]
     w = coeffs.astype(jnp.int32)
     mag = jnp.minimum((jnp.abs(w) * mf + f) >> qbits, MAX_LEVEL)
     return jnp.where(w < 0, -mag, mag)
 
 
-def dequant4(levels, qp: int):
+def dequant4(levels, qp):
     """Dequantize 4x4 AC/core levels: W' = Z * V * 2^(qp/6)."""
-    v = jnp.asarray(V_TABLE[qp % 6])
+    v = jnp.asarray(V_TABLE)[qp % 6]
     return levels.astype(jnp.int32) * v << (qp // 6)
 
 
-def quant_dc4(dc_had, qp: int, intra: bool = True):
+def quant_dc4(dc_had, qp, intra: bool = True):
     """Quantize Intra_16x16 luma DC: input = hadamard4(dc)>>1."""
     qbits, f = _fq(qp, intra)
-    mf00 = int(MF_TABLE[qp % 6, 0, 0])
+    mf00 = jnp.asarray(MF_TABLE)[qp % 6, 0, 0]
     w = dc_had.astype(jnp.int32)
     mag = jnp.minimum((jnp.abs(w) * mf00 + 2 * f) >> (qbits + 1), MAX_LEVEL)
     return jnp.where(w < 0, -mag, mag)
 
 
-def dequant_dc4(levels, qp: int):
+def dequant_dc4(levels, qp):
     """Dequantize luma DC after inverse Hadamard (spec 8.5.10)."""
-    v00 = int(V_TABLE[qp % 6, 0, 0])
+    v00 = jnp.asarray(V_TABLE)[qp % 6, 0, 0]
     per = qp // 6
     f = hadamard4(levels)
-    if per >= 2:
-        return (f * v00) << (per - 2)
-    return (f * v00 + (1 << (1 - per))) >> (2 - per)
+    if isinstance(qp, int):
+        if per >= 2:
+            return (f * v00) << (per - 2)
+        return (f * v00 + (1 << (1 - per))) >> (2 - per)
+    hi = (f * v00) << jnp.maximum(per - 2, 0)
+    lo = (f * v00 + jnp.left_shift(1, jnp.maximum(1 - per, 0))) \
+        >> jnp.maximum(2 - per, 0)
+    return jnp.where(per >= 2, hi, lo)
 
 
-def quant_dc2(dc_had, qp: int, intra: bool):
+def quant_dc2(dc_had, qp, intra: bool):
     """Quantize chroma DC: input = hadamard2(dc) (no halving)."""
     qbits, f = _fq(qp, intra)
-    mf00 = int(MF_TABLE[qp % 6, 0, 0])
+    mf00 = jnp.asarray(MF_TABLE)[qp % 6, 0, 0]
     w = dc_had.astype(jnp.int32)
     mag = jnp.minimum((jnp.abs(w) * mf00 + 2 * f) >> (qbits + 1), MAX_LEVEL)
     return jnp.where(w < 0, -mag, mag)
 
 
-def dequant_dc2(levels, qp: int):
+def dequant_dc2(levels, qp):
     """Dequantize chroma DC after inverse 2x2 Hadamard (spec 8.5.11):
     dc = (f * V00 << per) >> 1."""
-    v00 = int(V_TABLE[qp % 6, 0, 0])
+    v00 = jnp.asarray(V_TABLE)[qp % 6, 0, 0]
     per = qp // 6
     f = hadamard2(levels)
     return (f * v00 << per) >> 1
