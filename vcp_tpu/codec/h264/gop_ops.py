@@ -37,12 +37,25 @@ MB_WORDS_CAC = 64
 MB_WORDS = MB_WORDS_MV + MB_WORDS_LUMA + 2 * (MB_WORDS_CDC + MB_WORDS_CAC)
 
 
+def _use_pallas_me() -> bool:
+    """Opt-in Pallas motion-search kernel (TPU only; bit-identical to the
+    XLA path — see ops.motion_pallas)."""
+    import os
+    import jax as _jax
+    return (os.environ.get("VCP_PALLAS_ME") == "1"
+            and _jax.default_backend() not in ("cpu",))
+
+
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam):
     """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes)."""
     h, w = cur_y.shape
     n_mby, n_mbx = h // 16, w // 16
 
-    mv, _ = mops.full_search(cur_y, ref_y, sr, lam)
+    if _use_pallas_me():
+        from ...ops.motion_pallas import full_search_pallas
+        mv = full_search_pallas(cur_y, ref_y, sr, 4)
+    else:
+        mv, _ = mops.full_search(cur_y, ref_y, sr, lam)
     pred_y = mops.mc_luma(ref_y, mv, sr)
     coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
     z = tf.quant4(coef, qp, intra=False)

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: full-pel exhaustive SAD motion search.
+
+Hand-scheduled counterpart of ``ops.motion.full_search`` (bit-identical
+results, asserted by tests). Why a kernel: the XLA formulation re-streams
+the reference plane from HBM once per window offset ((2R+1)^2 times); this
+kernel pins one macroblock row's search window in VMEM and runs the whole
+window scan on-chip:
+
+* grid = MB rows; per step the current row (16, W) arrives via the normal
+  blocked pipeline while the (16+2R, W+2R) reference window is DMA'd
+  HBM→VMEM once (async copy + semaphore),
+* per offset: |cur − window| on the VPU, sublane-reduced to column sums,
+  then segment-summed per MB with one small MXU matmul (f32 exact for
+  SAD < 2^24),
+* argmin carried in VMEM across the fori_loop, exactly matching the XLA
+  path's first-minimum tie-break (same offset order).
+
+HBM traffic: cur row + window once per MB row ≈ 2 planes/frame vs
+~(2R+1)^2/8 planes for the XLA version.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(cur_ref, ref_hbm, seg_ref, mv_ref, win_ref, cost_ref, best_ref,
+            sem, *, sr: int, lam: int, w: int, n_mbx: int, wpad: int):
+    i = pl.program_id(0)
+    side = 2 * sr + 1
+    rows = 16 + 2 * sr
+
+    # DMA this MB row's search window (rows, wpad) into VMEM; the input is
+    # pre-padded to lane-aligned width, the padding tail is sliced away
+    # after the rotates.
+    dma = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(i * 16, rows), :], win_ref, sem)
+    dma.start()
+    dma.wait()
+
+    cur = cur_ref[:].astype(jnp.float32)            # (16, w)
+    win = win_ref[:]                                 # (rows, wpad)
+
+    def body(o, _):
+        dy = o // side
+        dx = o % side
+        # dynamic window extraction via circular rotates + static slices
+        # (Mosaic requires aligned vector loads; rotate is lane-exact)
+        shifted = pltpu.roll(win, rows - dy, axis=0)
+        shifted = pltpu.roll(shifted, wpad - dx, axis=1)
+        window = shifted[:16, :w].astype(jnp.float32)
+        diff = jnp.abs(cur - window)                 # VPU
+        colsum = jnp.sum(diff, axis=0, keepdims=True)   # (1, w)
+        sad = jnp.dot(colsum, seg_ref[:],
+                      preferred_element_type=jnp.float32)  # (1, n_mbx)
+        cost = sad + float(lam) * abs(dx - sr) + float(lam) * abs(dy - sr)
+        better = cost < cost_ref[:]
+        cost_ref[:] = jnp.where(better, cost, cost_ref[:])
+        best_ref[:] = jnp.where(better, o, best_ref[:])
+        return 0
+
+    cost_ref[:] = jnp.full((1, n_mbx), 3.0e9, jnp.float32)
+    best_ref[:] = jnp.zeros((1, n_mbx), jnp.int32)
+    jax.lax.fori_loop(0, side * side, body, 0)
+
+    best = best_ref[:]                               # (1, n_mbx)
+    mv_ref[0, 0, :] = (best // side - sr)[0, :]      # dy
+    mv_ref[0, 1, :] = (best % side - sr)[0, :]       # dx
+
+
+def full_search_pallas(cur, ref, search_range: int, lam: int = 4,
+                       interpret: bool = False):
+    """Drop-in replacement for motion.full_search (returns mv (nMBy,
+    nMBx, 2) [dy, dx], bit-identical to the XLA version)."""
+    sr = int(search_range)
+    h, w = cur.shape
+    n_mby, n_mbx = h // 16, w // 16
+
+    wpad = -(-(w + 2 * sr) // 128) * 128
+    ref_pad = jnp.pad(jnp.asarray(ref).astype(jnp.int32),
+                      ((sr, sr), (sr, wpad - w - sr)), mode="edge")
+    # segment-sum matrix: (w, n_mbx), S[c, m] = 1 iff c // 16 == m
+    cols = np.arange(w)
+    seg = (cols[:, None] // 16 == np.arange(n_mbx)[None, :]).astype(np.float32)
+    kernel = functools.partial(_kernel, sr=sr, lam=int(lam), w=w,
+                               n_mbx=n_mbx, wpad=wpad)
+    mv2 = pl.pallas_call(
+        kernel,
+        grid=(n_mby,),
+        in_specs=[
+            pl.BlockSpec((16, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),         # padded ref, DMA'd
+            pl.BlockSpec((w, n_mbx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, n_mbx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_mby, 2, n_mbx), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((16 + 2 * sr, wpad), jnp.int32),
+            pltpu.VMEM((1, n_mbx), jnp.float32),
+            pltpu.VMEM((1, n_mbx), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(cur).astype(jnp.int32), ref_pad, jnp.asarray(seg))
+    return jnp.stack([mv2[:, 0], mv2[:, 1]], axis=-1)
