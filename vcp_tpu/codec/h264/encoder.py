@@ -280,20 +280,13 @@ def mux_mp4(path: str, sps: bytes, pps: bytes, samples, width: int,
 
 def encode_file(input_path: str, output_path: str, params: EncodeParams,
                 deadline: float | None = None) -> int:
-    """Encode a raw-video file (.y4m) to MP4. Returns output size.
-
-    Compressed-input decode (the reference's ffmpeg ``-i`` handling) is the
-    demux/decode layer tracked in SURVEY.md §2.5; the in-repo H.264
-    decoder covers streams this encoder produced.
-    """
-    ext = os.path.splitext(input_path)[1].lower()
-    if ext != ".y4m":
-        raise ValueError(
-            f"h264 encode currently ingests .y4m raw video; got {ext}")
-    vid = read_y4m(input_path)
+    """Encode a video file (.y4m raw or .mp4 h264) to MP4. Returns the
+    output size. MP4 inputs are decoded by the in-repo decoder (baseline
+    CAVLC streams — i.e. self-transcode; see codec.ingest)."""
+    from ..ingest import open_video
+    vid = open_video(input_path)
     w, h = vid.width, vid.height
     if params.scale_width and params.scale_height:
-        from ...ops.scale import scale_yuv420
         tgt = (params.scale_height, params.scale_width)
     else:
         tgt = None
@@ -304,8 +297,7 @@ def encode_file(input_path: str, output_path: str, params: EncodeParams,
     t0 = time.monotonic()
 
     def frames():
-        for i in range(vid.num_frames):
-            y, u, v = vid.planes(i)
+        for y, u, v in vid.frames:
             if tgt is not None:
                 from ...ops.scale import scale_yuv420
                 y, u, v = scale_yuv420(y, u, v, tgt[0], tgt[1])
@@ -316,7 +308,7 @@ def encode_file(input_path: str, output_path: str, params: EncodeParams,
             cfg.fps_num, cfg.fps_den, faststart=params.faststart or True)
     dt = time.monotonic() - t0
     size = os.path.getsize(output_path)
-    log.info("encode done", frames=vid.num_frames, qp=cfg.qp,
-             fps=f"{vid.num_frames / max(dt, 1e-9):.1f}",
+    log.info("encode done", frames=len(samples), qp=cfg.qp,
+             fps=f"{len(samples) / max(dt, 1e-9):.1f}",
              size=size)
     return size

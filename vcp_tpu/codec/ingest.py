@@ -1,0 +1,89 @@
+"""Input ingestion: raw Y4M or MP4(H.264) → YUV420 frames.
+
+The decode half of SURVEY.md §2.5's demux/decode layer. MP4 inputs are
+demuxed natively (codec.mp4.Mp4Demuxer) and decoded with the in-repo
+H.264 decoder — which covers the baseline-CAVLC streams this framework
+emits (self-transcode, re-encode-at-other-bitrate workflows). Foreign
+High-profile/CABAC streams fail with a precise reason (the consumer
+acks-and-drops, matching reference failure semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class VideoInput:
+    width: int
+    height: int
+    fps_num: int
+    fps_den: int
+    num_frames: int
+    frames: Iterator  # yields (y, u, v) uint8 planes
+
+
+class IngestError(ValueError):
+    pass
+
+
+def open_video(path: str, max_frames: int | None = None) -> VideoInput:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".y4m":
+        return _open_y4m(path, max_frames)
+    if ext in (".mp4", ".mov", ".m4v"):
+        return _open_mp4(path, max_frames)
+    raise IngestError(f"unsupported input container: {ext} "
+                      "(supported: .y4m raw video, .mp4/.mov h264)")
+
+
+def _open_y4m(path: str, max_frames) -> VideoInput:
+    from .y4m import read_y4m
+    vid = read_y4m(path, max_frames=max_frames)
+
+    def gen():
+        for i in range(vid.num_frames):
+            yield vid.planes(i)
+
+    return VideoInput(vid.width, vid.height, vid.fps_num, vid.fps_den,
+                      vid.num_frames, gen())
+
+
+def _open_mp4(path: str, max_frames) -> VideoInput:
+    from .mp4 import Mp4Demuxer
+    from .h264.decoder import H264Decoder
+
+    demux = Mp4Demuxer(path)
+    track = demux.video
+    if track is None:
+        raise IngestError("no video track in input")
+    if track.codec != "avc1":
+        raise IngestError(f"unsupported input codec {track.codec!r} "
+                          "(h264/avc1 only)")
+    n = track.sample_count
+    if max_frames is not None:
+        n = min(n, max_frames)
+    if track.sample_durations:
+        avg = max(1, sum(track.sample_durations[:n]) // max(1, n))
+        fps_num, fps_den = track.timescale, avg
+    else:
+        fps_num, fps_den = 30, 1
+
+    def gen():
+        dec = H264Decoder()
+        for sps in track.sps:
+            dec._decode_nal(sps)
+        for pps in track.pps:
+            dec._decode_nal(pps)
+        for i in range(n):
+            for nal in demux.sample_nals(track, i):
+                dec._decode_nal(nal)
+            while dec.frames:
+                f = dec.frames.pop(0)
+                yield f.y, f.u, f.v
+
+    return VideoInput(track.width, track.height, fps_num, fps_den, n, gen())

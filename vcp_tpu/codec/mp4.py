@@ -459,6 +459,175 @@ class Mp4Writer:
                 fh.write(ftyp + mdat + moov)
 
 
+# ---------------------------------------------------------------------------
+# Demuxing (full sample tables)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DemuxedTrack:
+    handler: str
+    codec: str
+    timescale: int
+    width: int = 0
+    height: int = 0
+    sps: list[bytes] = dataclasses.field(default_factory=list)
+    pps: list[bytes] = dataclasses.field(default_factory=list)
+    nal_length_size: int = 4
+    sample_offsets: list[int] = dataclasses.field(default_factory=list)
+    sample_sizes: list[int] = dataclasses.field(default_factory=list)
+    sample_durations: list[int] = dataclasses.field(default_factory=list)
+    sync_samples: set[int] = dataclasses.field(default_factory=set)  # 0-based
+
+    @property
+    def sample_count(self) -> int:
+        return len(self.sample_sizes)
+
+
+class Mp4Demuxer:
+    """Parses moov sample tables; yields per-sample payloads.
+
+    Covers the demux half of the decode layer (SURVEY.md §2.5): the
+    reference handed containers to ffmpeg's ``-i``; here stsc/stco/stsz/
+    stts/stss are walked natively. H.264 samples are length-prefixed NALs
+    (avcC layout)."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            self.buf = fh.read()
+        self.tracks: list[DemuxedTrack] = []
+        moov = find_box(self.buf, [b"moov"])
+        if moov is None:
+            raise Mp4Error("no moov box")
+        for btype, ps, pe in iter_boxes(self.buf, moov[0], moov[1]):
+            if btype == b"trak":
+                t = self._parse_track(ps, pe)
+                if t is not None:
+                    self.tracks.append(t)
+
+    @property
+    def video(self) -> DemuxedTrack | None:
+        for t in self.tracks:
+            if t.handler == "vide":
+                return t
+        return None
+
+    def _parse_track(self, ps: int, pe: int) -> DemuxedTrack | None:
+        buf = self.buf
+        info = _parse_trak(buf, ps, pe)
+        mdia = find_box(buf, [b"mdia"], ps, pe)
+        if not mdia:
+            return None
+        stbl = find_box(buf, [b"minf", b"stbl"], mdia[0], mdia[1])
+        if not stbl:
+            return None
+        t = DemuxedTrack(handler=info.handler, codec=info.codec,
+                         timescale=info.timescale, width=info.width,
+                         height=info.height)
+
+        stsd = find_box(buf, [b"stsd"], stbl[0], stbl[1])
+        if stsd and info.codec == "avc1":
+            for btype, eps, epe in iter_boxes(buf, stsd[0] + 8, stsd[1]):
+                if btype == b"avc1":
+                    avcc = find_box(buf, [b"avcC"], eps + 78, epe)
+                    if avcc:
+                        self._parse_avcc(buf[avcc[0]:avcc[1]], t)
+
+        # sample sizes
+        stsz = find_box(buf, [b"stsz"], stbl[0], stbl[1])
+        if not stsz:
+            return None
+        fixed, count = struct.unpack_from(">II", buf, stsz[0] + 4)
+        if fixed:
+            t.sample_sizes = [fixed] * count
+        else:
+            t.sample_sizes = list(struct.unpack_from(
+                f">{count}I", buf, stsz[0] + 12))
+
+        # chunk offsets
+        stco = find_box(buf, [b"stco"], stbl[0], stbl[1])
+        co64 = find_box(buf, [b"co64"], stbl[0], stbl[1])
+        if stco:
+            n, = struct.unpack_from(">I", buf, stco[0] + 4)
+            chunk_offsets = list(struct.unpack_from(
+                f">{n}I", buf, stco[0] + 8))
+        elif co64:
+            n, = struct.unpack_from(">I", buf, co64[0] + 4)
+            chunk_offsets = list(struct.unpack_from(
+                f">{n}Q", buf, co64[0] + 8))
+        else:
+            return None
+
+        # sample-to-chunk
+        stsc = find_box(buf, [b"stsc"], stbl[0], stbl[1])
+        n, = struct.unpack_from(">I", buf, stsc[0] + 4)
+        runs = [struct.unpack_from(">III", buf, stsc[0] + 8 + 12 * i)
+                for i in range(n)]
+        # expand to per-sample offsets
+        sample = 0
+        for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+            last_chunk = (runs[ri + 1][0] - 1 if ri + 1 < len(runs)
+                          else len(chunk_offsets))
+            for chunk in range(first_chunk, last_chunk + 1):
+                pos = chunk_offsets[chunk - 1]
+                for _ in range(per_chunk):
+                    if sample >= count:
+                        break
+                    t.sample_offsets.append(pos)
+                    pos += t.sample_sizes[sample]
+                    sample += 1
+
+        # durations
+        stts = find_box(buf, [b"stts"], stbl[0], stbl[1])
+        if stts:
+            n, = struct.unpack_from(">I", buf, stts[0] + 4)
+            for i in range(n):
+                cnt, dur = struct.unpack_from(">II", buf, stts[0] + 8 + 8 * i)
+                t.sample_durations += [dur] * cnt
+
+        # sync table (absent = all sync)
+        stss = find_box(buf, [b"stss"], stbl[0], stbl[1])
+        if stss:
+            n, = struct.unpack_from(">I", buf, stss[0] + 4)
+            t.sync_samples = {
+                struct.unpack_from(">I", buf, stss[0] + 8 + 4 * i)[0] - 1
+                for i in range(n)}
+        else:
+            t.sync_samples = set(range(count))
+        return t
+
+    @staticmethod
+    def _parse_avcc(avcc: bytes, t: DemuxedTrack) -> None:
+        t.nal_length_size = (avcc[4] & 3) + 1
+        n_sps = avcc[5] & 0x1F
+        off = 6
+        for _ in range(n_sps):
+            ln, = struct.unpack_from(">H", avcc, off)
+            t.sps.append(avcc[off + 2:off + 2 + ln])
+            off += 2 + ln
+        n_pps = avcc[off]
+        off += 1
+        for _ in range(n_pps):
+            ln, = struct.unpack_from(">H", avcc, off)
+            t.pps.append(avcc[off + 2:off + 2 + ln])
+            off += 2 + ln
+
+    def sample(self, track: DemuxedTrack, i: int) -> bytes:
+        off = track.sample_offsets[i]
+        return self.buf[off:off + track.sample_sizes[i]]
+
+    def sample_nals(self, track: DemuxedTrack, i: int) -> list[bytes]:
+        """Split a length-prefixed H.264 sample into raw NAL units."""
+        data = self.sample(track, i)
+        ls = track.nal_length_size
+        nals = []
+        pos = 0
+        while pos + ls <= len(data):
+            n = int.from_bytes(data[pos:pos + ls], "big")
+            nals.append(data[pos + ls:pos + ls + n])
+            pos += ls + n
+        return nals
+
+
 def annexb_to_length_prefixed(annexb: bytes) -> bytes:
     """Convert an Annex-B access unit (00 00 01 start codes) to 4-byte
     length-prefixed NALs for MP4 samples."""
