@@ -46,17 +46,27 @@ def _use_pallas_me() -> bool:
             and _jax.default_backend() not in ("cpu",))
 
 
-def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam):
-    """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes)."""
+def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
+           subpel: bool = True):
+    """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes).
+    MVs are in QUARTER-pel units throughout."""
     h, w = cur_y.shape
     n_mby, n_mbx = h // 16, w // 16
 
     if _use_pallas_me():
         from ...ops.motion_pallas import full_search_pallas
-        mv = full_search_pallas(cur_y, ref_y, sr, 4)
+        mv_full = full_search_pallas(cur_y, ref_y, sr, 4)
     else:
-        mv, _ = mops.full_search(cur_y, ref_y, sr, lam)
-    pred_y = mops.mc_luma(ref_y, mv, sr)
+        mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam)
+
+    pad = sr + 6
+    margin = pad - 3
+    planes = jnp.stack(mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
+    if subpel:
+        mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin)
+    else:
+        mv = mv_full * 4
+    pred_y = mops.mc_luma_q(planes, mv, margin)
     coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
     z = tf.quant4(coef, qp, intra=False)
     recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
@@ -67,7 +77,7 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam):
 
     def chroma(cur, ref):
         hc, wc = cur.shape
-        pred = mops.mc_chroma(ref, mv, sr)
+        pred = mops.mc_chroma_q(ref, mv, sr // 2 + 2)
         cf = tf.fdct4(tf.to_blocks4(cur - pred))
         dc = cf[..., 0, 0]
         dc_mb = dc.reshape(n_mby, 2, n_mbx, 2).transpose(0, 2, 1, 3)

@@ -50,53 +50,24 @@ def lam_for_qp(qp: int) -> int:
 @functools.partial(jax.jit, static_argnums=(8,))
 def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                           qp, qpc, sr: int, lam):
+    """Single-frame P step. Thin wrapper over gop_ops._pstep (the single
+    source of truth for P-frame math). MVs in quarter-pel units."""
+    from . import gop_ops
     y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
     ref_y, ref_u, ref_v = (a.astype(jnp.int32) for a in (ref_y, ref_u, ref_v))
     h, w = y.shape
     n_mby, n_mbx = h // 16, w // 16
 
-    mv, _cost = mops.full_search(y, ref_y, sr, lam)
-    pred_y = mops.mc_luma(ref_y, mv, sr)
-
-    res = y - pred_y
-    blocks = tf.to_blocks4(res)                        # (H/4, W/4, 4, 4)
-    coef = tf.fdct4(blocks)
-    z = tf.quant4(coef, qp, intra=False)
-    w_rec = tf.dequant4(z, qp)
-    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(w_rec)), 0, 255)
-
-    # per-MB luma levels in coding order, zig-zagged: (nMBy, nMBx, 16, 16)
-    zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
-    by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
-    z_luma = _zigzag(zb[:, :, by, bx])
-
-    def chroma(cur, ref):
-        hc, wc = cur.shape
-        pred = mops.mc_chroma(ref, mv, sr)
-        resc = cur - pred
-        blk = tf.to_blocks4(resc)                      # (Hc/4, Wc/4, 4, 4)
-        cf = tf.fdct4(blk)
-        dc = cf[..., 0, 0]                             # (Hc/4, Wc/4)
-        dc_mb = dc.reshape(n_mby, 2, n_mbx, 2).transpose(0, 2, 1, 3)
-        z_dc = tf.quant_dc2(tf.hadamard2(dc_mb), qpc, intra=False)
-        z_ac = tf.quant4(cf, qpc, intra=False)
-        dc_rec = tf.dequant_dc2(z_dc, qpc)             # (nMBy, nMBx, 2, 2)
-        wr = tf.dequant4(z_ac, qpc)
-        wr = wr.at[..., 0, 0].set(
-            dc_rec.transpose(0, 2, 1, 3).reshape(hc // 4, wc // 4))
-        rec = jnp.clip(pred + tf.from_blocks4(tf.idct4(wr)), 0, 255)
-        zc = z_ac.reshape(n_mby, 2, n_mbx, 2, 4, 4).transpose(0, 2, 1, 3, 4, 5)
-        z_ac_ord = zc.reshape(n_mby, n_mbx, 4, 4, 4)
-        return (z_dc.reshape(n_mby, n_mbx, 4), _zigzag(z_ac_ord), rec)
-
-    cb_dc, cb_ac, recon_u = chroma(u, ref_u)
-    cr_dc, cr_ac, recon_v = chroma(v, ref_v)
-
+    packed, recon_y, recon_u, recon_v = gop_ops._pstep(
+        y, u, v, ref_y, ref_u, ref_v, qp, qpc, sr, lam)
+    arr = packed.reshape(n_mby, n_mbx, gop_ops.MB_WORDS).astype(jnp.int32)
     return {
-        "mv": mv,
-        "luma": z_luma,
-        "cb_dc": cb_dc, "cb_ac": cb_ac,
-        "cr_dc": cr_dc, "cr_ac": cr_ac,
+        "mv": arr[..., :2],
+        "luma": arr[..., 2:258].reshape(n_mby, n_mbx, 16, 16),
+        "cb_dc": arr[..., 258:262],
+        "cb_ac": arr[..., 262:326].reshape(n_mby, n_mbx, 4, 16),
+        "cr_dc": arr[..., 326:330],
+        "cr_ac": arr[..., 330:394].reshape(n_mby, n_mbx, 4, 16),
         "recon_y": recon_y.astype(jnp.uint8),
         "recon_u": recon_u.astype(jnp.uint8),
         "recon_v": recon_v.astype(jnp.uint8),
@@ -256,8 +227,8 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
             skip_run = 0
             pred = mv_pred(mv_xy, valid, mbx, mby, n_mbx)
             bw.ue(MB_TYPE_P16x16)
-            bw.se(4 * (m[0] - pred[0]))     # mvd_l0 x, quarter-pel units
-            bw.se(4 * (m[1] - pred[1]))
+            bw.se(m[0] - pred[0])           # mvd_l0 x (mv already 1/4-pel)
+            bw.se(m[1] - pred[1])
             bw.ue(CBP_INTER_TO_CODE[cbp])
             if cbp:
                 bw.se(0)                    # mb_qp_delta
@@ -312,17 +283,52 @@ def _write_p_residual(bw, mbx, mby, cbp, z_luma, chroma_dc, chroma_ac,
 # Decoder halves (called from decoder.H264Decoder)
 # ---------------------------------------------------------------------------
 
-def _mc_luma_np(ref_y, y0, x0, dy, dx):
+def _tap6_x_np(a):
+    a = a.astype(np.int64)
+    return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+            + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+
+def _tap6_y_np(a):
+    a = a.astype(np.int64)
+    return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+            + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+
+def _mc_luma_np(ref_y, y0, x0, mvq_y, mvq_x):
+    """Quarter-pel luma MC for one MB (spec 8.4.2.2.1), numpy mirror of
+    ops.motion.half_planes/mc_luma_q. Coordinates clamp to the picture."""
     h, w = ref_y.shape
-    rows = np.clip(np.arange(y0 + dy, y0 + dy + 16), 0, h - 1)
-    cols = np.clip(np.arange(x0 + dx, x0 + dx + 16), 0, w - 1)
-    return ref_y[np.ix_(rows, cols)].astype(np.int64)
+    iy, ix = mvq_y >> 2, mvq_x >> 2
+    fy, fx = mvq_y & 3, mvq_x & 3
+    # fetch a clamped (28, 28) region: MB 16 + one-sample case offsets +
+    # filter margins (origin at base-6; planes align at region+3)
+    ys = np.clip(np.arange(y0 + iy - 6, y0 + iy + 22), 0, h - 1)
+    xs = np.clip(np.arange(x0 + ix - 6, x0 + ix + 22), 0, w - 1)
+    a = ref_y[np.ix_(ys, xs)].astype(np.int64)
+    b1 = _tap6_x_np(a)
+    h1 = _tap6_y_np(a)
+    j1 = _tap6_y_np(b1)
+    g = a[3:-3, 3:-3]
+    b = np.clip((b1 + 16) >> 5, 0, 255)[3:-3, 1:]
+    hh = np.clip((h1 + 16) >> 5, 0, 255)[1:, 3:-3]
+    j = np.clip((j1 + 512) >> 10, 0, 255)[1:, 1:]
+    planes = (g, b, hh, j)
+    from ...ops.motion import _QPEL_TABLE
+    p1i, o1y, o1x, p2i, o2y, o2x = _QPEL_TABLE[fy * 4 + fx]
+    base = 3  # plane coord of the MB origin
+    p1 = planes[p1i][base + o1y: base + o1y + 16,
+                     base + o1x: base + o1x + 16]
+    p2 = planes[p2i][base + o2y: base + o2y + 16,
+                     base + o2x: base + o2x + 16]
+    return (p1 + p2 + 1) >> 1
 
 
-def _mc_chroma_np(ref_c, c0y, c0x, mv_y, mv_x):
+def _mc_chroma_np(ref_c, c0y, c0x, mvq_y, mvq_x):
+    """Chroma 1/8-pel bilinear MC (chroma vector = quarter-luma value)."""
     hc, wc = ref_c.shape
-    iy, ix = mv_y >> 1, mv_x >> 1
-    fy, fx = (mv_y & 1) * 4, (mv_x & 1) * 4
+    iy, ix = mvq_y >> 3, mvq_x >> 3
+    fy, fx = mvq_y & 7, mvq_x & 7
     base_r = np.arange(c0y + iy, c0y + iy + 8)
     base_c = np.arange(c0x + ix, c0x + ix + 8)
     # spec 8.4.2.2.2: each sample position is clipped independently from
@@ -397,10 +403,8 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
     sp = ctx["sp"]
     mvs, valid = ctx["mvs"], ctx["mv_valid"]
     mvd_x, mvd_y = br.se(), br.se()
-    if mvd_x % 4 or mvd_y % 4:
-        raise DecodeError("sub-pel MVs unsupported by this decoder")
     pred = mv_pred(mvs, valid, mbx, mby, sp.mb_width)
-    mv = (pred[0] + mvd_x // 4, pred[1] + mvd_y // 4)
+    mv = (pred[0] + mvd_x, pred[1] + mvd_y)   # quarter-pel units
     code = br.ue()
     cbp = CBP_TABLE[code][1]
     if cbp:

@@ -396,8 +396,8 @@ int64_t vcp_write_pslice(
             int pred[2];
             mv_pred_c(mv_xy, valid.data(), n_mbx, mbx, mby, pred);
             bw.ue(0);                       // mb_type P_L0_16x16
-            bw.se(4 * (m[0] - pred[0]));
-            bw.se(4 * (m[1] - pred[1]));
+            bw.se(m[0] - pred[0]);          // mvd (mv already 1/4-pel)
+            bw.se(m[1] - pred[1]);
             bw.ue(CBP_INTER_CODE[cbp]);
             if (cbp) bw.se(0);              // mb_qp_delta
 

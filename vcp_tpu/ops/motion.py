@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -69,6 +71,136 @@ def mc_luma(ref, mv, search_range: int):
     rows = jnp.arange(h)[:, None] + dy + sr
     cols = jnp.arange(w)[None, :] + dx + sr
     return ref_pad[rows, cols]
+
+
+# ---------------------------------------------------------------------------
+# Sub-pel interpolation (spec 8.4.2.2.1: 6-tap half-pel + quarter averages)
+# ---------------------------------------------------------------------------
+
+def _tap6_x(a):
+    """6-tap (1,-5,20,20,-5,1) along x; result at x is the half sample
+    between x and x+1. Input must carry >=3 columns of margin."""
+    return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+            + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+
+def _tap6_y(a):
+    return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+            + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+
+def half_planes(ref_pad):
+    """Compute the three half-pel planes of an (edge-padded) int32 plane.
+
+    Returns (G, b, h, j), each cropped by 3 pixels on every side relative
+    to ref_pad (callers account for the margin). Edge replication in
+    ref_pad reproduces the spec's coordinate clamping exactly.
+    """
+    a = ref_pad.astype(jnp.int32)
+    b1 = _tap6_x(a)                           # (Hp, Wp-5)
+    h1 = _tap6_y(a)                           # (Hp-5, Wp)
+    j1 = _tap6_y(b1)                          # (Hp-5, Wp-5)
+    b = jnp.clip((b1 + 16) >> 5, 0, 255)
+    h = jnp.clip((h1 + 16) >> 5, 0, 255)
+    j = jnp.clip((j1 + 512) >> 10, 0, 255)
+    # Align all planes on one origin: sample (y, x) of every plane refers
+    # to integer position (y, x) of g = ref_pad[3:-3, 3:-3]; b is the
+    # half sample to its right, h below, j diagonal. b1[:, k] sits between
+    # ref_pad columns k+2 / k+3, so column x+1 of b1 is "right of x+3".
+    g = a[3:-3, 3:-3]
+    b = b[3:-3, 1:]
+    h = h[1:, 3:-3]
+    j = j[1:, 1:]
+    return g, b, h, j
+
+
+# quarter-pel case table: case = fy*4+fx → (plane1, dy1, dx1, plane2, ...)
+# planes: 0=G (integer), 1=b (half-x), 2=h (half-y), 3=j (half-xy)
+_QPEL_TABLE = np.array([
+    # fy=0
+    (0, 0, 0, 0, 0, 0), (0, 0, 0, 1, 0, 0), (1, 0, 0, 1, 0, 0),
+    (1, 0, 0, 0, 0, 1),
+    # fy=1
+    (0, 0, 0, 2, 0, 0), (1, 0, 0, 2, 0, 0), (1, 0, 0, 3, 0, 0),
+    (1, 0, 0, 2, 0, 1),
+    # fy=2
+    (2, 0, 0, 2, 0, 0), (2, 0, 0, 3, 0, 0), (3, 0, 0, 3, 0, 0),
+    (3, 0, 0, 2, 0, 1),
+    # fy=3
+    (0, 1, 0, 2, 0, 0), (2, 0, 0, 1, 1, 0), (3, 0, 0, 1, 1, 0),
+    (2, 0, 1, 1, 1, 0),
+], dtype=np.int32)
+
+
+def mc_luma_q(planes, mvq, margin: int):
+    """Quarter-pel luma MC from precomputed half-pel planes.
+
+    planes: (4, Hp, Wp) stacked [G, b, h, j], aligned so that index
+    (margin + y, margin + x) is integer position (y, x) of the frame.
+    mvq: (nMBy, nMBx, 2) [dy, dx] in QUARTER-pel units.
+    """
+    _, hp, wp = planes.shape
+    n_mby, n_mbx = mvq.shape[:2]
+    h, w = 16 * n_mby, 16 * n_mbx
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, 16, 0), 16, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, 16, 0), 16, 1)
+    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, 16, 0), 16, 1)
+    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, 16, 0), 16, 1)
+    case = fy * 4 + fx
+    tbl = jnp.asarray(_QPEL_TABLE)
+    sel = tbl[case]                               # (h, w, 6)
+    rows = jnp.arange(h)[:, None] + iy + margin
+    cols = jnp.arange(w)[None, :] + ix + margin
+    p1 = planes[sel[..., 0], rows + sel[..., 1], cols + sel[..., 2]]
+    p2 = planes[sel[..., 3], rows + sel[..., 4], cols + sel[..., 5]]
+    return (p1 + p2 + 1) >> 1
+
+
+def mc_chroma_q(ref_c, mvq_luma, margin: int):
+    """Chroma MC for quarter-pel luma MVs: chroma vector in 1/8 units
+    equals the quarter-luma value (spec 8.4.1.4); full 1/8 bilinear."""
+    hc, wc = ref_c.shape
+    ref_pad = jnp.pad(ref_c, ((margin, margin + 1), (margin, margin + 1)),
+                      mode="edge")
+    dy_i = jnp.repeat(jnp.repeat(mvq_luma[..., 0] >> 3, 8, 0), 8, 1)
+    dx_i = jnp.repeat(jnp.repeat(mvq_luma[..., 1] >> 3, 8, 0), 8, 1)
+    fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, 8, 0), 8, 1)
+    fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, 8, 0), 8, 1)
+    rows = jnp.arange(hc)[:, None] + dy_i + margin
+    cols = jnp.arange(wc)[None, :] + dx_i + margin
+    a = ref_pad[rows, cols]
+    b = ref_pad[rows, cols + 1]
+    c = ref_pad[rows + 1, cols]
+    d = ref_pad[rows + 1, cols + 1]
+    num = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+           + (8 - fx) * fy * c + fx * fy * d + 32)
+    return num >> 6
+
+
+def refine_subpel(cur, planes, mv_full, lam, margin: int, steps=(2, 1)):
+    """Refine full-pel MVs to quarter-pel: evaluate the 8 neighbors at
+    half then quarter distance (in quarter units), keeping the best
+    SAD + lam*|mvq| cost. Returns mvq (quarter units)."""
+    n_mby, n_mbx = mv_full.shape[:2]
+    cur_mb = cur.reshape(n_mby, 16, n_mbx, 16)
+    mvq = mv_full * 4
+
+    def cost_of(m):
+        pred = mc_luma_q(planes, m, margin)
+        sad = jnp.abs(cur_mb - pred.reshape(n_mby, 16, n_mbx, 16)
+                      ).sum(axis=(1, 3))
+        return sad + lam * ((jnp.abs(m[..., 0]) + jnp.abs(m[..., 1])) >> 1)
+
+    best_cost = cost_of(mvq)
+    for step in steps:
+        for dy, dx in ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                       (0, 1), (1, -1), (1, 0), (1, 1)):
+            cand = mvq + jnp.asarray([dy * step, dx * step], jnp.int32)
+            c = cost_of(cand)
+            better = (c < best_cost)[..., None]
+            mvq = jnp.where(better, cand, mvq)
+            best_cost = jnp.minimum(c, best_cost)
+    return mvq
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
