@@ -123,9 +123,10 @@ class H264Decoder:
             if br.u(1):
                 raise DecodeError("adaptive ref marking unsupported")
         qp = pp.init_qp + br.se()
+        deblock_idc = 1
         if pp.deblocking_filter_control_present:
-            idc = br.ue()
-            if idc != 1:
+            deblock_idc = br.ue()
+            if deblock_idc != 1:
                 br.se()
                 br.se()
 
@@ -139,10 +140,12 @@ class H264Decoder:
         mvs = np.zeros((sp.mb_height, sp.mb_width, 2), np.int32)
         mv_valid = np.zeros((sp.mb_height, sp.mb_width), bool)
         intra_mb = np.zeros((sp.mb_height, sp.mb_width), bool)
+        qp_mb = np.full((sp.mb_height, sp.mb_width), qp, np.int32)
 
         ctx = dict(br=br, sp=sp, pp=pp, qp=qp, y=y, u=u, v=v,
                    nz_y=nz_y, nz_cb=nz_cb, nz_cr=nz_cr,
-                   mvs=mvs, mv_valid=mv_valid, intra_mb=intra_mb)
+                   mvs=mvs, mv_valid=mv_valid, intra_mb=intra_mb,
+                   qp_mb=qp_mb)
 
         n_mbs = sp.mb_width * sp.mb_height
         mb = 0
@@ -169,6 +172,16 @@ class H264Decoder:
                 self._decode_intra_mb(ctx, mbx, mby, mb_type,
                                       in_p_slice=False)
             mb += 1
+
+        if deblock_idc != 1:
+            from ...ops import deblock as dbf
+            from ...ops.transform import CHROMA_QP_FULL
+            nz = (nz_y.nz > 0)
+            yf, uf, vf = dbf.deblock_frame(
+                y, u, v, qp_mb, intra_mb, nz, mvs, CHROMA_QP_FULL)
+            y = np.asarray(yf)
+            u = np.asarray(uf)
+            v = np.asarray(vf)
 
         crop_y = (y[: sp.height, : sp.width]).astype(np.uint8)
         crop_u = (u[: sp.height // 2, : sp.width // 2]).astype(np.uint8)
@@ -350,6 +363,7 @@ class H264Decoder:
         ctx["nz_cb"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
         ctx["nz_cr"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
         ctx["intra_mb"][mby, mbx] = True
+        ctx["qp_mb"][mby, mbx] = 0        # PCM participates in deblock at QP 0
 
     # -- inter MBs (filled in with the P-frame milestone) -----------------
     def _decode_pskip(self, ctx, mbx, mby):

@@ -53,6 +53,9 @@ class EncoderConfig:
                     fps_num: int, fps_den: int) -> "EncoderConfig":
         cfg = cls(width=width, height=height, fps_num=fps_num,
                   fps_den=fps_den, effort=params.effort)
+        import os
+        if os.environ.get("VCP_DEBLOCK") == "1":
+            cfg.deblock = True
         if params.gop_size:
             cfg.gop_size = params.gop_size
         else:
@@ -110,14 +113,15 @@ class H264Encoder:
 
     def _encode_idr(self, yp, up, vp, qp, qpc) -> bytes:
         """One IDR frame; recon stays resident on device."""
-        out = frame_ops.encode_iframe(yp, up, vp, qp, qpc)
+        out = frame_ops.encode_iframe(yp, up, vp, qp, qpc,
+                                      self.cfg.deblock)
         # fetch only the level arrays the entropy layer needs
         data = {k: np.asarray(out[k]) for k in
                 ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
         nal = entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=self.idr_count % 65536, qp=qp, data=data,
-            src_y=yp, src_u=up, src_v=vp)
+            src_y=yp, src_u=up, src_v=vp, deblock=self.cfg.deblock)
         self.idr_count += 1
         self._frame_num = 1
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -146,14 +150,15 @@ class H264Encoder:
         ry, ru, rv = self._recon
         out = pframe.encode_pframe(yp, up, vp, ry, ru, rv, qp, qpc,
                                    search_range=pframe.search_range_for_effort(
-                                       self.cfg.effort))
+                                       self.cfg.effort),
+                                   deblock=self.cfg.deblock)
         data = {k: np.asarray(out[k]) for k in
                 ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
         self._last_p_data = data
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         return pframe.write_pslice(self.sp, self.pp,
                                    frame_num=self._frame_num, qp=qp,
-                                   data=data)
+                                   data=data, deblock=self.cfg.deblock)
 
     # -- GOP-chunked hot path (one device call + one fetch per chunk) -----
     P_CHUNKS = (8, 4, 2, 1)
@@ -186,7 +191,7 @@ class H264Encoder:
             buf = gop_ops.pack_frames(
                 [self._pad(*frames[i + k]) for k in range(chunk)])
             meta, count, blocks, ry, ru, rv = gop_ops.encode_pchunk_sparse(
-                buf, *recon, qp, qpc, sr, lam, h16, w16)
+                buf, *recon, qp, qpc, sr, lam, h16, w16, cfg.deblock)
             recon = (ry.astype("uint8"), ru.astype("uint8"),
                      rv.astype("uint8"))
             for a in (meta, count):
@@ -210,7 +215,8 @@ class H264Encoder:
                     meta_h, blocks_h, cnt, n_mby, n_mbx):
                 nal = pframe.write_pslice(self.sp, self.pp,
                                           frame_num=self._frame_num,
-                                          qp=qp, data=data)
+                                          qp=qp, data=data,
+                                          deblock=cfg.deblock)
                 self._frame_num += 1
                 self.frame_index += 1
                 out.append((nal, False))

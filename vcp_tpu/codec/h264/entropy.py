@@ -64,7 +64,7 @@ def _nal_from_rbsp_native(lib, rbsp_buf, rbsp_len: int, nal_type: int,
 def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  idr_pic_id: int, qp: int, data: dict,
                  src_y: np.ndarray, src_u: np.ndarray,
-                 src_v: np.ndarray) -> bytes:
+                 src_v: np.ndarray, deblock: bool = False) -> bytes:
     """Encode one IDR slice NAL. MB row 0 = I_PCM; rows 1.. = I16x16-V.
 
     Uses the C++ engine when available (bit-identical to the Python path,
@@ -74,14 +74,16 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     if lib is not None:
         return _write_islice_native(lib, sp, pp, frame_num=frame_num,
                                     idr_pic_id=idr_pic_id, qp=qp, data=data,
-                                    src_y=src_y, src_u=src_u, src_v=src_v)
+                                    src_y=src_y, src_u=src_u, src_v=src_v,
+                                    deblock=deblock)
     return _write_islice_py(sp, pp, frame_num=frame_num,
                             idr_pic_id=idr_pic_id, qp=qp, data=data,
-                            src_y=src_y, src_u=src_u, src_v=src_v)
+                            src_y=src_y, src_u=src_u, src_v=src_v,
+                            deblock=deblock)
 
 
 def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
-                         src_y, src_u, src_v) -> bytes:
+                         src_y, src_u, src_v, deblock=False) -> bytes:
     import ctypes
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     y = np.ascontiguousarray(src_y, np.uint8)
@@ -96,7 +98,7 @@ def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
                       "cr_dc", "cr_ac")]
     n = lib.vcp_write_islice(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
-        frame_num, idr_pic_id,
+        frame_num, idr_pic_id, 0 if deblock else 1,
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.shape[1],
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -110,11 +112,12 @@ def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
 def _write_islice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                      idr_pic_id: int, qp: int, data: dict,
                      src_y: np.ndarray, src_u: np.ndarray,
-                     src_v: np.ndarray) -> bytes:
+                     src_v: np.ndarray, deblock: bool = False) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=True, frame_num=frame_num,
-                         slice_qp=qp, idr_pic_id=idr_pic_id)
+                         slice_qp=qp, idr_pic_id=idr_pic_id,
+                         disable_deblocking=not deblock)
 
     nz_y = NzContext(4 * n_mby, 4 * n_mbx)
     nz_cb = NzContext(2 * n_mby, 2 * n_mbx)

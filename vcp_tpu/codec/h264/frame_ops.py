@@ -133,8 +133,8 @@ def _intra_row_chroma(cur_rows, top_row, qp_c: int):
     return z_dc_flat, z_ac_zz, recon
 
 
-@jax.jit
-def encode_iframe(y, u, v, qp, qp_c):
+@functools.partial(jax.jit, static_argnums=(5,))
+def encode_iframe(y, u, v, qp, qp_c, deblock: bool = False):
     """Encode one intra frame (device side).
 
     y: (H, W) int32 (H, W multiples of 16, already padded);
@@ -171,6 +171,17 @@ def encode_iframe(y, u, v, qp, qp_c):
 
     zu_dc, zu_ac, recon_u = chroma_plane(u)
     zv_dc, zv_ac, recon_v = chroma_plane(v)
+
+    if deblock:
+        from ...ops import deblock as dbf
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        qp_mb = qp_mb.at[0, :].set(0)          # PCM row participates at QP 0
+        intra = jnp.ones((n_mby, n_mbx), bool)
+        nz = jnp.zeros((h // 4, w // 4), bool)  # unused for all-intra
+        mvq = jnp.zeros((n_mby, n_mbx, 2), jnp.int32)
+        recon_y, recon_u, recon_v = dbf.deblock_frame(
+            recon_y, recon_u, recon_v, qp_mb, intra, nz, mvq,
+            tf.CHROMA_QP_FULL)
 
     return {
         # (n_mby-1, nMBx, ...) — rows 1.. (row 0 is PCM)

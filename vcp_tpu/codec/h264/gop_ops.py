@@ -47,7 +47,7 @@ def _use_pallas_me() -> bool:
 
 
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
-           subpel: bool = True):
+           subpel: bool = True, deblock: bool = False):
     """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes).
     MVs are in QUARTER-pel units throughout."""
     h, w = cur_y.shape
@@ -96,6 +96,15 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     cb_dc, cb_ac, recon_u = chroma(cur_u, ref_u)
     cr_dc, cr_ac, recon_v = chroma(cur_v, ref_v)
 
+    if deblock:
+        from ...ops import deblock as dbf
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        intra = jnp.zeros((n_mby, n_mbx), bool)
+        nz = jnp.any(z != 0, axis=(-1, -2))     # (H/4, W/4)
+        recon_y, recon_u, recon_v = dbf.deblock_frame(
+            recon_y, recon_u, recon_v, qp_mb, intra, nz, mv,
+            tf.CHROMA_QP_FULL)
+
     packed = jnp.concatenate([
         mv.reshape(n_mby, n_mbx, 2),
         z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
@@ -103,9 +112,9 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     return packed, recon_y, recon_u, recon_v
 
 
-@functools.partial(jax.jit, static_argnums=(8,))
+@functools.partial(jax.jit, static_argnums=(8, 10))
 def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
-                  qp, qpc, sr: int, lam):
+                  qp, qpc, sr: int, lam, deblock: bool = False):
     """Encode N consecutive P frames in one device call.
 
     ys: (N, H, W) int32; refs: (H, W) int32 (previous recon).
@@ -119,7 +128,7 @@ def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
         ref_y, ref_u, ref_v = carry
         cy, cu, cv = xs
         packed, ry, ru, rv = _pstep(cy, cu, cv, ref_y, ref_u, ref_v,
-                                    qp, qpc, sr, lam)
+                                    qp, qpc, sr, lam, deblock=deblock)
         return (ry, ru, rv), packed
 
     (ry, ru, rv), packed = jax.lax.scan(
@@ -156,13 +165,13 @@ def _flag_words(flags_f):
     return (words.astype(jnp.uint16)).astype(jnp.int16)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10))
 def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
-                         h: int, w: int):
+                         h: int, w: int, deblock: bool = False):
     """Sparse-output variant of encode_pchunk_packed."""
     packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
-        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w)
+        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock)
     f = packed.shape[0]
     n_mb = (h // 16) * (w // 16)
     arr = packed.reshape(f, n_mb, MB_WORDS)
@@ -232,10 +241,10 @@ def unpack_sparse_chunk(meta_h: np.ndarray, blocks_h: np.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10))
 def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
-                         h: int, w: int):
+                         h: int, w: int, deblock: bool = False):
     """encode_pchunk taking ONE packed uint8 planar buffer
     (N, h*w*3//2) — a single host→device transfer per chunk."""
     n = buf.shape[0]
@@ -245,7 +254,7 @@ def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
     us = buf[:, hw:hw + cw].reshape(n, h // 2, w // 2)
     vs = buf[:, hw + cw:].reshape(n, h // 2, w // 2)
     return encode_pchunk.__wrapped__(ys, us, vs, ref_y, ref_u, ref_v,
-                                     qp, qpc, sr, lam)
+                                     qp, qpc, sr, lam, deblock)
 
 
 def pack_frames(batch: list) -> np.ndarray:

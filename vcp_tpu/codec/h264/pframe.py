@@ -47,9 +47,9 @@ def lam_for_qp(qp: int) -> int:
 # Device step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(8,))
+@functools.partial(jax.jit, static_argnums=(8, 10))
 def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
-                          qp, qpc, sr: int, lam):
+                          qp, qpc, sr: int, lam, deblock: bool = False):
     """Single-frame P step. Thin wrapper over gop_ops._pstep (the single
     source of truth for P-frame math). MVs in quarter-pel units."""
     from . import gop_ops
@@ -59,7 +59,7 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
     n_mby, n_mbx = h // 16, w // 16
 
     packed, recon_y, recon_u, recon_v = gop_ops._pstep(
-        y, u, v, ref_y, ref_u, ref_v, qp, qpc, sr, lam)
+        y, u, v, ref_y, ref_u, ref_v, qp, qpc, sr, lam, deblock=deblock)
     arr = packed.reshape(n_mby, n_mbx, gop_ops.MB_WORDS).astype(jnp.int32)
     return {
         "mv": arr[..., :2],
@@ -74,10 +74,11 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
     }
 
 
-def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8):
+def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
+                  deblock: bool = False):
     lam = lam_for_qp(qp)
     return _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
-                                 qp, qpc, search_range, lam)
+                                 qp, qpc, search_range, lam, deblock)
 
 
 # ---------------------------------------------------------------------------
@@ -154,17 +155,19 @@ def skip_mv(mvs, valid, mbx, mby, n_mbx):
 # ---------------------------------------------------------------------------
 
 def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
-                 qp: int, data: dict) -> bytes:
+                 qp: int, data: dict, deblock: bool = False) -> bytes:
     """P slice NAL. C++ engine when available (bit-identical), else Python."""
     from ... import native
     lib = native.get_lib()
     if lib is not None:
         return _write_pslice_native(lib, sp, pp, frame_num=frame_num,
-                                    qp=qp, data=data)
-    return _write_pslice_py(sp, pp, frame_num=frame_num, qp=qp, data=data)
+                                    qp=qp, data=data, deblock=deblock)
+    return _write_pslice_py(sp, pp, frame_num=frame_num, qp=qp, data=data,
+                            deblock=deblock)
 
 
-def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data) -> bytes:
+def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
+                         deblock=False) -> bytes:
     import ctypes
     from .entropy import _nal_from_rbsp_native
     n_mby, n_mbx = sp.mb_height, sp.mb_width
@@ -177,6 +180,7 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data) -> bytes:
     out = np.empty(cap, np.uint8)
     n = lib.vcp_write_pslice(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
+        0 if deblock else 1,
         mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
@@ -186,11 +190,11 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data) -> bytes:
 
 
 def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
-                     qp: int, data: dict) -> bytes:
+                     qp: int, data: dict, deblock: bool = False) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
-                         slice_qp=qp)
+                         slice_qp=qp, disable_deblocking=not deblock)
 
     mv = data["mv"]                # (nMBy, nMBx, 2) full-pel [dy, dx]
     luma = data["luma"]            # (nMBy, nMBx, 16, 16)

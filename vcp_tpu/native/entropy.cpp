@@ -138,7 +138,8 @@ const int CBLK_Y[4] = {0,0,1,1};
 const int CBLK_X[4] = {0,1,0,1};
 
 void slice_header(BitWriter& bw, bool is_idr, int frame_num_bits,
-                  int frame_num, int idr_pic_id, int qp, int init_qp) {
+                  int frame_num, int idr_pic_id, int qp, int init_qp,
+                  int deblock_idc) {
     bw.ue(0);                              // first_mb_in_slice
     bw.ue(is_idr ? 7 : 5);                 // slice_type (I-all / P-all)
     bw.ue(0);                              // pps id
@@ -148,7 +149,8 @@ void slice_header(BitWriter& bw, bool is_idr, int frame_num_bits,
     if (is_idr) { bw.u(1, 0); bw.u(1, 0); }
     else bw.u(1, 0);                       // adaptive_ref_pic_marking
     bw.se(qp - init_qp);                   // slice_qp_delta
-    bw.ue(1);                              // disable_deblocking_filter_idc
+    bw.ue((uint32_t)deblock_idc);          // disable_deblocking_filter_idc
+    if (deblock_idc != 1) { bw.se(0); bw.se(0); }  // alpha/beta offsets
 }
 
 void chroma_residual(BitWriter& bw, int cbp_chroma, int mbx, int mby,
@@ -196,7 +198,7 @@ int64_t vcp_escape(const uint8_t* in, int64_t n, uint8_t* out) {
 // Returns RBSP length written into out, or -1 if out_cap too small.
 int64_t vcp_write_islice(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
-    int frame_num, int idr_pic_id,
+    int frame_num, int idr_pic_id, int deblock_idc,
     const int32_t* luma_dc,    // (n_mby-1, n_mbx, 16)
     const int32_t* luma_ac,    // (n_mby-1, n_mbx, 16, 16)
     const int32_t* cb_dc,      // (n_mby-1, n_mbx, 4)
@@ -207,7 +209,8 @@ int64_t vcp_write_islice(
     uint8_t* out, int64_t out_cap) {
     BitWriter bw;
     bw.buf.reserve((size_t)n_mby * n_mbx * 64);
-    slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp, init_qp);
+    slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
+                 init_qp, deblock_idc);
 
     Nz nz_y(4 * n_mby, 4 * n_mbx), nz_cb(2 * n_mby, 2 * n_mbx),
         nz_cr(2 * n_mby, 2 * n_mbx);
@@ -339,7 +342,7 @@ static void skip_mv_c(const int32_t* mv, const uint8_t* valid, int n_mbx,
 // mv layout: (n_mby, n_mbx, 2) [x, y] FULL-PEL (caller converts from dy,dx).
 int64_t vcp_write_pslice(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
-    int frame_num,
+    int frame_num, int deblock_idc,
     const int32_t* mv_xy,
     const int32_t* luma,       // (n_mby, n_mbx, 16, 16)
     const int32_t* cb_dc, const int32_t* cb_ac,
@@ -347,7 +350,8 @@ int64_t vcp_write_pslice(
     uint8_t* out, int64_t out_cap) {
     BitWriter bw;
     bw.buf.reserve((size_t)n_mby * n_mbx * 32);
-    slice_header(bw, false, frame_num_bits, frame_num, 0, qp, init_qp);
+    slice_header(bw, false, frame_num_bits, frame_num, 0, qp, init_qp,
+                 deblock_idc);
 
     Nz nz_y(4 * n_mby, 4 * n_mbx), nz_cb(2 * n_mby, 2 * n_mbx),
         nz_cr(2 * n_mby, 2 * n_mbx);
