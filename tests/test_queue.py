@@ -36,10 +36,13 @@ def test_ping(redis_address):
 def test_task_wire_roundtrip():
     t = make_task(3)
     fields = t.to_fields()
-    # exact reference XADD schema (ref stream.go:125-138)
+    # reference XADD schema (ref stream.go:125-138) + the additive
+    # published_at field (dispatch-latency tracking; consumers without it
+    # simply ignore the extra key)
     assert set(fields) == {"task_id", "input_path", "original_name",
                            "output_dir", "output_name", "ffmpeg_args",
-                           "verify_output", "source_ip", "retry"}
+                           "verify_output", "source_ip", "retry",
+                           "published_at"}
     assert fields["verify_output"] == "true"
     t2 = Task.from_fields("1-1", fields)
     assert t2.id == t.id and t2.verify_output is True
@@ -47,6 +50,11 @@ def test_task_wire_roundtrip():
     # tolerant decode of junk retry (ref stream.go:180-216)
     fields["retry"] = "zzz"
     assert Task.from_fields("1-2", fields).retry == 0
+    # published_at survives the wire; junk/absent tolerated
+    t.published_at = 123.5
+    t2 = Task.from_fields("1-3", t.to_fields())
+    assert t2.published_at == 123.5
+    assert Task.from_fields("1-4", {}).published_at == 0.0
 
 
 def test_publish_read_ack_cycle(redis_address):

@@ -110,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
     except KeyError as e:
         print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        return 0        # stdout consumer (head, less) closed early
     except (ConnectionError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

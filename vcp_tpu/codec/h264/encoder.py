@@ -244,7 +244,20 @@ def encode_stream(frames, cfg: EncoderConfig, deadline: float | None = None,
     encoded via the device-resident GOP path (one device call + one fetch
     per chunk). Cooperative deadline between GOPs (replaces the
     reference's 60-min ffmpeg kill, consumer.go:262).
+
+    Profiling: set VCP_TRACE_DIR=<dir> to capture a JAX profiler trace of
+    the whole encode (viewable in XProf/TensorBoard) — the rebuild's
+    answer to SURVEY.md §5's "add profiler hooks around the encode step".
     """
+    trace_dir = os.environ.get("VCP_TRACE_DIR")
+    if trace_dir:
+        import jax
+        with jax.profiler.trace(trace_dir):
+            return _encode_stream_inner(frames, cfg, deadline, on_frame)
+    return _encode_stream_inner(frames, cfg, deadline, on_frame)
+
+
+def _encode_stream_inner(frames, cfg, deadline, on_frame):
     enc = H264Encoder(cfg)
     samples = []
     gop: list = []

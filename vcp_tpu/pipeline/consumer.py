@@ -178,10 +178,15 @@ class Consumer:
             self._fail(task, "invalid task: missing fields")
             return False
 
+        dispatch_sec = (max(0.0, time.time() - task.published_at)
+                        if task.published_at else 0.0)
+        if dispatch_sec:
+            self.log.debug("dispatch latency", task=task.id,
+                           dispatch=f"{dispatch_sec * 1000:.0f}ms")
         try:
             self.history.record_task_start(
                 task.id, task.original_name, task.input_path,
-                self.name, task.source_ip)
+                self.name, task.source_ip, dispatch_sec=dispatch_sec)
         except Exception:
             pass  # history is best-effort; never blocks the encode
 

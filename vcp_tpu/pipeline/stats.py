@@ -49,6 +49,7 @@ def run_stats(cfg: Config, days: int = 7, pending: bool = False,
     out(f"failed    : {stats['failed']}")
     out(f"processing: {stats['processing']}")
     out(f"avg encode: {stats['avg_duration_sec']:.1f}s")
+    out(f"p50 dispatch: {stats.get('p50_dispatch_sec', 0.0) * 1000:.0f}ms")
     out("")
 
     records = sorted(stats["records"], key=lambda r: r.start_time,

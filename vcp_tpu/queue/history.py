@@ -47,6 +47,7 @@ class HistoryRecord:
     end_time: float = 0.0
     duration_sec: float = 0.0
     output_size: int = 0
+    dispatch_sec: float = 0.0   # publish -> consumer pickup latency
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), separators=(",", ":"))
@@ -80,11 +81,13 @@ class HistoryManager:
     # -- lifecycle (ref history.go:58-99) --------------------------------
     def record_task_start(self, task_id: str, original_name: str,
                           input_path: str, consumer: str,
-                          source_ip: str = "") -> None:
+                          source_ip: str = "",
+                          dispatch_sec: float = 0.0) -> None:
         rec = HistoryRecord(
             task_id=task_id, original_name=original_name,
             input_path=input_path, consumer=consumer, source_ip=source_ip,
-            status=STATUS_PROCESSING, start_time=time.time())
+            status=STATUS_PROCESSING, start_time=time.time(),
+            dispatch_sec=dispatch_sec)
         self._save(rec)
 
     def record_task_complete(self, task_id: str, output_path: str = "",
@@ -139,6 +142,9 @@ class HistoryManager:
         completed = [r for r in records if r.status == STATUS_COMPLETED]
         failed = [r for r in records if r.status == STATUS_FAILED]
         durations = [r.duration_sec for r in completed if r.duration_sec > 0]
+        dispatches = sorted(r.dispatch_sec for r in records
+                            if r.dispatch_sec > 0)
+        p50 = dispatches[len(dispatches) // 2] if dispatches else 0.0
         return {
             "total": len(records),
             "completed": len(completed),
@@ -147,5 +153,6 @@ class HistoryManager:
                               if r.status == STATUS_PROCESSING),
             "avg_duration_sec": (sum(durations) / len(durations)
                                  if durations else 0.0),
+            "p50_dispatch_sec": p50,
             "records": records,
         }

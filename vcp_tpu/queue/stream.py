@@ -43,6 +43,7 @@ class Task:
     output_name: str = ""
     ffmpeg_args: str = ""
     verify_output: bool = False
+    published_at: float = 0.0   # unix seconds; extra field, schema-tolerated
 
     def to_fields(self) -> dict[str, str]:
         """Flat string map, exactly the reference's XADD schema
@@ -57,6 +58,8 @@ class Task:
             "verify_output": "true" if self.verify_output else "false",
             "source_ip": self.source_ip,
             "retry": str(self.retry),
+            "published_at": repr(self.published_at) if self.published_at
+            else "",
         }
 
     @classmethod
@@ -68,6 +71,10 @@ class Task:
             retry = int(get("retry", "0") or 0)
         except ValueError:
             retry = 0
+        try:
+            published_at = float(get("published_at", "0") or 0.0)
+        except ValueError:
+            published_at = 0.0
         return cls(
             id=get("task_id"),
             message_id=message_id,
@@ -79,6 +86,7 @@ class Task:
             output_name=get("output_name"),
             ffmpeg_args=get("ffmpeg_args"),
             verify_output=get("verify_output") == "true",
+            published_at=published_at,
         )
 
 
@@ -155,6 +163,8 @@ class Stream:
             time.sleep(0.01)
             if not self.publish_limiter.allow():
                 raise RedisError("publish rate limited")
+        if not task.published_at:
+            task.published_at = time.time()
         args = ["XADD", self.stream, "MAXLEN", "~",
                 str(self.max_stream_length), "*"]
         for k, v in task.to_fields().items():

@@ -21,7 +21,9 @@ import os
 import socket
 import time
 
-VIDEO_EXTENSIONS = (".mp4", ".mkv", ".avi", ".mov", ".webm")
+# The reference's filter (producer.go:485-488) plus .y4m — raw video is a
+# first-class input of the TPU encoder (codec.ingest).
+VIDEO_EXTENSIONS = (".mp4", ".mkv", ".avi", ".mov", ".webm", ".y4m")
 
 COPY_BUFFER = 4 * 1024 * 1024  # 4 MiB (ref producer.go:469)
 
