@@ -123,6 +123,24 @@ def main(argv: list[str] | None = None) -> int:
         raise
 
 
+def _enable_jit_cache() -> None:
+    """Persistent XLA compilation cache: a fresh consumer process pays
+    ~minutes of jit compiles for each new frame geometry; the cache makes
+    restarts warm. Opt out with VCP_JIT_CACHE=0 or point it elsewhere."""
+    import os
+    val = os.environ.get("VCP_JIT_CACHE", "")
+    if val == "0":
+        return
+    cache_dir = val or os.path.expanduser("~/.cache/vcp_tpu/jit")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block startup
+
+
 def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -130,6 +148,9 @@ def _main(argv: list[str] | None = None) -> int:
         from .queue.miniredis import serve_forever
         serve_forever(args.host, args.port)
         return 0
+
+    if args.command in ("consumer", "encode"):
+        _enable_jit_cache()
 
     cfg = load_config(args.config or None)
     if getattr(args, "log_level", ""):
