@@ -35,15 +35,22 @@ class DeadlineExceeded(CopyError):
 
 def stream_copy(input_path: str, output_path: str,
                 deadline: float | None = None) -> int:
-    """Byte-identical copy with cooperative deadline checks between chunks.
+    """``-c copy``: byte-identical copy for ISO-BMFF inputs, native remux
+    into MP4 for Matroska/WebM (the reference's ffmpeg remuxed these too).
 
     Returns bytes written. The deadline plays the role of the reference's
     60-min ffmpeg timeout (ref consumer.go:262, 370-394) for this path.
     """
     ext = os.path.splitext(input_path)[1].lower()
+    if ext in (".mkv", ".webm"):
+        from .mkv import MkvError, remux_to_mp4
+        try:
+            return remux_to_mp4(input_path, output_path)
+        except MkvError as e:
+            raise UnsupportedContainer(f"mkv remux failed: {e}") from e
     if ext not in BMFF_EXTS:
         raise UnsupportedContainer(
-            f"copy preset requires an ISO-BMFF input (.mp4/.mov); got {ext}")
+            f"copy preset requires an ISO-BMFF or Matroska input; got {ext}")
     written = 0
     with open(input_path, "rb") as fin, open(output_path, "wb") as fout:
         while True:

@@ -37,8 +37,10 @@ def open_video(path: str, max_frames: int | None = None) -> VideoInput:
         return _open_y4m(path, max_frames)
     if ext in (".mp4", ".mov", ".m4v"):
         return _open_mp4(path, max_frames)
+    if ext in (".mkv", ".webm"):
+        return _open_mkv(path, max_frames)
     raise IngestError(f"unsupported input container: {ext} "
-                      "(supported: .y4m raw video, .mp4/.mov h264)")
+                      "(supported: .y4m raw, .mp4/.mov/.mkv/.webm h264)")
 
 
 def _open_y4m(path: str, max_frames) -> VideoInput:
@@ -87,3 +89,56 @@ def _open_mp4(path: str, max_frames) -> VideoInput:
                 yield f.y, f.u, f.v
 
     return VideoInput(track.width, track.height, fps_num, fps_den, n, gen())
+
+
+def _open_mkv(path: str, max_frames) -> VideoInput:
+    import struct
+
+    from .mkv import MkvDemuxer, MkvError
+    from .h264.decoder import H264Decoder
+
+    try:
+        demux = MkvDemuxer(path)
+    except MkvError as e:
+        raise IngestError(str(e)) from e
+    t = demux.video
+    if t is None or t.codec_id != "V_MPEG4/ISO/AVC":
+        raise IngestError("mkv: no h264 video track")
+    avcc = t.codec_private
+    nal_len = (avcc[4] & 3) + 1
+    sps, pps = [], []
+    off = 6
+    for _ in range(avcc[5] & 0x1F):
+        ln = struct.unpack_from(">H", avcc, off)[0]
+        sps.append(avcc[off + 2:off + 2 + ln])
+        off += 2 + ln
+    n_pps = avcc[off]
+    off += 1
+    for _ in range(n_pps):
+        ln = struct.unpack_from(">H", avcc, off)[0]
+        pps.append(avcc[off + 2:off + 2 + ln])
+        off += 2 + ln
+
+    samples = sorted(t.samples, key=lambda s: s.timestamp_ns)
+    n = len(samples) if max_frames is None else min(len(samples), max_frames)
+    if t.default_duration_ns:
+        fps_num, fps_den = 1_000_000_000, t.default_duration_ns
+    else:
+        fps_num, fps_den = 30, 1
+
+    def gen():
+        dec = H264Decoder()
+        for nal in sps + pps:
+            dec._decode_nal(nal)
+        for i in range(n):
+            data = samples[i].data
+            pos = 0
+            while pos + nal_len <= len(data):
+                ln = int.from_bytes(data[pos:pos + nal_len], "big")
+                dec._decode_nal(data[pos + nal_len:pos + nal_len + ln])
+                pos += nal_len + ln
+            while dec.frames:
+                f = dec.frames.pop(0)
+                yield f.y, f.u, f.v
+
+    return VideoInput(t.width, t.height, fps_num, fps_den, n, gen())
