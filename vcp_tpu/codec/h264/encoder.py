@@ -257,6 +257,18 @@ def encode_stream(frames, cfg: EncoderConfig, deadline: float | None = None,
     return _encode_stream_inner(frames, cfg, deadline, on_frame)
 
 
+SCENE_CUT_THRESHOLD = 28.0   # mean abs luma diff (8x-downsampled)
+
+
+def _is_scene_cut(prev_y: np.ndarray, cur_y: np.ndarray) -> bool:
+    """Cheap host-side cut detector: mean |Δluma| on an 8x subsample.
+    A cut starts a new GOP so the IDR lands on the content change instead
+    of mid-GOP P-frames burning bits on a failed prediction."""
+    a = prev_y[::8, ::8].astype(np.int32)
+    b = cur_y[::8, ::8].astype(np.int32)
+    return float(np.abs(a - b).mean()) > SCENE_CUT_THRESHOLD
+
+
 def _encode_stream_inner(frames, cfg, deadline, on_frame):
     enc = H264Encoder(cfg)
     samples = []
@@ -273,6 +285,8 @@ def _encode_stream_inner(frames, cfg, deadline, on_frame):
             on_frame(len(samples) - 1, enc)
 
     for f in frames:
+        if gop and _is_scene_cut(gop[-1][0], f[0]):
+            flush()
         gop.append(f)
         if len(gop) >= cfg.gop_size:
             flush()
