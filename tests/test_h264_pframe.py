@@ -100,3 +100,28 @@ def test_search_range_effort_ladder():
     rs = [pframe.search_range_for_effort(e) for e in range(10)]
     assert rs == sorted(rs)
     assert rs[0] >= 4 and rs[-1] <= 24
+
+
+def test_subpel_closed_loop_exact_effort5():
+    """effort>=5 enables quarter-pel; decoder must still match bit-for-bit."""
+    w, h, n = 64, 48, 4
+    from vcp_tpu.codec.h264 import pframe as pf
+    assert pf.subpel_for_effort(5) and not pf.subpel_for_effort(4)
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=26, gop_size=n,
+                                    effort=5))
+    frames = synth_video(w, h, n)
+    aus = enc.encode_gop(frames)
+    dec = H264Decoder()
+    out = dec.decode_annexb(enc.headers_annexb()
+                            + b"".join(a for a, _ in aus))
+    ry, ru, rv = (np.asarray(p) for p in enc.recon_planes)
+    np.testing.assert_array_equal(out[-1].y, ry)
+    np.testing.assert_array_equal(out[-1].u, ru)
+    np.testing.assert_array_equal(out[-1].v, rv)
+    # quarter-pel vectors actually used: inspect the per-frame path's mvs
+    enc2 = H264Encoder(EncoderConfig(width=w, height=h, qp=26, gop_size=n,
+                                     effort=5))
+    for f in frames:
+        enc2.encode_frame(*f)
+    assert np.any(np.asarray(enc2._last_p_data["mv"]) % 4 != 0) or \
+        np.any(np.asarray(enc2._last_p_data["mv"]) % 2 != 0)

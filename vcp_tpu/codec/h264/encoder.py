@@ -151,7 +151,9 @@ class H264Encoder:
         out = pframe.encode_pframe(yp, up, vp, ry, ru, rv, qp, qpc,
                                    search_range=pframe.search_range_for_effort(
                                        self.cfg.effort),
-                                   deblock=self.cfg.deblock)
+                                   deblock=self.cfg.deblock,
+                                   subpel=pframe.subpel_for_effort(
+                                       self.cfg.effort))
         data = {k: np.asarray(out[k]) for k in
                 ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
         self._last_p_data = data
@@ -191,7 +193,8 @@ class H264Encoder:
             buf = gop_ops.pack_frames(
                 [self._pad(*frames[i + k]) for k in range(chunk)])
             meta, count, blocks, ry, ru, rv = gop_ops.encode_pchunk_sparse(
-                buf, *recon, qp, qpc, sr, lam, h16, w16, cfg.deblock)
+                buf, *recon, qp, qpc, sr, lam, h16, w16, cfg.deblock,
+                pframe.subpel_for_effort(cfg.effort))
             recon = (ry.astype("uint8"), ru.astype("uint8"),
                      rv.astype("uint8"))
             for a in (meta, count):

@@ -59,14 +59,17 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     else:
         mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam)
 
-    pad = sr + 6
-    margin = pad - 3
-    planes = jnp.stack(mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
     if subpel:
+        pad = sr + 6
+        margin = pad - 3
+        planes = jnp.stack(
+            mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
         mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin)
+        pred_y = mops.mc_luma_q(planes, mv, margin)
     else:
+        # full-pel: no interpolated planes, plain gather MC
         mv = mv_full * 4
-    pred_y = mops.mc_luma_q(planes, mv, margin)
+        pred_y = mops.mc_luma(ref_y, mv_full, sr)
     coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
     z = tf.quant4(coef, qp, intra=False)
     recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
@@ -112,9 +115,10 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     return packed, recon_y, recon_u, recon_v
 
 
-@functools.partial(jax.jit, static_argnums=(8, 10))
+@functools.partial(jax.jit, static_argnums=(8, 10, 11))
 def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
-                  qp, qpc, sr: int, lam, deblock: bool = False):
+                  qp, qpc, sr: int, lam, deblock: bool = False,
+                  subpel: bool = True):
     """Encode N consecutive P frames in one device call.
 
     ys: (N, H, W) int32; refs: (H, W) int32 (previous recon).
@@ -128,7 +132,8 @@ def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
         ref_y, ref_u, ref_v = carry
         cy, cu, cv = xs
         packed, ry, ru, rv = _pstep(cy, cu, cv, ref_y, ref_u, ref_v,
-                                    qp, qpc, sr, lam, deblock=deblock)
+                                    qp, qpc, sr, lam, subpel=subpel,
+                                    deblock=deblock)
         return (ry, ru, rv), packed
 
     (ry, ru, rv), packed = jax.lax.scan(
@@ -165,13 +170,14 @@ def _flag_words(flags_f):
     return (words.astype(jnp.uint16)).astype(jnp.int16)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
 def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
-                         h: int, w: int, deblock: bool = False):
+                         h: int, w: int, deblock: bool = False,
+                         subpel: bool = True):
     """Sparse-output variant of encode_pchunk_packed."""
     packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
-        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock)
+        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel)
     f = packed.shape[0]
     n_mb = (h // 16) * (w // 16)
     arr = packed.reshape(f, n_mb, MB_WORDS)
@@ -241,10 +247,11 @@ def unpack_sparse_chunk(meta_h: np.ndarray, blocks_h: np.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
 def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
-                         h: int, w: int, deblock: bool = False):
+                         h: int, w: int, deblock: bool = False,
+                         subpel: bool = True):
     """encode_pchunk taking ONE packed uint8 planar buffer
     (N, h*w*3//2) — a single host→device transfer per chunk."""
     n = buf.shape[0]
@@ -254,7 +261,7 @@ def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
     us = buf[:, hw:hw + cw].reshape(n, h // 2, w // 2)
     vs = buf[:, hw + cw:].reshape(n, h // 2, w // 2)
     return encode_pchunk.__wrapped__(ys, us, vs, ref_y, ref_u, ref_v,
-                                     qp, qpc, sr, lam, deblock)
+                                     qp, qpc, sr, lam, deblock, subpel)
 
 
 def pack_frames(batch: list) -> np.ndarray:

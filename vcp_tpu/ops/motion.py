@@ -132,14 +132,36 @@ _QPEL_TABLE = np.array([
 ], dtype=np.int32)
 
 
+# The distinct (plane, dy, dx) sample sources the 16 quarter-pel cases use.
+# p1 draws from the first 6, p2 from all 7 (indices into _QPEL_SOURCES).
+_QPEL_SOURCES = (
+    (0, 0, 0),   # G(0,0)
+    (0, 1, 0),   # G(1,0)
+    (0, 0, 1),   # G(0,1)
+    (1, 0, 0),   # b(0,0)
+    (1, 1, 0),   # b(1,0)
+    (2, 0, 0),   # h(0,0)
+    (2, 0, 1),   # h(0,1)
+    (3, 0, 0),   # j(0,0)
+)
+_SRC_INDEX = {src: i for i, src in enumerate(_QPEL_SOURCES)}
+_QPEL_P1 = np.array([_SRC_INDEX[tuple(r[:3])] for r in _QPEL_TABLE],
+                    np.int32)
+_QPEL_P2 = np.array([_SRC_INDEX[tuple(r[3:])] for r in _QPEL_TABLE],
+                    np.int32)
+
+
 def mc_luma_q(planes, mvq, margin: int):
     """Quarter-pel luma MC from precomputed half-pel planes.
 
     planes: (4, Hp, Wp) stacked [G, b, h, j], aligned so that index
     (margin + y, margin + x) is integer position (y, x) of the frame.
     mvq: (nMBy, nMBx, 2) [dy, dx] in QUARTER-pel units.
+
+    TPU shape: one dense 2D gather per distinct sample source (8 total)
+    plus per-pixel where-chains — a per-pixel plane-index gather lowers to
+    a catastrophically slow generic gather on TPU.
     """
-    _, hp, wp = planes.shape
     n_mby, n_mbx = mvq.shape[:2]
     h, w = 16 * n_mby, 16 * n_mbx
     iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, 16, 0), 16, 1)
@@ -147,12 +169,20 @@ def mc_luma_q(planes, mvq, margin: int):
     fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, 16, 0), 16, 1)
     fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, 16, 0), 16, 1)
     case = fy * 4 + fx
-    tbl = jnp.asarray(_QPEL_TABLE)
-    sel = tbl[case]                               # (h, w, 6)
     rows = jnp.arange(h)[:, None] + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
-    p1 = planes[sel[..., 0], rows + sel[..., 1], cols + sel[..., 2]]
-    p2 = planes[sel[..., 3], rows + sel[..., 4], cols + sel[..., 5]]
+
+    srcs = [planes[p][rows + dy, cols + dx] for p, dy, dx in _QPEL_SOURCES]
+
+    def pick(src_ids):
+        ids = jnp.asarray(src_ids)[case]          # (h, w) in 0..7
+        out = srcs[0]
+        for k in range(1, len(srcs)):
+            out = jnp.where(ids == k, srcs[k], out)
+        return out
+
+    p1 = pick(_QPEL_P1)
+    p2 = pick(_QPEL_P2)
     return (p1 + p2 + 1) >> 1
 
 
