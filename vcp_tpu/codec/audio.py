@@ -1,12 +1,73 @@
-"""Audio-only path (``-vn -c:a aac``, ref config.yaml:24 'audio-only').
+"""Audio handling: AAC passthrough + audio-only extraction.
 
-AAC encode lands with the audio milestone; until then audio-only tasks
-fail cleanly (consumer ack-and-drop)."""
+The reference's presets carry ``-c:a aac`` and the 4K config calls for
+"AAC audio passthrough" (BASELINE.json configs[3]); its ``audio-only``
+custom preset is ``-vn -c:a aac`` (ref config.yaml:24). This module
+implements the passthrough half natively: AAC tracks are demuxed from
+MP4/MKV inputs (AudioSpecificConfig + raw AAC access units) and remuxed
+into the output MP4 untouched. AAC *re-encoding* (for raw/PCM sources)
+requires the normative AAC Huffman codebooks and is tracked for a later
+round; sources without an AAC track fail with a precise reason
+(consumer ack-and-drop).
+"""
 
 from __future__ import annotations
+
+import os
+
+from . import mp4 as m
+
+
+class AudioError(RuntimeError):
+    pass
+
+
+def extract_aac_track(input_path: str) -> m.AudioTrack | None:
+    """Demux the input's AAC track into an mp4 AudioTrack (passthrough),
+    or None if the input has no AAC audio."""
+    ext = os.path.splitext(input_path)[1].lower()
+    if ext in (".mp4", ".mov", ".m4v"):
+        demux = m.Mp4Demuxer(input_path)
+        t = demux.audio
+        if t is None or t.codec != "mp4a":
+            return None
+        out = m.AudioTrack(codec="aac", sample_rate=t.sample_rate or 48000,
+                           channels=t.channels or 2,
+                           timescale=t.timescale or t.sample_rate or 48000,
+                           decoder_config=t.decoder_config)
+        for i in range(t.sample_count):
+            dur = (t.sample_durations[i]
+                   if i < len(t.sample_durations) else 1024)
+            out.samples.append(m.Sample(data=demux.sample(t, i),
+                                        duration=dur, is_sync=True))
+        return out
+    if ext in (".mkv", ".webm"):
+        from .mkv import MkvDemuxer
+        demux = MkvDemuxer(input_path)
+        a = demux.audio
+        if a is None or not a.codec_id.startswith("A_AAC"):
+            return None
+        rate = a.sample_rate or 48000
+        out = m.AudioTrack(codec="aac", sample_rate=rate,
+                           channels=a.channels or 2, timescale=rate,
+                           decoder_config=a.codec_private)
+        # AAC frame = 1024 PCM samples at timescale == sample_rate
+        for s in sorted(a.samples, key=lambda x: x.timestamp_ns):
+            out.samples.append(m.Sample(data=s.data, duration=1024,
+                                        is_sync=True))
+        return out
+    return None
 
 
 def extract_audio(input_path: str, output_path: str, params,
                   deadline=None) -> int:
-    raise NotImplementedError(
-        "audio-only extraction not yet implemented in this build")
+    """``-vn -c:a aac``: audio-only MP4 via AAC passthrough."""
+    track = extract_aac_track(input_path)
+    if track is None:
+        raise AudioError(
+            "audio-only output requires an AAC track in the input "
+            "(AAC re-encode of raw sources lands in a later round)")
+    w = m.Mp4Writer()
+    w.add_track(track)
+    w.write(output_path, faststart=params.faststart or True)
+    return os.path.getsize(output_path)

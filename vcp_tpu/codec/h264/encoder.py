@@ -300,7 +300,7 @@ def _encode_stream_inner(frames, cfg, deadline, on_frame):
 
 def mux_mp4(path: str, sps: bytes, pps: bytes, samples, width: int,
             height: int, fps_num: int, fps_den: int,
-            faststart: bool = True) -> None:
+            faststart: bool = True, audio_track=None) -> None:
     w = mp4mod.Mp4Writer()
     timescale = fps_num * 1000
     dur = fps_den * 1000
@@ -311,6 +311,8 @@ def mux_mp4(path: str, sps: bytes, pps: bytes, samples, width: int,
             data=mp4mod.annexb_to_length_prefixed(au),
             duration=dur, is_sync=is_idr))
     w.add_track(tr)
+    if audio_track is not None and audio_track.samples:
+        w.add_track(audio_track)
     w.write(path, faststart=faststart)
 
 
@@ -340,8 +342,18 @@ def encode_file(input_path: str, output_path: str, params: EncodeParams,
             yield y, u, v
 
     sps, pps, samples = encode_stream(frames(), cfg, deadline)
+
+    # AAC audio passthrough (-c:a aac / copy; BASELINE configs[3])
+    audio_track = None
+    if params.audio_codec in ("aac", "copy") and not params.audio_disabled:
+        from ..audio import extract_aac_track
+        try:
+            audio_track = extract_aac_track(input_path)
+        except Exception as e:
+            log.warn("audio passthrough failed", error=str(e))
     mux_mp4(output_path, sps, pps, samples, cfg.width, cfg.height,
-            cfg.fps_num, cfg.fps_den, faststart=params.faststart or True)
+            cfg.fps_num, cfg.fps_den, faststart=params.faststart or True,
+            audio_track=audio_track)
     dt = time.monotonic() - t0
     size = os.path.getsize(output_path)
     log.info("encode done", frames=len(samples), qp=cfg.qp,

@@ -34,6 +34,9 @@ TRACK_TYPE = 0x83
 CODEC_ID = 0x86
 CODEC_PRIVATE = 0x63A2
 VIDEO = 0xE0
+AUDIO = 0xE1
+SAMPLING_FREQUENCY = 0xB5
+CHANNELS = 0x9F
 PIXEL_WIDTH = 0xB0
 PIXEL_HEIGHT = 0xBA
 DEFAULT_DURATION = 0x23E383
@@ -97,12 +100,23 @@ class MkvVideoTrack:
     samples: list = dataclasses.field(default_factory=list)
 
 
+@dataclasses.dataclass
+class MkvAudioTrack:
+    number: int = 0
+    codec_id: str = ""
+    codec_private: bytes = b""    # AudioSpecificConfig for A_AAC
+    sample_rate: int = 0
+    channels: int = 0
+    samples: list = dataclasses.field(default_factory=list)
+
+
 class MkvDemuxer:
     def __init__(self, path: str):
         with open(path, "rb") as fh:
             self.buf = fh.read()
         self.timestamp_scale = 1_000_000   # ns per cluster tick (default)
         self.video: MkvVideoTrack | None = None
+        self.audio: MkvAudioTrack | None = None
         self._parse()
 
     def _parse(self) -> None:
@@ -129,16 +143,18 @@ class MkvDemuxer:
             if eid != TRACK_ENTRY:
                 continue
             t = MkvVideoTrack()
-            is_video = False
+            a = MkvAudioTrack()
+            track_type = 0
             for i2, s2, e2 in iter_elements(buf, s, e):
                 if i2 == TRACK_NUMBER:
-                    t.number = _read_uint(buf[s2:e2])
+                    t.number = a.number = _read_uint(buf[s2:e2])
                 elif i2 == TRACK_TYPE:
-                    is_video = _read_uint(buf[s2:e2]) == 1
+                    track_type = _read_uint(buf[s2:e2])
                 elif i2 == CODEC_ID:
-                    t.codec_id = buf[s2:e2].decode("latin1").rstrip("\x00")
+                    t.codec_id = a.codec_id = \
+                        buf[s2:e2].decode("latin1").rstrip("\x00")
                 elif i2 == CODEC_PRIVATE:
-                    t.codec_private = buf[s2:e2]
+                    t.codec_private = a.codec_private = buf[s2:e2]
                 elif i2 == DEFAULT_DURATION:
                     t.default_duration_ns = _read_uint(buf[s2:e2])
                 elif i2 == VIDEO:
@@ -147,11 +163,21 @@ class MkvDemuxer:
                             t.width = _read_uint(buf[s3:e3])
                         elif i3 == PIXEL_HEIGHT:
                             t.height = _read_uint(buf[s3:e3])
-            if is_video and self.video is None:
+                elif i2 == AUDIO:
+                    for i3, s3, e3 in iter_elements(buf, s2, e2):
+                        if i3 == SAMPLING_FREQUENCY:
+                            raw = buf[s3:e3]
+                            fmt = ">f" if len(raw) == 4 else ">d"
+                            a.sample_rate = int(struct.unpack(fmt, raw)[0])
+                        elif i3 == CHANNELS:
+                            a.channels = _read_uint(buf[s3:e3])
+            if track_type == 1 and self.video is None:
                 self.video = t
+            elif track_type == 2 and self.audio is None:
+                self.audio = a
 
     def _parse_cluster(self, ps: int, pe: int) -> None:
-        if self.video is None:
+        if self.video is None and self.audio is None:
             return
         buf = self.buf
         cluster_ts = 0
@@ -169,7 +195,12 @@ class MkvDemuxer:
                      simple: bool) -> None:
         buf = self.buf
         track, pos = _read_vint(buf, s, keep_marker=False)
-        if track != self.video.number:
+        dest = None
+        if self.video is not None and track == self.video.number:
+            dest = self.video
+        elif self.audio is not None and track == self.audio.number:
+            dest = self.audio
+        if dest is None:
             return
         if pos + 3 > e:
             raise MkvError("truncated block header")
@@ -181,7 +212,7 @@ class MkvDemuxer:
             raise MkvError("laced blocks unsupported")
         keyframe = bool(flags & 0x80) if simple else True
         ts_ns = (cluster_ts + rel_ts) * self.timestamp_scale
-        self.video.samples.append(
+        dest.samples.append(
             MkvSample(data=buf[pos:e], timestamp_ns=ts_ns,
                       keyframe=keyframe))
 

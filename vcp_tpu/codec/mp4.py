@@ -473,6 +473,10 @@ class DemuxedTrack:
     sps: list[bytes] = dataclasses.field(default_factory=list)
     pps: list[bytes] = dataclasses.field(default_factory=list)
     nal_length_size: int = 4
+    # audio (mp4a)
+    sample_rate: int = 0
+    channels: int = 0
+    decoder_config: bytes = b""     # AudioSpecificConfig from esds
     sample_offsets: list[int] = dataclasses.field(default_factory=list)
     sample_sizes: list[int] = dataclasses.field(default_factory=list)
     sample_durations: list[int] = dataclasses.field(default_factory=list)
@@ -481,6 +485,34 @@ class DemuxedTrack:
     @property
     def sample_count(self) -> int:
         return len(self.sample_sizes)
+
+
+def _parse_esds_asc(es: bytes) -> bytes:
+    """Walk the ES descriptor tree and return the AudioSpecificConfig
+    (DecSpecificInfo, tag 0x05)."""
+    def read_len(pos):
+        n = 0
+        for _ in range(4):
+            b = es[pos]
+            pos += 1
+            n = (n << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        return n, pos
+
+    pos = 0
+    while pos < len(es):
+        tag = es[pos]
+        ln, body = read_len(pos + 1)
+        if tag == 0x05:
+            return es[body:body + ln]
+        if tag == 0x03:           # ES_Descriptor: skip ES_ID + flags
+            pos = body + 3
+        elif tag == 0x04:         # DecoderConfig: skip 13 fixed bytes
+            pos = body + 13
+        else:
+            pos = body + ln
+    return b""
 
 
 class Mp4Demuxer:
@@ -511,6 +543,13 @@ class Mp4Demuxer:
                 return t
         return None
 
+    @property
+    def audio(self) -> DemuxedTrack | None:
+        for t in self.tracks:
+            if t.handler == "soun":
+                return t
+        return None
+
     def _parse_track(self, ps: int, pe: int) -> DemuxedTrack | None:
         buf = self.buf
         info = _parse_trak(buf, ps, pe)
@@ -531,6 +570,16 @@ class Mp4Demuxer:
                     avcc = find_box(buf, [b"avcC"], eps + 78, epe)
                     if avcc:
                         self._parse_avcc(buf[avcc[0]:avcc[1]], t)
+        elif stsd and info.codec == "mp4a":
+            for btype, eps, epe in iter_boxes(buf, stsd[0] + 8, stsd[1]):
+                if btype == b"mp4a":
+                    t.channels, = struct.unpack_from(">H", buf, eps + 16)
+                    t.sample_rate = struct.unpack_from(
+                        ">I", buf, eps + 24)[0] >> 16
+                    esds = find_box(buf, [b"esds"], eps + 28, epe)
+                    if esds:
+                        t.decoder_config = _parse_esds_asc(
+                            buf[esds[0] + 4:esds[1]])
 
         # sample sizes
         stsz = find_box(buf, [b"stsz"], stbl[0], stbl[1])
