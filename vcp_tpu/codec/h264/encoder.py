@@ -176,17 +176,21 @@ class H264Encoder:
         lam = pframe.lam_for_qp(qp)
 
         out: list[tuple[bytes, bool]] = []
-        yp, up, vp = self._pad(*frames[0])
-        out.append((self._encode_idr(yp, up, vp, qp, qpc), True))
-        self.frame_index += 1
-
         n_mby, n_mbx = self.sp.mb_height, self.sp.mb_width
         h16, w16 = 16 * n_mby, 16 * n_mbx
 
-        # Phase 1: dispatch ALL chunks (async) — device compute and the
-        # single packed upload per chunk overlap with phase 2's fetches.
+        # Phase 1: dispatch the IDR and ALL P chunks (async). The chunks
+        # chain on the IDR's device-resident recon, so everything queues
+        # while phase 2 fetches results in order.
+        yp, up, vp = self._pad(*frames[0])
+        imeta, icount, iblocks, ry, ru, rv = gop_ops.encode_iframe_sparse(
+            yp, up, vp, qp, qpc, cfg.deblock)
+        recon = (ry, ru, rv)
+        self.idr_count += 1
+        self._frame_num = 1
+        self.frame_index += 1
+
         pending = []
-        recon = self._recon
         i = 1
         while i < len(frames):
             chunk = next(c for c in self.P_CHUNKS if c <= len(frames) - i)
@@ -206,8 +210,18 @@ class H264Encoder:
             i += chunk
         self._recon = recon
 
-        # Phase 2: two fetches per chunk (meta+count, then the compacted
-        # nonzero blocks only) and host entropy.
+        # Phase 2: fetch + host entropy, IDR first.
+        icnt = int(np.asarray(icount)[0])
+        ibucket = gop_ops.fetch_bucket(icnt, iblocks.shape[0])
+        idata = gop_ops.unpack_sparse_iframe(
+            np.asarray(imeta), np.asarray(iblocks[:ibucket]), icnt, n_mbx)
+        out.append((entropy.write_islice(
+            self.sp, self.pp, frame_num=0,
+            idr_pic_id=(self.idr_count - 1) % 65536, qp=qp, data=idata,
+            src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock), True))
+
+        # Then two fetches per chunk (meta+count, then the compacted
+        # nonzero blocks only).
         for chunk, meta, count, blocks in pending:
             cnt = int(np.asarray(count)[0])
             cap = blocks.shape[0]

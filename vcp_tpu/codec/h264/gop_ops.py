@@ -199,12 +199,75 @@ def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
     count = flat_flags.sum(dtype=jnp.int32)
     idx = jnp.where(flat_flags, dest, nblk)       # nblk = out of range
     buffer = jnp.zeros((nblk, 16), jnp.int16).at[idx].set(
-        blocks.reshape(nblk, 16), mode="drop")
+        blocks.reshape(nblk, 16).astype(jnp.int16), mode="drop")
     meta = jnp.concatenate([
         jnp.concatenate([mv, cb_dc, cr_dc], axis=-1).reshape(f, n_mb * 10),
         _flag_words(flags.reshape(f, n_mb * BLOCKS_PER_MB)),
     ], axis=1)
     return meta, count.reshape(1), buffer, ry, ru, rv
+
+
+# ---------------------------------------------------------------------------
+# Sparse I-frame fetch (same idea as the P chunks; one frame)
+# ---------------------------------------------------------------------------
+# meta per MB: luma DC (16) + cbDC (4) + crDC (4) = 24 int16 words; blocks
+# are the 24 AC sources (16 luma + 4 cb + 4 cr), 16 zig-zag words each.
+IMB_META = 24
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def encode_iframe_sparse(y, u, v, qp, qpc, deblock: bool = False):
+    """Device intra encode with compacted outputs: returns
+    (meta (nMB', IMB_META*?) int16 flat, count, blocks, recon planes)
+    where nMB' covers MB rows 1.. (row 0 is PCM, host-side)."""
+    from . import frame_ops
+    out = frame_ops.encode_iframe.__wrapped__(y, u, v, qp, qpc, deblock)
+    luma_dc = out["luma_dc"]            # (R, X, 16)
+    r, x = luma_dc.shape[:2]
+    blocks = jnp.concatenate([
+        out["luma_ac"].reshape(r, x, 16, 16),
+        out["cb_ac"].reshape(r, x, 4, 16),
+        out["cr_ac"].reshape(r, x, 4, 16),
+    ], axis=2)                          # (R, X, 24, 16)
+    flags = jnp.any(blocks != 0, axis=-1)
+    flat_flags = flags.reshape(-1)
+    nblk = flat_flags.shape[0]
+    dest = jnp.cumsum(flat_flags.astype(jnp.int32)) - 1
+    count = flat_flags.sum(dtype=jnp.int32)
+    idx = jnp.where(flat_flags, dest, nblk)
+    buffer = jnp.zeros((nblk, 16), jnp.int16).at[idx].set(
+        blocks.reshape(nblk, 16).astype(jnp.int16), mode="drop")
+    meta = jnp.concatenate([
+        jnp.concatenate([luma_dc, out["cb_dc"], out["cr_dc"]],
+                        axis=-1).reshape(r, x * IMB_META),
+        _flag_words(flags.reshape(r, x * BLOCKS_PER_MB)),
+    ], axis=1).astype(jnp.int16)
+    return (meta, count.reshape(1), buffer,
+            out["recon_y"], out["recon_u"], out["recon_v"])
+
+
+def unpack_sparse_iframe(meta_h: np.ndarray, blocks_h: np.ndarray,
+                         count: int, n_mbx: int) -> dict:
+    """Rebuild the dense entropy arrays for write_islice."""
+    r = meta_h.shape[0]
+    nbits = n_mbx * BLOCKS_PER_MB
+    nwords = (nbits + 15) // 16
+    meta = meta_h[:, : n_mbx * IMB_META].reshape(r, n_mbx, IMB_META)
+    words = meta_h[:, n_mbx * IMB_META: n_mbx * IMB_META + nwords]
+    bits = np.unpackbits(
+        words.astype(np.uint16).view(np.uint8), bitorder="little",
+        axis=1)[:, :nbits]
+    flags = bits.astype(bool).reshape(r, n_mbx, BLOCKS_PER_MB)
+    blocks = np.zeros((r, n_mbx, BLOCKS_PER_MB, 16), np.int16)
+    blocks[flags] = blocks_h[:count]
+    return {
+        "luma_dc": meta[..., :16],
+        "cb_dc": meta[..., 16:20],
+        "cr_dc": meta[..., 20:24],
+        "luma_ac": blocks[:, :, :16].reshape(r, n_mbx, 16, 16),
+        "cb_ac": blocks[:, :, 16:20].reshape(r, n_mbx, 4, 16),
+        "cr_ac": blocks[:, :, 20:24].reshape(r, n_mbx, 4, 16),
+    }
 
 
 def fetch_bucket(count: int, cap: int) -> int:
