@@ -38,12 +38,17 @@ MB_WORDS = MB_WORDS_MV + MB_WORDS_LUMA + 2 * (MB_WORDS_CDC + MB_WORDS_CAC)
 
 
 def _use_pallas_me() -> bool:
-    """Opt-in Pallas motion-search kernel (TPU only; bit-identical to the
-    XLA path — see ops.motion_pallas)."""
+    """Pallas motion-search kernel: default on TPU backends (bit-identical
+    to the XLA path — proven compiled, in-pipeline, and in interpret mode;
+    see ops.motion_pallas). VCP_PALLAS_ME=0 opts out; =1 forces on."""
     import os
     import jax as _jax
-    return (os.environ.get("VCP_PALLAS_ME") == "1"
-            and _jax.default_backend() not in ("cpu",))
+    val = os.environ.get("VCP_PALLAS_ME", "")
+    if val == "0":
+        return False
+    if val == "1":
+        return _jax.default_backend() not in ("cpu",)
+    return _jax.default_backend() not in ("cpu",)
 
 
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
@@ -55,7 +60,7 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
 
     if _use_pallas_me():
         from ...ops.motion_pallas import full_search_pallas
-        mv_full = full_search_pallas(cur_y, ref_y, sr, 4)
+        mv_full = full_search_pallas(cur_y, ref_y, sr, lam)
     else:
         mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam)
 

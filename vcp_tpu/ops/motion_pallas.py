@@ -31,8 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(cur_ref, ref_hbm, seg_ref, mv_ref, win_ref, cost_ref, best_ref,
-            sem, *, sr: int, lam: int, w: int, n_mbx: int, wpad: int):
+def _kernel(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref, cost_ref,
+            best_ref, sem, *, sr: int, w: int, n_mbx: int, wpad: int):
     i = pl.program_id(0)
     side = 2 * sr + 1
     rows = 16 + 2 * sr
@@ -47,6 +47,7 @@ def _kernel(cur_ref, ref_hbm, seg_ref, mv_ref, win_ref, cost_ref, best_ref,
 
     cur = cur_ref[:].astype(jnp.float32)            # (16, w)
     win = win_ref[:]                                 # (rows, wpad)
+    lam_f = lam_ref[0, 0].astype(jnp.float32)
 
     def body(o, _):
         dy = o // side
@@ -58,9 +59,13 @@ def _kernel(cur_ref, ref_hbm, seg_ref, mv_ref, win_ref, cost_ref, best_ref,
         window = shifted[:16, :w].astype(jnp.float32)
         diff = jnp.abs(cur - window)                 # VPU
         colsum = jnp.sum(diff, axis=0, keepdims=True)   # (1, w)
+        # HIGHEST precision: the MXU rounds f32 inputs to bf16 by default,
+        # and column sums need 12 mantissa bits — bf16 rounding flips
+        # argmin ties on smooth content vs the exact-integer XLA path.
         sad = jnp.dot(colsum, seg_ref[:],
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)  # (1, n_mbx)
-        cost = sad + float(lam) * abs(dx - sr) + float(lam) * abs(dy - sr)
+        cost = sad + lam_f * (abs(dx - sr) + abs(dy - sr))
         better = cost < cost_ref[:]
         cost_ref[:] = jnp.where(better, cost, cost_ref[:])
         best_ref[:] = jnp.where(better, o, best_ref[:])
@@ -75,10 +80,11 @@ def _kernel(cur_ref, ref_hbm, seg_ref, mv_ref, win_ref, cost_ref, best_ref,
     mv_ref[0, 1, :] = (best % side - sr)[0, :]       # dx
 
 
-def full_search_pallas(cur, ref, search_range: int, lam: int = 4,
+def full_search_pallas(cur, ref, search_range: int, lam=4,
                        interpret: bool = False):
     """Drop-in replacement for motion.full_search (returns mv (nMBy,
-    nMBx, 2) [dy, dx], bit-identical to the XLA version)."""
+    nMBx, 2) [dy, dx], bit-identical to the XLA version). ``lam`` may be
+    a traced scalar (rate-control lambda); it rides in SMEM."""
     sr = int(search_range)
     h, w = cur.shape
     n_mby, n_mbx = h // 16, w // 16
@@ -89,8 +95,8 @@ def full_search_pallas(cur, ref, search_range: int, lam: int = 4,
     # segment-sum matrix: (w, n_mbx), S[c, m] = 1 iff c // 16 == m
     cols = np.arange(w)
     seg = (cols[:, None] // 16 == np.arange(n_mbx)[None, :]).astype(np.float32)
-    kernel = functools.partial(_kernel, sr=sr, lam=int(lam), w=w,
-                               n_mbx=n_mbx, wpad=wpad)
+    kernel = functools.partial(_kernel, sr=sr, w=w, n_mbx=n_mbx, wpad=wpad)
+    lam_arr = jnp.asarray(lam, jnp.int32).reshape(1, 1)
     mv2 = pl.pallas_call(
         kernel,
         grid=(n_mby,),
@@ -100,6 +106,8 @@ def full_search_pallas(cur, ref, search_range: int, lam: int = 4,
             pl.BlockSpec(memory_space=pl.ANY),         # padded ref, DMA'd
             pl.BlockSpec((w, n_mbx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, n_mbx), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -111,5 +119,6 @@ def full_search_pallas(cur, ref, search_range: int, lam: int = 4,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(jnp.asarray(cur).astype(jnp.int32), ref_pad, jnp.asarray(seg))
+    )(jnp.asarray(cur).astype(jnp.int32), ref_pad, jnp.asarray(seg),
+      lam_arr)
     return jnp.stack([mv2[:, 0], mv2[:, 1]], axis=-1)
