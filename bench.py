@@ -18,7 +18,11 @@ import time
 import numpy as np
 
 BASELINE_FPS = 60.0
-W, H, FPS = 1920, 1080, 30
+if os.environ.get("BENCH_RES", "1080p") == "4k":
+    W, H = 3840, 2160          # BASELINE configs[3]: 4K tiled search
+else:
+    W, H = 1920, 1080
+FPS = 30
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
 QP = int(os.environ.get("BENCH_QP", "28"))
 
@@ -71,8 +75,9 @@ def main() -> None:
     dt = time.monotonic() - t0
     fps = streams * N_FRAMES / dt
 
+    res = "4k" if H == 2160 else "1080p"
     print(json.dumps({
-        "metric": "h264_1080p_encode_fps_per_chip",
+        "metric": f"h264_{res}_encode_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -8,9 +8,10 @@ internal/config/config.go:44-52). Per frame:
   host:         CAVLC slice writing (Python reference or C++ fast path)
   host:         MP4 mux with faststart (vcp_tpu.codec.mp4)
 
-Round-1 toolset: IDR intra frames (PCM row 0 + I16x16-V rows, see
-frame_ops), fixed-QP rate control mapped from -crf / -b:v. P-frames land
-in frame_ops/pframe next.
+Toolset: IDR intra frames (PCM row 0 + I16x16-V rows, frame_ops),
+quarter-pel P frames (pframe/gop_ops, GOP-resident device scan),
+CRF/ABR rate control with per-GOP traced QP, scene-cut IDR placement,
+optional in-loop deblocking, AAC audio passthrough.
 """
 
 from __future__ import annotations

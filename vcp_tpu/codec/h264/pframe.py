@@ -6,9 +6,10 @@ compensation, transform, quantization, reconstruction — is one fully
 parallel jitted device step (no wavefront). Entropy (mb_skip_run, mvd,
 CBP, CAVLC residuals) and MV median prediction stay on host.
 
-Round-1 toolset: P_L0_16x16 partitions, one reference, full-pel MVs
-(quarter-pel interpolation is a planned kernel), P_Skip, CBP-gated
-residuals. Spec refs: 8.4.1.1/8.4.1.3 (MV prediction), 9.2, 7.3.5.
+Toolset: P_L0_16x16 partitions, one reference, quarter-pel MVs (6-tap
+half-pel + quarter averaging, effort-gated), P_Skip, CBP-gated residuals,
+optional in-loop deblocking. Spec refs: 8.4.1.1/8.4.1.3 (MV prediction),
+8.4.2.2 (interpolation), 9.2, 7.3.5.
 """
 
 from __future__ import annotations

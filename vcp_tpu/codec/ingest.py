@@ -1,4 +1,4 @@
-"""Input ingestion: raw Y4M or MP4(H.264) → YUV420 frames.
+"""Input ingestion: raw Y4M, MP4(H.264) or MKV(H.264) → YUV420 frames.
 
 The decode half of SURVEY.md §2.5's demux/decode layer. MP4 inputs are
 demuxed natively (codec.mp4.Mp4Demuxer) and decoded with the in-repo

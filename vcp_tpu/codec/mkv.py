@@ -8,8 +8,8 @@ BlockGroup), extracts the codec private data (avcC for V_MPEG4/ISO/AVC)
 and per-frame length-prefixed samples with timestamps + keyframe flags —
 exactly what codec.mp4.Mp4Writer needs.
 
-Scope: video track remux (H.264). Audio tracks are skipped with a log
-note (AAC re-encode lands with the audio milestone).
+Scope: H.264 video track remux + A_AAC audio track demux (passthrough
+into MP4 via codec.audio).
 """
 
 from __future__ import annotations
