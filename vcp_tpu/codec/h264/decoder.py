@@ -24,10 +24,9 @@ from . import headers as H
 from .cavlc import decode_residual_block
 from .entropy import CHROMA_BLK_ORDER, MB_TYPE_I_PCM
 from .frame_ops import LUMA_BLK_ORDER
-from .tables import CBP_TABLE, ZIGZAG_4x4
+from .tables import ZIGZAG_4x4
 
 _ZZ = np.array(ZIGZAG_4x4)
-_INV_ZZ = np.argsort(_ZZ)
 
 
 def unzigzag(levels16) -> np.ndarray:

@@ -17,7 +17,6 @@ optional in-loop deblocking, AAC audio passthrough.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 import time
 
@@ -25,7 +24,6 @@ import numpy as np
 
 from .. import mp4 as mp4mod
 from ..args import EncodeParams
-from ..y4m import read_y4m
 from ...logging import new_logger
 from ...ops.transform import chroma_qp
 from . import entropy, frame_ops, headers
@@ -92,11 +90,6 @@ class H264Encoder:
 
     def headers_annexb(self) -> bytes:
         return headers.write_sps(self.sp) + headers.write_pps(self.pp)
-
-    def sps_rbsp(self) -> bytes:
-        from ...utils.bitstream import emulation_remove
-        nal = headers.write_sps(self.sp)
-        return nal[5:]  # strip 4-byte start code + header… see sps_pps_raw
 
     def sps_pps_raw(self) -> tuple[bytes, bytes]:
         """(sps, pps) NAL payloads incl. the NAL header byte, for avcC."""

@@ -21,13 +21,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...ops import motion as mops
 from ...ops import transform as tf
 from ...utils.bitstream import BitWriter, nal_unit
 from . import headers as H
 from .cavlc import decode_residual_block, encode_residual_block
 from .entropy import CHROMA_BLK_ORDER, NzContext
-from .frame_ops import LUMA_BLK_ORDER, _zigzag
+from .frame_ops import LUMA_BLK_ORDER
 from .decoder import unzigzag
 from .tables import CBP_INTER_TO_CODE, CBP_TABLE
 

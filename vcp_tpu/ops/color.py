@@ -12,8 +12,6 @@ Layouts:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

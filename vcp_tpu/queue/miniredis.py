@@ -23,7 +23,7 @@ import socket
 import socketserver
 import threading
 import time
-from typing import Any
+from typing import Any  # noqa: F401 (used in annotations)
 
 
 def _now_ms() -> int:
