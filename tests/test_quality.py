@@ -1,0 +1,51 @@
+"""Quality metric tests (PSNR/SSIM + stream comparator)."""
+
+import numpy as np
+import pytest
+
+from vcp_tpu.quality import compare_streams, psnr, ssim
+
+from video_util import synth_video
+
+
+def test_identity_metrics():
+    x = np.random.default_rng(0).integers(0, 256, (64, 64)).astype(np.uint8)
+    assert psnr(x, x) == 99.0
+    assert ssim(x, x) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_metrics_degrade_with_noise():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    small = np.clip(x + rng.integers(-2, 3, x.shape), 0, 255).astype(np.uint8)
+    big = np.clip(x + rng.integers(-25, 26, x.shape), 0, 255).astype(np.uint8)
+    assert psnr(x, small) > psnr(x, big) > 15
+    assert 1 > ssim(x, small) > ssim(x, big) > 0
+
+
+def test_compare_streams_encode_ladder(tmp_path):
+    from vcp_tpu.codec.y4m import write_y4m
+    from vcp_tpu.codec.args import parse_encode_args
+    from vcp_tpu.codec.h264.encoder import encode_file
+    frames = synth_video(64, 48, 4)
+    ref = str(tmp_path / "ref.y4m")
+    write_y4m(ref, frames, fps_num=30)
+    q = {}
+    for crf in (20, 40):
+        out = str(tmp_path / f"q{crf}.mp4")
+        encode_file(ref, out, parse_encode_args(f"-c:v libx264 -crf {crf} -g 4"))
+        q[crf] = compare_streams(ref, out)
+        assert q[crf].frames == 4
+    assert q[20].psnr_y > q[40].psnr_y
+    assert q[20].ssim_y > q[40].ssim_y
+    assert q[20].ssim_y > 0.95
+
+
+def test_compare_streams_size_mismatch(tmp_path):
+    from vcp_tpu.codec.y4m import write_y4m
+    a = str(tmp_path / "a.y4m")
+    b = str(tmp_path / "b.y4m")
+    write_y4m(a, synth_video(64, 48, 2))
+    write_y4m(b, synth_video(32, 32, 2))
+    with pytest.raises(ValueError):
+        compare_streams(a, b)

@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--host", default="127.0.0.1")
     r.add_argument("--port", type=int, default=6379)
 
+    # quality (new: objective metrics between two videos)
+    q = sub.add_parser("quality", help="PSNR/SSIM between two videos")
+    q.add_argument("reference")
+    q.add_argument("test")
+    q.add_argument("--frames", type=int, default=0,
+                   help="limit compared frames (0 = all)")
+
     # encode (new: one-shot in-process encode)
     e = sub.add_parser("encode", help="encode one file in-process")
     _add_common(e)
@@ -152,7 +159,7 @@ def _main(argv: list[str] | None = None) -> int:
     if args.command in ("consumer", "encode"):
         _enable_jit_cache()
 
-    cfg = load_config(args.config or None)
+    cfg = load_config(getattr(args, "config", "") or None)
     if getattr(args, "log_level", ""):
         set_log_level(args.log_level)
     if getattr(args, "redis", ""):
@@ -197,6 +204,17 @@ def _main(argv: list[str] | None = None) -> int:
         from .pipeline.clean import run_clean
         return run_clean(cfg, clean_all=args.clean_all, pending=args.pending,
                          consumed=args.consumed, force=args.force)
+
+    if args.command == "quality":
+        from .quality import compare_streams
+        r = compare_streams(args.reference, args.test,
+                            args.frames or None)
+        print(f"frames={r.frames} psnr_y={r.psnr_y:.2f}dB "
+              f"(min {r.psnr_min:.2f}) ssim_y={r.ssim_y:.4f}")
+        if r.ref_frames != r.test_frames:
+            print(f"note: frame count mismatch "
+                  f"(ref>{r.frames} or test>{r.frames})")
+        return 0
 
     if args.command == "encode":
         from .pipeline import executor

@@ -82,6 +82,17 @@ class H264Decoder:
             self._decode_nal(nal)
         return self.frames
 
+    @staticmethod
+    def _cpu_device():
+        """The decoder's per-MB math is tiny; on tunneled-TPU deployments
+        each eager jnp op would pay a network round trip, so decoding is
+        pinned to the host CPU backend."""
+        import jax
+        try:
+            return jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return None
+
     def _decode_nal(self, nal: bytes) -> None:
         nal_type = nal[0] & 0x1F
         rbsp = emulation_remove(nal[1:])
@@ -90,7 +101,13 @@ class H264Decoder:
         elif nal_type == H.NAL_PPS:
             self.pp = H.parse_pps(rbsp)
         elif nal_type in (H.NAL_SLICE_IDR, H.NAL_SLICE_NONIDR):
-            self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR)
+            import jax
+            cpu = self._cpu_device()
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR)
+            else:
+                self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR)
 
     # -- slice ----------------------------------------------------------
     def _decode_slice(self, rbsp: bytes, is_idr: bool) -> None:
