@@ -8,16 +8,19 @@ from vcp_tpu.codec.mp4 import (
     Mp4Writer, Sample, VideoTrack, annexb_to_length_prefixed, probe,
     split_annexb, verify_video_file)
 
-# Minimal syntactically-plausible SPS/PPS payloads (content is irrelevant
-# for container tests; profile/level bytes feed avcC).
-FAKE_SPS = bytes([0x67, 0x42, 0xC0, 0x1E]) + b"\x8c\x8d\x40\x50\x1e\x90"
-FAKE_PPS = bytes([0x68, 0xCE, 0x3C, 0x80])
+def real_sps_pps(width, height):
+    """Genuine SPS/PPS from the encoder's header writer (the deepened
+    verify parses them and cross-checks dimensions)."""
+    from vcp_tpu.codec.h264 import headers as H
+    sp = H.SeqParams(width=width, height=height)
+    return H.write_sps(sp)[4:], H.write_pps(H.PicParams())[4:]
 
 
 def make_test_mp4(path, n_samples=5, faststart=True, width=64, height=48):
+    sps, pps = real_sps_pps(width, height)
     w = Mp4Writer()
     tr = VideoTrack(codec="h264", width=width, height=height, timescale=30000,
-                    sps=[FAKE_SPS], pps=[FAKE_PPS])
+                    sps=[sps], pps=[pps])
     for i in range(n_samples):
         nal = bytes([0x65 if i == 0 else 0x41]) + bytes(20 + i)
         tr.samples.append(Sample(
@@ -81,3 +84,20 @@ def test_writer_requires_sps():
     w.add_track(tr)
     with pytest.raises(Exception):
         w.write("/tmp/never.mp4")
+
+
+def test_verify_checks_codec_config(tmp_path):
+    """The deepened verify rejects avc1 tracks whose SPS contradicts the
+    container geometry."""
+    p = str(tmp_path / "lie.mp4")
+    sps, pps = real_sps_pps(128, 128)       # SPS says 128x128
+    w = Mp4Writer()
+    tr = VideoTrack(codec="h264", width=64, height=48, timescale=30000,
+                    sps=[sps], pps=[pps])
+    nal = bytes([0x65]) + bytes(20)
+    tr.samples.append(Sample(data=struct.pack(">I", len(nal)) + nal,
+                             duration=1000))
+    w.add_track(tr)
+    w.write(p)
+    ok, reason = verify_video_file(p)
+    assert not ok and "SPS dims" in reason

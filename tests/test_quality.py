@@ -49,3 +49,15 @@ def test_compare_streams_size_mismatch(tmp_path):
     write_y4m(b, synth_video(32, 32, 2))
     with pytest.raises(ValueError):
         compare_streams(a, b)
+
+
+def test_quality_cli(tmp_path, capsys):
+    from vcp_tpu.cli import main
+    from vcp_tpu.codec.y4m import write_y4m
+    frames = synth_video(48, 48, 2)
+    a = str(tmp_path / "a.y4m")
+    write_y4m(a, frames)
+    rc = main(["quality", a, a])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "psnr_y=99.00dB" in out and "ssim_y=1.0000" in out

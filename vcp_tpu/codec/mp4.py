@@ -163,8 +163,9 @@ def probe(path: str) -> ProbeResult:
 
 def verify_video_file(path: str) -> tuple[bool, str]:
     """Output verification replacing the reference's ffprobe exec
-    (ref consumer.go:396-419): file non-empty + contains a video stream.
-    Returns (ok, reason)."""
+    (ref consumer.go:396-419): file non-empty + contains a video stream;
+    for H.264 tracks the codec config (avcC + SPS) must parse and agree
+    with the container dimensions. Returns (ok, reason)."""
     import os
     try:
         if os.path.getsize(path) == 0:
@@ -179,6 +180,23 @@ def verify_video_file(path: str) -> tuple[bool, str]:
         return False, "no moov/tracks found"
     if not r.has_video:
         return False, "no video stream"
+    v = r.video
+    if v.codec == "avc1":
+        try:
+            demux = Mp4Demuxer(path)
+            t = demux.video
+            if not t.sps or not t.pps:
+                return False, "avc1 track missing SPS/PPS"
+            from .h264 import headers as _h
+            from ..utils.bitstream import emulation_remove
+            sp = _h.parse_sps(emulation_remove(t.sps[0][1:]))
+            if (sp.width, sp.height) != (t.width, t.height) and t.width:
+                return False, (f"SPS dims {sp.width}x{sp.height} != "
+                               f"container {t.width}x{t.height}")
+            if t.sample_count == 0:
+                return False, "video track has no samples"
+        except Exception as e:
+            return False, f"codec config invalid: {e}"
     return True, ""
 
 
