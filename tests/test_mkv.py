@@ -132,3 +132,62 @@ def test_ingest_decodes_mkv(mkv_file):
     decoded = list(vid.frames)
     assert len(decoded) == 5
     assert psnr(decoded[2][0], frames[2][0]) > 30
+
+
+def _audio_track_entry():
+    asc = bytes([0x11, 0x90])
+    audio = (_el(mkvmod.SAMPLING_FREQUENCY, struct.pack(">f", 48000.0))
+             + _uint(mkvmod.CHANNELS, 2))
+    return (_uint(mkvmod.TRACK_NUMBER, 2)
+            + _uint(mkvmod.TRACK_TYPE, 2)
+            + _el(mkvmod.CODEC_ID, b"A_AAC")
+            + _el(mkvmod.CODEC_PRIVATE, asc)
+            + _el(mkvmod.AUDIO, audio))
+
+
+def test_remux_carries_aac_audio(tmp_path):
+    """MKV with video + A_AAC audio → MP4 with both tracks, audio
+    byte-exact."""
+    frames = synth_video(64, 48, 3)
+    cfg = EncoderConfig(width=64, height=48, qp=28, gop_size=3, effort=2)
+    sps, pps, samples = encode_stream(iter(frames), cfg)
+    rng = np.random.default_rng(5)
+    aac = [rng.integers(0, 256, 150, dtype=np.uint8).tobytes()
+           for _ in range(4)]
+
+    # hand-build the mkv with two tracks
+    avcc = bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+    avcc += struct.pack(">H", len(sps)) + sps
+    avcc += bytes([1]) + struct.pack(">H", len(pps)) + pps
+    video = _uint(mkvmod.PIXEL_WIDTH, 64) + _uint(mkvmod.PIXEL_HEIGHT, 48)
+    ventry = (_uint(mkvmod.TRACK_NUMBER, 1) + _uint(mkvmod.TRACK_TYPE, 1)
+              + _el(mkvmod.CODEC_ID, b"V_MPEG4/ISO/AVC")
+              + _uint(mkvmod.DEFAULT_DURATION, 33_333_333)
+              + _el(mkvmod.CODEC_PRIVATE, avcc) + _el(mkvmod.VIDEO, video))
+    tracks = _el(mkvmod.TRACKS, _el(mkvmod.TRACK_ENTRY, ventry)
+                 + _el(mkvmod.TRACK_ENTRY, _audio_track_entry()))
+    info = _el(mkvmod.INFO, _uint(mkvmod.TIMESTAMP_SCALE, 1_000_000))
+    blocks = b""
+    for i, (au, key) in enumerate(samples):
+        data = m.annexb_to_length_prefixed(au)
+        hdr = bytes([0x81]) + struct.pack(">h", i * 33) + \
+            bytes([0x80 if key else 0])
+        blocks += _el(mkvmod.SIMPLE_BLOCK, hdr + data)
+    for i, frame in enumerate(aac):
+        hdr = bytes([0x82]) + struct.pack(">h", i * 21) + bytes([0x80])
+        blocks += _el(mkvmod.SIMPLE_BLOCK, hdr + frame)
+    cluster = _el(mkvmod.CLUSTER, _uint(mkvmod.CLUSTER_TIMESTAMP, 0) + blocks)
+    path = str(tmp_path / "av.mkv")
+    with open(path, "wb") as fh:
+        fh.write(_el(mkvmod.EBML_HEADER, b"") +
+                 _el(mkvmod.SEGMENT, info + tracks + cluster))
+
+    out = str(tmp_path / "av.mp4")
+    mkvmod.remux_to_mp4(path, out)
+    d = m.Mp4Demuxer(out)
+    assert d.video is not None and d.video.sample_count == 3
+    a = d.audio
+    assert a is not None and a.sample_rate == 48000 and a.channels == 2
+    assert a.sample_count == 4
+    for i, frame in enumerate(aac):
+        assert d.sample(a, i) == frame

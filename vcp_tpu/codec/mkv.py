@@ -265,5 +265,18 @@ def remux_to_mp4(input_path: str, output_path: str,
                                       is_sync=smp.keyframe))
     w = m.Mp4Writer()
     w.add_track(track)
+
+    # AAC audio passthrough (byte-exact; -c copy covers all tracks)
+    a = demux.audio
+    if a is not None and a.codec_id.startswith("A_AAC") and a.samples:
+        rate = a.sample_rate or 48000
+        atr = m.AudioTrack(codec="aac", sample_rate=rate,
+                           channels=a.channels or 2, timescale=rate,
+                           decoder_config=a.codec_private)
+        for smp in sorted(a.samples, key=lambda x: x.timestamp_ns):
+            atr.samples.append(m.Sample(data=smp.data, duration=1024,
+                                        is_sync=True))
+        w.add_track(atr)
+
     w.write(output_path, faststart=faststart)
     return os.path.getsize(output_path)
