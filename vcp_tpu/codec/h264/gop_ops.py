@@ -51,6 +51,40 @@ def _use_pallas_me() -> bool:
     return _jax.default_backend() not in ("cpu",)
 
 
+# x264-style decimation weights: an isolated ±1 coefficient preceded by
+# `run` zeros contributes tab[min(run, 7)]; blocks whose total falls below
+# the threshold cost more bits than the distortion they remove.
+_DECIMATE_TAB = np.array([3, 2, 2, 1, 1, 1, 0, 0], np.int32)
+DECIMATE_THRESHOLD = 6     # whole-MB threshold (x264's p-skip decimation)
+
+
+def decimate_keep_mask(z_zz):
+    """Per-MB keep mask for zig-zag level arrays (..., 16 blocks, 16).
+
+    An entire macroblock's luma residual is dropped when every |level|
+    <= 1 and the summed decimate score (position-run weighted count of
+    the ±1s, x264's dead-MB heuristic) stays below threshold — i.e. the
+    residual is isolated noise cheaper to drop than to code. Applied
+    identically to entropy input and reconstruction, so it is simply a
+    sharper quantizer — no encoder/decoder mismatch possible.
+    Returns (..., ) bool per MB (leading dims of z_zz minus two).
+    """
+    a = jnp.abs(z_zz.astype(jnp.int32))
+    nz = a > 0
+    big = jnp.any(a > 1, axis=(-1, -2))
+    idx = jnp.arange(z_zz.shape[-1], dtype=jnp.int32)
+    marked = jnp.where(nz, idx, -1)
+    prev = jax.lax.associative_scan(jnp.maximum, marked, axis=-1)
+    # gap of zeros immediately before each nonzero
+    prev_before = jnp.concatenate(
+        [jnp.full(marked.shape[:-1] + (1,), -1, jnp.int32),
+         prev[..., :-1]], axis=-1)
+    gap = jnp.clip(idx - prev_before - 1, 0, 7)
+    score = jnp.sum(jnp.where(nz, jnp.asarray(_DECIMATE_TAB)[gap], 0),
+                    axis=(-1, -2))
+    return big | (score >= DECIMATE_THRESHOLD)
+
+
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
            subpel: bool = True, deblock: bool = False):
     """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes).
@@ -77,11 +111,19 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         pred_y = mops.mc_luma(ref_y, mv_full, sr)
     coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
     z = tf.quant4(coef, qp, intra=False)
-    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
-                       0, 255)
     zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
     by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
-    z_luma = _zigzag(zb[:, :, by, bx]).reshape(n_mby, n_mbx, 256)
+    z_zz = _zigzag(zb[:, :, by, bx])                 # (nMBy, nMBx, 16, 16)
+
+    # dead-MB decimation (applies to entropy AND recon identically)
+    keep = decimate_keep_mask(z_zz)                  # (nMBy, nMBx)
+    z_zz = z_zz * keep[..., None, None]
+    keep_grid = jnp.repeat(jnp.repeat(keep, 4, axis=0), 4, axis=1)
+    z = z * keep_grid[..., None, None]
+
+    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
+                       0, 255)
+    z_luma = z_zz.reshape(n_mby, n_mbx, 256)
 
     def chroma(cur, ref):
         hc, wc = cur.shape
