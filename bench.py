@@ -25,6 +25,7 @@ else:
 FPS = 30
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
 QP = int(os.environ.get("BENCH_QP", "28"))
+EFFORT = int(os.environ.get("BENCH_EFFORT", "4"))   # >=5 enables subpel
 
 
 def synth(w, h, n):
@@ -58,7 +59,7 @@ def main() -> None:
     streams = int(os.environ.get("BENCH_STREAMS", "2"))
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,
-                        gop_size=FPS, effort=4)
+                        gop_size=FPS, effort=EFFORT)
 
     # warmup: compile the I path and all P chunk sizes (8+4+2+1)
     enc = H264Encoder(cfg)
