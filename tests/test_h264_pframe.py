@@ -125,3 +125,40 @@ def test_subpel_closed_loop_exact_effort5():
         enc2.encode_frame(*f)
     assert np.any(np.asarray(enc2._last_p_data["mv"]) % 4 != 0) or \
         np.any(np.asarray(enc2._last_p_data["mv"]) % 2 != 0)
+
+def test_refine_half_stays_near_base_and_improves():
+    """Regression: refine_half once walked its candidate bookkeeping away
+    from the full-pel base while gathering predictions AT the base, so it
+    assigned MVs whose prediction it never evaluated (recon dropped ~5 dB
+    at medium preset). Pin both properties: (a) the refined MV is within
+    one half-step of the full-pel optimum, (b) on true half-pel motion the
+    chosen prediction SAD is no worse than full-pel's."""
+    import jax.numpy as jnp
+    from vcp_tpu.ops import motion as mops
+
+    rng = np.random.default_rng(11)
+    h, w = 96, 128
+    hi = rng.normal(128, 50, (2 * h, 2 * w + 4))
+    k = np.ones(5) / 5
+    for ax in (0, 1):
+        hi = np.apply_along_axis(lambda a: np.convolve(a, k, "same"), ax, hi)
+    ref = np.clip(hi[0::2, 0:2 * w:2], 0, 255).astype(np.int32)
+    cur = np.clip(hi[0::2, 1:1 + 2 * w:2], 0, 255).astype(np.int32)
+
+    sr, lam = 4, 16
+    pad = sr + 6
+    margin = pad - 3
+    planes = jnp.stack(mops.half_planes(
+        jnp.pad(jnp.asarray(ref), pad, mode="edge")))
+    mv_full, _ = mops.full_search(jnp.asarray(cur), jnp.asarray(ref), sr, lam)
+    mvq = np.asarray(mops.refine_half(jnp.asarray(cur), planes,
+                                      mv_full, lam, margin))
+    assert np.all(np.abs(mvq - np.asarray(mv_full) * 4) <= 2)
+
+    def sad(m):
+        pred = np.asarray(mops.mc_luma_q(planes, jnp.asarray(m), margin))
+        return np.abs(pred - cur).sum()
+
+    assert sad(mvq) <= sad(np.asarray(mv_full) * 4)
+    # content shifts by exactly half a pel: most MBs should pick dx frac 2
+    assert (mvq[..., 1] % 4 == 2).mean() > 0.5

@@ -36,7 +36,9 @@ def test_two_producers_mixed_presets_four_consumers(redis_address, tmp_path):
         cfg.producer.ffmpeg_args = preset_args
         cfg.producer.watch_mode = "all"
         cfg.consumer.file_wait_timeout = 5.0
-        cfg.consumer.ffmpeg_timeout = 120.0
+        # generous: first-compile of the encoder geometry under full-suite
+        # CPU contention can exceed two minutes
+        cfg.consumer.ffmpeg_timeout = 600.0
         return cfg
 
     # producer 0: copy preset over mp4 inputs
@@ -68,7 +70,7 @@ def test_two_producers_mixed_presets_four_consumers(redis_address, tmp_path):
     try:
         assert wait_until(
             lambda: sum(c.counters.succeeded for c in consumers) >= 5,
-            timeout=180), [c.counters.snapshot() for c in consumers]
+            timeout=600), [c.counters.snapshot() for c in consumers]
         # copy outputs byte-identical
         for name, data in originals.items():
             assert open(os.path.join(outdir, name), "rb").read() == data

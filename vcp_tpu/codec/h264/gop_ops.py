@@ -86,7 +86,7 @@ def decimate_keep_mask(z_zz):
 
 
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
-           subpel: bool = True, deblock: bool = False):
+           subpel: int = 1, deblock: bool = False):
     """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes).
     MVs are in QUARTER-pel units throughout."""
     h, w = cur_y.shape
@@ -103,7 +103,8 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         margin = pad - 3
         planes = jnp.stack(
             mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
-        mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin)
+        mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin,
+                                quarter=subpel >= 2)
         pred_y = mops.mc_luma_q(planes, mv, margin)
     else:
         # full-pel: no interpolated planes, plain gather MC
@@ -165,7 +166,7 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
 @functools.partial(jax.jit, static_argnums=(8, 10, 11))
 def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
                   qp, qpc, sr: int, lam, deblock: bool = False,
-                  subpel: bool = True):
+                  subpel: int = 1):
     """Encode N consecutive P frames in one device call.
 
     ys: (N, H, W) int32; refs: (H, W) int32 (previous recon).
@@ -221,7 +222,7 @@ def _flag_words(flags_f):
 def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
                          h: int, w: int, deblock: bool = False,
-                         subpel: bool = True):
+                         subpel: int = 1):
     """Sparse-output variant of encode_pchunk_packed."""
     packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
         buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel)
@@ -361,7 +362,7 @@ def unpack_sparse_chunk(meta_h: np.ndarray, blocks_h: np.ndarray,
 def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
                          h: int, w: int, deblock: bool = False,
-                         subpel: bool = True):
+                         subpel: int = 1):
     """encode_pchunk taking ONE packed uint8 planar buffer
     (N, h*w*3//2) — a single host→device transfer per chunk."""
     n = buf.shape[0]

@@ -38,10 +38,11 @@ def search_range_for_effort(effort: int) -> int:
     return (4, 4, 6, 8, 8, 12, 16, 16, 24, 24)[max(0, min(9, effort))]
 
 
-def subpel_for_effort(effort: int) -> bool:
-    """Quarter-pel refinement from p5/medium up (ffmpeg's subme scaling):
-    ~17 extra MC+SAD passes per frame buy ~+0.8 dB at equal rate."""
-    return effort >= 5
+def subpel_for_effort(effort: int) -> int:
+    """Sub-pel ME level per the ffmpeg subme ladder: 0 = full-pel
+    (p1-p4/fast), 1 = half-pel (p5-p6/medium — single-plane gathers,
+    near-free on TPU), 2 = quarter-pel (p7+/slow — 8 general MC passes)."""
+    return 0 if effort < 5 else (1 if effort < 7 else 2)
 
 
 def lam_for_qp(qp: int) -> int:
@@ -56,7 +57,7 @@ def lam_for_qp(qp: int) -> int:
 @functools.partial(jax.jit, static_argnums=(8, 10, 11))
 def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                           qp, qpc, sr: int, lam, deblock: bool = False,
-                          subpel: bool = True):
+                          subpel: int = 1):
     """Single-frame P step. Thin wrapper over gop_ops._pstep (the single
     source of truth for P-frame math). MVs in quarter-pel units."""
     from . import gop_ops
@@ -83,7 +84,7 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
 
 
 def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
-                  deblock: bool = False, subpel: bool = True):
+                  deblock: bool = False, subpel: int = 1):
     lam = lam_for_qp(qp)
     return _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                                  qp, qpc, search_range, lam, deblock,
