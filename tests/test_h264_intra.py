@@ -55,15 +55,20 @@ def test_intra_rate_scales_with_qp():
     assert sizes[18] > sizes[30] > sizes[42]
 
 
-def test_pcm_row_is_lossless():
-    w, h = 48, 48
-    enc, (y, u, v), au = encode_one(w, h, qp=40)
+def test_dc_row0_closed_loop_and_quality():
+    """MB row 0 is I16x16-DC (top unavailable; left-column fallback per
+    spec 8.3.3.3 / 8.3.4.2). The independent decoder must reproduce the
+    encoder recon exactly, including the sequential left-DC chain."""
+    w, h = 64, 48
+    enc, (y, u, v), au = encode_one(w, h, qp=28)
     dec = H264Decoder()
     f = dec.decode_annexb(enc.headers_annexb() + au)[0]
-    # MB row 0 is I_PCM: bit-exact
-    np.testing.assert_array_equal(f.y[:16], y[:16])
-    np.testing.assert_array_equal(f.u[:8], u[:8])
-    np.testing.assert_array_equal(f.v[:8], v[:8])
+    ry, ru, rv = (np.asarray(p) for p in enc.recon_planes)
+    np.testing.assert_array_equal(f.y, ry)
+    np.testing.assert_array_equal(f.u, ru)
+    np.testing.assert_array_equal(f.v, rv)
+    # row 0 is coded (lossy) but must still be decent at qp 28
+    assert psnr(f.y[:16], y[:16]) > 30
 
 
 def test_non_multiple_of_16_dimensions():

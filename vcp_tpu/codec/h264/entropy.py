@@ -2,8 +2,7 @@
 
 Semantic reference for the C++ fast path in ``vcp_tpu.native``. Consumes
 the device pipeline's zig-zag level arrays (vcp_tpu.codec.h264.frame_ops)
-plus source planes (for PCM row 0) and emits one complete slice NAL per
-frame.
+and emits one complete slice NAL per frame.
 
 Syntax per ITU-T H.264 7.3.5 (macroblock_layer), 7.4.5, 9.1-9.2.
 """
@@ -65,7 +64,7 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  idr_pic_id: int, qp: int, data: dict,
                  src_y: np.ndarray, src_u: np.ndarray,
                  src_v: np.ndarray, deblock: bool = False) -> bytes:
-    """Encode one IDR slice NAL. MB row 0 = I_PCM; rows 1.. = I16x16-V.
+    """Encode one IDR slice NAL. MB row 0 = I16x16-DC; rows 1.. = I16x16-V.
 
     Uses the C++ engine when available (bit-identical to the Python path,
     asserted by tests); falls back to Python."""
@@ -123,58 +122,40 @@ def _write_islice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     nz_cb = NzContext(2 * n_mby, 2 * n_mbx)
     nz_cr = NzContext(2 * n_mby, 2 * n_mbx)
 
-    luma_dc = data["luma_dc"]      # (n_mby-1, n_mbx, 16)
-    luma_ac = data["luma_ac"]      # (n_mby-1, n_mbx, 16, 16)
+    luma_dc = data["luma_dc"]      # (n_mby, n_mbx, 16)
+    luma_ac = data["luma_ac"]      # (n_mby, n_mbx, 16, 16)
     cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
     cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
 
     for mby in range(n_mby):
+        # row 0 has no top neighbors: DC luma + DC chroma; rows 1.. Vertical
+        pred_mode, chroma_mode = (2, 0) if mby == 0 else (0, 2)
         for mbx in range(n_mbx):
-            if mby == 0:
-                _write_pcm_mb(bw, mbx, mby, src_y, src_u, src_v,
-                              nz_y, nz_cb, nz_cr)
-                continue
-            r = mby - 1
             _write_i16_mb(
                 bw, mbx, mby,
-                luma_dc[r, mbx], luma_ac[r, mbx],
-                (cb_dc[r, mbx], cr_dc[r, mbx]),
-                (cb_ac[r, mbx], cr_ac[r, mbx]),
-                nz_y, nz_cb, nz_cr)
+                luma_dc[mby, mbx], luma_ac[mby, mbx],
+                (cb_dc[mby, mbx], cr_dc[mby, mbx]),
+                (cb_ac[mby, mbx], cr_ac[mby, mbx]),
+                nz_y, nz_cb, nz_cr,
+                pred_mode=pred_mode, chroma_mode=chroma_mode)
     bw.rbsp_trailing_bits()
     return nal_unit(H.NAL_SLICE_IDR, bw.to_bytes(), nal_ref_idc=3)
 
 
-def _write_pcm_mb(bw, mbx, mby, src_y, src_u, src_v, nz_y, nz_cb, nz_cr):
-    bw.ue(MB_TYPE_I_PCM)
-    bw.byte_align(0)               # pcm_alignment_zero_bit
-    y0, x0 = 16 * mby, 16 * mbx
-    bw.write_bytes(np.ascontiguousarray(
-        src_y[y0:y0 + 16, x0:x0 + 16], np.uint8).tobytes())
-    cy, cx = 8 * mby, 8 * mbx
-    bw.write_bytes(np.ascontiguousarray(
-        src_u[cy:cy + 8, cx:cx + 8], np.uint8).tobytes())
-    bw.write_bytes(np.ascontiguousarray(
-        src_v[cy:cy + 8, cx:cx + 8], np.uint8).tobytes())
-    # PCM blocks count as TotalCoeff 16 for nC prediction (spec 9.2.1).
-    nz_y.nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 16
-    nz_cb.nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
-    nz_cr.nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
-
-
 def _write_i16_mb(bw, mbx, mby, z_dc, z_ac, chroma_dc, chroma_ac,
-                  nz_y, nz_cb, nz_cr, slice_type_p: bool = False):
-    """Intra_16x16 vertical MB: mb_type, chroma mode V, qp_delta 0, residual."""
+                  nz_y, nz_cb, nz_cr, slice_type_p: bool = False,
+                  pred_mode: int = 0, chroma_mode: int = 2):
+    """Intra_16x16 MB: mb_type, chroma pred mode, qp_delta 0, residual."""
     cbp_luma15 = bool(np.any(z_ac[:, 1:]))
     any_cac = bool(np.any(chroma_ac[0][:, 1:])) or \
         bool(np.any(chroma_ac[1][:, 1:]))
     any_cdc = bool(np.any(chroma_dc[0])) or bool(np.any(chroma_dc[1]))
     cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
 
-    mb_type = _mb_i16_type(pred_mode=0, cbp_chroma=cbp_chroma,
+    mb_type = _mb_i16_type(pred_mode=pred_mode, cbp_chroma=cbp_chroma,
                            cbp_luma15=cbp_luma15)
     bw.ue(mb_type + (5 if slice_type_p else 0))
-    bw.ue(2)                       # intra_chroma_pred_mode = Vertical
+    bw.ue(chroma_mode)             # intra_chroma_pred_mode
     bw.se(0)                       # mb_qp_delta
     _write_i16_residual(bw, mbx, mby, z_dc, z_ac, chroma_dc, chroma_ac,
                         cbp_luma15, cbp_chroma, nz_y, nz_cb, nz_cr)

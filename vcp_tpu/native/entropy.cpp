@@ -193,20 +193,22 @@ int64_t vcp_escape(const uint8_t* in, int64_t n, uint8_t* out) {
     return o;
 }
 
-// I slice: MB row 0 = I_PCM, rows 1.. = Intra16x16 Vertical (chroma V).
-// Level arrays are the device outputs for rows 1.. (see frame_ops.py).
+// I slice: MB row 0 = Intra16x16 DC (chroma DC), rows 1.. = Intra16x16
+// Vertical (chroma V). Level arrays are the device outputs for ALL rows
+// (see frame_ops.py). src planes are unused (kept for ABI stability).
 // Returns RBSP length written into out, or -1 if out_cap too small.
 int64_t vcp_write_islice(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
     int frame_num, int idr_pic_id, int deblock_idc,
-    const int32_t* luma_dc,    // (n_mby-1, n_mbx, 16)
-    const int32_t* luma_ac,    // (n_mby-1, n_mbx, 16, 16)
-    const int32_t* cb_dc,      // (n_mby-1, n_mbx, 4)
-    const int32_t* cb_ac,      // (n_mby-1, n_mbx, 4, 16)
+    const int32_t* luma_dc,    // (n_mby, n_mbx, 16)
+    const int32_t* luma_ac,    // (n_mby, n_mbx, 16, 16)
+    const int32_t* cb_dc,      // (n_mby, n_mbx, 4)
+    const int32_t* cb_ac,      // (n_mby, n_mbx, 4, 16)
     const int32_t* cr_dc, const int32_t* cr_ac,
     const uint8_t* src_y, int y_stride,
     const uint8_t* src_u, const uint8_t* src_v, int c_stride,
     uint8_t* out, int64_t out_cap) {
+    (void)src_y; (void)y_stride; (void)src_u; (void)src_v; (void)c_stride;
     BitWriter bw;
     bw.buf.reserve((size_t)n_mby * n_mbx * 64);
     slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
@@ -216,29 +218,11 @@ int64_t vcp_write_islice(
         nz_cr(2 * n_mby, 2 * n_mbx);
 
     for (int mby = 0; mby < n_mby; mby++) {
+        // row 0 has no top neighbors: DC modes; rows 1..: Vertical
+        int pred_mode = (mby == 0) ? 2 : 0;
+        int chroma_mode = (mby == 0) ? 0 : 2;
         for (int mbx = 0; mbx < n_mbx; mbx++) {
-            if (mby == 0) {
-                // I_PCM
-                bw.ue(25);
-                bw.byte_align0();
-                for (int r = 0; r < 16; r++)
-                    bw.raw_bytes(src_y + (size_t)r * y_stride + 16 * mbx, 16);
-                for (int r = 0; r < 8; r++)
-                    bw.raw_bytes(src_u + (size_t)r * c_stride + 8 * mbx, 8);
-                for (int r = 0; r < 8; r++)
-                    bw.raw_bytes(src_v + (size_t)r * c_stride + 8 * mbx, 8);
-                for (int i = 0; i < 4; i++)
-                    for (int j = 0; j < 4; j++)
-                        nz_y.at(4 * mby + i, 4 * mbx + j) = 16;
-                for (int i = 0; i < 2; i++)
-                    for (int j = 0; j < 2; j++) {
-                        nz_cb.at(2 * mby + i, 2 * mbx + j) = 16;
-                        nz_cr.at(2 * mby + i, 2 * mbx + j) = 16;
-                    }
-                continue;
-            }
-            int r = mby - 1;
-            size_t mb = (size_t)r * n_mbx + mbx;
+            size_t mb = (size_t)mby * n_mbx + mbx;
             const int32_t* zdc = luma_dc + mb * 16;
             const int32_t* zac = luma_ac + mb * 256;
             const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
@@ -256,9 +240,10 @@ int64_t vcp_write_islice(
                         if (cac[c][blk * 16 + k]) any_cac = true;
             }
             int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
-            int mb_type = 1 + 0 + 4 * cbp_chroma + 12 * (cbp_luma15 ? 1 : 0);
+            int mb_type =
+                1 + pred_mode + 4 * cbp_chroma + 12 * (cbp_luma15 ? 1 : 0);
             bw.ue((uint32_t)mb_type);
-            bw.ue(2);   // intra_chroma_pred_mode = Vertical
+            bw.ue((uint32_t)chroma_mode);   // intra_chroma_pred_mode
             bw.se(0);   // mb_qp_delta
 
             // Intra16x16DCLevel
