@@ -56,10 +56,12 @@ def main() -> None:
     # Aggregate throughput with concurrent encode streams on one chip,
     # mirroring the deployment shape (`vcp consumer -j2`, the reference's
     # multi-node config, BASELINE.json configs[4]).
-    # -j4 deployment shape: host-side pack/entropy of one stream overlaps
-    # device compute + transfers of the others (throughput saturates at 4
-    # concurrent streams on the tunneled chip)
-    streams = int(os.environ.get("BENCH_STREAMS", "4"))
+    # -j4 deployment shape at 1080p: host-side pack/entropy of one stream
+    # overlaps device compute + transfers of the others (throughput
+    # saturates at 4 concurrent streams on the tunneled chip). 4K frames
+    # are 4x the memory; 2 streams avoids host/HBM pressure.
+    default_streams = "2" if H == 2160 else "4"
+    streams = int(os.environ.get("BENCH_STREAMS", default_streams))
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,
                         gop_size=FPS, effort=EFFORT)
