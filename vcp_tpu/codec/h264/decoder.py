@@ -265,15 +265,15 @@ class H264Decoder:
         y0, x0 = 16 * mby, 16 * mbx
         pred = self._intra16_pred(y, y0, x0, pred_mode)
         dc_blk = unzigzag(dc_zz)
-        dc_rec = np.asarray(tf.dequant_dc4(dc_blk[None], qp))[0]
+        dc_rec = tf.dequant_dc4_np(dc_blk[None], qp)[0]
         wq = np.zeros((16, 4, 4), np.int32)
         for blk in range(16):
             wq[blk] = unzigzag(ac[blk])
-        w_rec = np.array(tf.dequant4(wq, qp))
+        w_rec = tf.dequant4_np(wq, qp)
         for blk in range(16):
             oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
             w_rec[blk, 0, 0] = dc_rec[oy, ox]
-        res = np.asarray(tf.idct4(w_rec))
+        res = tf.idct4_np(w_rec)
         mb_rec = pred.astype(np.int64)
         for blk in range(16):
             oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
@@ -285,15 +285,15 @@ class H264Decoder:
             c0y, c0x = 8 * mby, 8 * mbx
             predc = self._chroma_pred(plane, c0y, c0x, chroma_mode)
             dc2 = cdc[c].reshape(2, 2)
-            dc2_rec = np.asarray(tf.dequant_dc2(dc2[None], qpc))[0]
+            dc2_rec = tf.dequant_dc2_np(dc2[None], qpc)[0]
             wqc = np.zeros((4, 4, 4), np.int32)
             for blk in range(4):
                 wqc[blk] = unzigzag(cac[c, blk])
-            wc_rec = np.array(tf.dequant4(wqc, qpc))
+            wc_rec = tf.dequant4_np(wqc, qpc)
             for blk in range(4):
                 oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
                 wc_rec[blk, 0, 0] = dc2_rec[oy, ox]
-            resc = np.asarray(tf.idct4(wc_rec))
+            resc = tf.idct4_np(wc_rec)
             rec = predc.astype(np.int64)
             for blk in range(4):
                 oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
@@ -382,13 +382,22 @@ class H264Decoder:
         ctx["qp_mb"][mby, mbx] = 0        # PCM participates in deblock at QP 0
 
     # -- inter MBs (filled in with the P-frame milestone) -----------------
+    def _ref_int32(self):
+        """int32 view of the reference planes, converted once per frame
+        (a per-MB astype would copy the full plane 8k times at 1080p)."""
+        if getattr(self, "_ref_i32_src", None) is not self.ref:
+            self._ref_i32 = tuple(p.astype(np.int32) for p in self.ref)
+            self._ref_i32_src = self.ref
+        return self._ref_i32
+
     def _decode_pskip(self, ctx, mbx, mby):
         from . import pframe
-        pframe.decode_pskip(self, ctx, mbx, mby, self.ref)
+        pframe.decode_pskip(self, ctx, mbx, mby, self._ref_int32())
 
     def _decode_inter_mb(self, ctx, mbx, mby, mb_type):
         from . import pframe
-        pframe.decode_inter_mb(self, ctx, mbx, mby, mb_type, self.ref)
+        pframe.decode_inter_mb(self, ctx, mbx, mby, mb_type,
+                               self._ref_int32())
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -370,27 +370,27 @@ def _recon_inter_mb(dec_ctx, mbx, mby, mv, ref, z_luma=None,
     c0y, c0x = 8 * mby, 8 * mbx
     mvx, mvy = mv
 
-    pred = _mc_luma_np(ref_y.astype(np.int32), y0, x0, mvy, mvx)
+    pred = _mc_luma_np(ref_y, y0, x0, mvy, mvx)
     if z_luma is not None:
         wq = np.stack([unzigzag(z_luma[blk]) for blk in range(16)])
-        res = np.asarray(tf.idct4(np.array(tf.dequant4(wq, qp))))
+        res = tf.idct4_np(tf.dequant4_np(wq, qp))
         for blk in range(16):
             oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
             pred[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += res[blk]
     y[y0:y0 + 16, x0:x0 + 16] = np.clip(pred, 0, 255)
 
     for ci, (plane, refc) in enumerate(((u, ref_u), (v, ref_v))):
-        predc = _mc_chroma_np(refc.astype(np.int32), c0y, c0x, mvy, mvx)
+        predc = _mc_chroma_np(refc, c0y, c0x, mvy, mvx)
         if chroma_dc is not None:
             dc2 = chroma_dc[ci].reshape(2, 2)
-            dc_rec = np.asarray(tf.dequant_dc2(dc2[None], qpc))[0]
+            dc_rec = tf.dequant_dc2_np(dc2[None], qpc)[0]
             wqc = np.stack([unzigzag(chroma_ac[ci][blk])
                             for blk in range(4)])
-            wc = np.array(tf.dequant4(wqc, qpc))
+            wc = tf.dequant4_np(wqc, qpc)
             for blk in range(4):
                 oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
                 wc[blk, 0, 0] = dc_rec[oy, ox]
-            resc = np.asarray(tf.idct4(wc))
+            resc = tf.idct4_np(wc)
             for blk in range(4):
                 oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
                 predc[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += resc[blk]
