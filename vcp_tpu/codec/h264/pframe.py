@@ -315,6 +315,11 @@ def _mc_luma_np(ref_y, y0, x0, mvq_y, mvq_x):
     h, w = ref_y.shape
     iy, ix = mvq_y >> 2, mvq_x >> 2
     fy, fx = mvq_y & 3, mvq_x & 3
+    if fy == 0 and fx == 0:
+        # full-pel: plain clamped gather, no interpolation planes
+        ys = np.clip(np.arange(y0 + iy, y0 + iy + 16), 0, h - 1)
+        xs = np.clip(np.arange(x0 + ix, x0 + ix + 16), 0, w - 1)
+        return ref_y[np.ix_(ys, xs)].astype(np.int64)
     # fetch a clamped (28, 28) region: MB 16 + one-sample case offsets +
     # filter margins (origin at base-6; planes align at region+3)
     ys = np.clip(np.arange(y0 + iy - 6, y0 + iy + 22), 0, h - 1)
@@ -343,6 +348,10 @@ def _mc_chroma_np(ref_c, c0y, c0x, mvq_y, mvq_x):
     hc, wc = ref_c.shape
     iy, ix = mvq_y >> 3, mvq_x >> 3
     fy, fx = mvq_y & 7, mvq_x & 7
+    if fy == 0 and fx == 0:
+        rows = np.clip(np.arange(c0y + iy, c0y + iy + 8), 0, hc - 1)
+        cols = np.clip(np.arange(c0x + ix, c0x + ix + 8), 0, wc - 1)
+        return ref_c[np.ix_(rows, cols)].astype(np.int64)
     base_r = np.arange(c0y + iy, c0y + iy + 8)
     base_c = np.arange(c0x + ix, c0x + ix + 8)
     # spec 8.4.2.2.2: each sample position is clipped independently from
