@@ -162,6 +162,19 @@ class H264Decoder:
                    nz_y=nz_y, nz_cb=nz_cb, nz_cr=nz_cr,
                    mvs=mvs, mv_valid=mv_valid, intra_mb=intra_mb,
                    qp_mb=qp_mb)
+        if is_p:
+            # P slices defer recon: parse fills these level arrays, then
+            # one vectorized pass reconstructs every inter MB at once
+            # (inter prediction reads only the reference frame, so order
+            # is irrelevant); queued intra MBs recon after, in raster
+            # order, once their inter neighbors are final.
+            ctx["p_z_luma"] = np.zeros(
+                (sp.mb_height, sp.mb_width, 16, 16), np.int32)
+            ctx["p_cdc"] = np.zeros(
+                (sp.mb_height, sp.mb_width, 2, 4), np.int32)
+            ctx["p_cac"] = np.zeros(
+                (sp.mb_height, sp.mb_width, 2, 4, 16), np.int32)
+            intra_queue: list = []
 
         n_mbs = sp.mb_width * sp.mb_height
         mb = 0
@@ -178,16 +191,25 @@ class H264Decoder:
                 mby, mbx = divmod(mb, sp.mb_width)
                 mb_type = br.ue()
                 if mb_type >= 5:
-                    self._decode_intra_mb(ctx, mbx, mby, mb_type - 5,
-                                          in_p_slice=True)
+                    if mb_type - 5 == MB_TYPE_I_PCM:
+                        self._decode_pcm(ctx, mbx, mby)
+                    else:
+                        parsed = self._parse_intra_mb(ctx, mbx, mby,
+                                                      mb_type - 5)
+                        intra_queue.append((mbx, mby, parsed))
                 else:
                     self._decode_inter_mb(ctx, mbx, mby, mb_type)
             else:
                 mby, mbx = divmod(mb, sp.mb_width)
                 mb_type = br.ue()
-                self._decode_intra_mb(ctx, mbx, mby, mb_type,
-                                      in_p_slice=False)
+                self._decode_intra_mb(ctx, mbx, mby, mb_type)
             mb += 1
+
+        if is_p:
+            from . import pframe
+            pframe.recon_p_frame(ctx, self._ref_int32())
+            for mbx, mby, parsed in intra_queue:
+                self._recon_intra_mb(ctx, mbx, mby, parsed)
 
         if deblock_idc != 1:
             from ...ops import deblock as dbf
@@ -207,11 +229,17 @@ class H264Decoder:
         self.frames.append(DecodedFrame(crop_y, crop_u, crop_v, is_idr))
 
     # -- intra MBs --------------------------------------------------------
-    def _decode_intra_mb(self, ctx, mbx, mby, mb_type, in_p_slice):
-        br = ctx["br"]
+    def _decode_intra_mb(self, ctx, mbx, mby, mb_type):
+        """Parse + immediately reconstruct (I slices decode in raster
+        order, so neighbors are always final)."""
         if mb_type == MB_TYPE_I_PCM:
             self._decode_pcm(ctx, mbx, mby)
             return
+        parsed = self._parse_intra_mb(ctx, mbx, mby, mb_type)
+        self._recon_intra_mb(ctx, mbx, mby, parsed)
+
+    def _parse_intra_mb(self, ctx, mbx, mby, mb_type):
+        br = ctx["br"]
         if mb_type == 0:
             raise DecodeError("I_4x4 unsupported")
         if not 1 <= mb_type <= 24:
@@ -222,8 +250,6 @@ class H264Decoder:
         cbp_luma = 15 if t >= 12 else 0
         chroma_mode = br.ue()
         br.se()                                   # mb_qp_delta (always 0 here)
-        qp = ctx["qp"]
-        qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
         ctx["intra_mb"][mby, mbx] = True
         ctx["mv_valid"][mby, mbx] = False
 
@@ -259,6 +285,16 @@ class H264Decoder:
                     cac[c, blk, 1:] = coeffs
                     total = int(np.count_nonzero(coeffs))
                 nzc.nz[by, bx] = total
+        return dict(pred_mode=pred_mode, chroma_mode=chroma_mode,
+                    dc_zz=dc_zz, ac=ac, cdc=cdc, cac=cac)
+
+    def _recon_intra_mb(self, ctx, mbx, mby, parsed):
+        pred_mode = parsed["pred_mode"]
+        chroma_mode = parsed["chroma_mode"]
+        dc_zz, ac = parsed["dc_zz"], parsed["ac"]
+        cdc, cac = parsed["cdc"], parsed["cac"]
+        qp = ctx["qp"]
+        qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
 
         # ---- luma recon
         y = ctx["y"]

@@ -407,10 +407,12 @@ def _recon_inter_mb(dec_ctx, mbx, mby, mv, ref, z_luma=None,
 
 
 def decode_pskip(dec, ctx, mbx, mby, ref):
+    """Parse-time half of a skipped MB: derive the skip MV and zero the
+    nC context. Reconstruction is deferred to recon_p_frame (inter recon
+    reads only the reference frame, so it is order-independent)."""
     sp = ctx["sp"]
     mvs, valid = ctx["mvs"], ctx["mv_valid"]
     mv = skip_mv(mvs, valid, mbx, mby, sp.mb_width)
-    _recon_inter_mb(ctx, mbx, mby, mv, ref)
     mvs[mby, mbx] = mv
     valid[mby, mbx] = True
     ctx["nz_y"].nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
@@ -419,6 +421,8 @@ def decode_pskip(dec, ctx, mbx, mby, ref):
 
 
 def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
+    """Parse-time half of a P_L0_16x16 MB: MVD + residual levels into the
+    per-frame defer arrays; recon happens vectorized in recon_p_frame."""
     from .decoder import DecodeError
     if mb_type != MB_TYPE_P16x16:
         raise DecodeError(f"P mb_type {mb_type} unsupported")
@@ -434,7 +438,7 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
         br.se()                          # mb_qp_delta (0 in our streams)
 
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-    z_luma = np.zeros((16, 16), np.int32)
+    z_luma = ctx["p_z_luma"][mby, mbx]
     nz_y = ctx["nz_y"]
     for blk in range(16):
         oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
@@ -445,8 +449,8 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
             z_luma[blk] = coeffs
             total = int(np.count_nonzero(coeffs))
         nz_y.nz[by, bx] = total
-    cdc = np.zeros((2, 4), np.int32)
-    cac = np.zeros((2, 4, 16), np.int32)
+    cdc = ctx["p_cdc"][mby, mbx]
+    cac = ctx["p_cac"][mby, mbx]
     if cbp_chroma:
         for c in range(2):
             cdc[c] = decode_residual_block(br, -1, 4)
@@ -461,6 +465,90 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
                 total = int(np.count_nonzero(coeffs))
             nzc.nz[by, bx] = total
 
-    _recon_inter_mb(ctx, mbx, mby, mv, ref, z_luma, cdc, cac)
     mvs[mby, mbx] = mv
     valid[mby, mbx] = True
+
+
+# raster (oy, ox) grid → coding-order block index, for scattering batched
+# residuals back into plane layout
+_BLK_GRID = np.zeros((4, 4), np.int64)
+_BLK_GRID[LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]] = np.arange(16)
+
+
+def recon_p_frame(ctx, ref):
+    """Vectorized reconstruction of all inter MBs of a P frame.
+
+    Inter prediction reads only the reference planes, so MB recon order
+    is irrelevant — one fancy-indexed MC gather + one batched
+    dequant/idct pass replaces ~8k per-MB python recons (the decode
+    bottleneck for MP4 transcode inputs). Sub-pel luma MBs fall back to
+    the per-MB 6-tap path; chroma bilinear vectorizes for every fraction.
+    Intra MBs (mv_valid False) are left untouched for the caller."""
+    from .tables import ZIGZAG_4x4
+    zz = np.asarray(ZIGZAG_4x4)
+
+    y, u, v = ctx["y"], ctx["u"], ctx["v"]
+    qp = ctx["qp"]
+    qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
+    ref_y, ref_u, ref_v = ref
+    inter = ctx["mv_valid"]
+    mvs = ctx["mvs"]
+    n_mby, n_mbx = mvs.shape[:2]
+    h, w = y.shape
+    hc, wc = u.shape
+    mvx, mvy = mvs[..., 0], mvs[..., 1]
+
+    # ---- luma prediction: full-pel gather + per-MB sub-pel fallback
+    dyf = np.repeat(np.repeat(mvy >> 2, 16, 0), 16, 1)
+    dxf = np.repeat(np.repeat(mvx >> 2, 16, 0), 16, 1)
+    rows = np.clip(np.arange(h)[:, None] + dyf, 0, h - 1)
+    cols = np.clip(np.arange(w)[None, :] + dxf, 0, w - 1)
+    pred = ref_y[rows, cols]                   # int32 (values fit easily)
+    for mby, mbx in np.argwhere(inter & (((mvx | mvy) & 3) != 0)):
+        pred[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+            _mc_luma_np(ref_y, 16 * mby, 16 * mbx,
+                        int(mvy[mby, mbx]), int(mvx[mby, mbx]))
+
+    # ---- luma residual: batch unzigzag → dequant → idct → plane
+    z = ctx["p_z_luma"]                        # (nMBy, nMBx, 16, 16)
+    wq_flat = np.zeros_like(z)
+    wq_flat[..., zz] = z
+    res = tf.idct4_np(tf.dequant4_np(
+        wq_flat.reshape(n_mby, n_mbx, 16, 4, 4), qp))
+    res_plane = res[:, :, _BLK_GRID].transpose(0, 2, 4, 1, 3, 5) \
+        .reshape(h, w)
+    mask = np.repeat(np.repeat(inter, 16, 0), 16, 1)
+    out_y = np.clip(pred + res_plane, 0, 255)
+    y[mask] = out_y[mask]
+
+    # ---- chroma: vectorized 1/8-pel bilinear for every fraction
+    dy8 = np.repeat(np.repeat(mvy >> 3, 8, 0), 8, 1)
+    dx8 = np.repeat(np.repeat(mvx >> 3, 8, 0), 8, 1)
+    fy8 = np.repeat(np.repeat(mvy & 7, 8, 0), 8, 1)
+    fx8 = np.repeat(np.repeat(mvx & 7, 8, 0), 8, 1)
+    base_r = np.arange(hc)[:, None] + dy8
+    base_c = np.arange(wc)[None, :] + dx8
+    r0 = np.clip(base_r, 0, hc - 1)
+    r1 = np.clip(base_r + 1, 0, hc - 1)
+    c0 = np.clip(base_c, 0, wc - 1)
+    c1 = np.clip(base_c + 1, 0, wc - 1)
+    cmask = np.repeat(np.repeat(inter, 8, 0), 8, 1)
+    for ci, (plane, refc) in enumerate(((u, ref_u), (v, ref_v))):
+        a = refc[r0, c0]                       # int32: weights*255 < 2^14
+        b = refc[r0, c1]
+        cc = refc[r1, c0]
+        d = refc[r1, c1]
+        predc = ((8 - fx8) * (8 - fy8) * a + fx8 * (8 - fy8) * b
+                 + (8 - fx8) * fy8 * cc + fx8 * fy8 * d + 32) >> 6
+        dc_rec = tf.dequant_dc2_np(
+            ctx["p_cdc"][:, :, ci].reshape(n_mby, n_mbx, 2, 2), qpc)
+        cac = ctx["p_cac"][:, :, ci]           # (nMBy, nMBx, 4, 16)
+        wc_flat = np.zeros_like(cac)
+        wc_flat[..., zz] = cac
+        wcq = tf.dequant4_np(wc_flat.reshape(n_mby, n_mbx, 4, 4, 4), qpc)
+        wcq[..., 0, 0] = dc_rec.reshape(n_mby, n_mbx, 4)
+        resc = tf.idct4_np(wcq)                # blocks in 2x2 raster
+        resc_plane = resc.reshape(n_mby, n_mbx, 2, 2, 4, 4) \
+            .transpose(0, 2, 4, 1, 3, 5).reshape(hc, wc)
+        outp = np.clip(predc + resc_plane, 0, 255)
+        plane[cmask] = outp[cmask]
