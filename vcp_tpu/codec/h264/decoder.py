@@ -175,6 +175,9 @@ class H264Decoder:
             ctx["p_cac"] = np.zeros(
                 (sp.mb_height, sp.mb_width, 2, 4, 16), np.int32)
             intra_queue: list = []
+        else:
+            i_rows: list = [[None] * sp.mb_width
+                            for _ in range(sp.mb_height)]
 
         n_mbs = sp.mb_width * sp.mb_height
         mb = 0
@@ -202,7 +205,12 @@ class H264Decoder:
             else:
                 mby, mbx = divmod(mb, sp.mb_width)
                 mb_type = br.ue()
-                self._decode_intra_mb(ctx, mbx, mby, mb_type)
+                if mb_type == MB_TYPE_I_PCM:
+                    self._decode_pcm(ctx, mbx, mby)
+                    i_rows[mby][mbx] = "pcm"
+                else:
+                    i_rows[mby][mbx] = self._parse_intra_mb(
+                        ctx, mbx, mby, mb_type)
             mb += 1
 
         if is_p:
@@ -210,6 +218,21 @@ class H264Decoder:
             pframe.recon_p_frame(ctx, self._ref_int32())
             for mbx, mby, parsed in intra_queue:
                 self._recon_intra_mb(ctx, mbx, mby, parsed)
+        else:
+            # recon after parse, row by row: a pure-Vertical row (our
+            # encoder's rows 1..) depends only on the final row above and
+            # reconstructs as one batch; anything else (the DC row 0's
+            # left-chain, H modes, mixed rows) falls back per-MB in
+            # raster order.
+            for mby, row in enumerate(i_rows):
+                if mby > 0 and all(
+                        isinstance(e, dict) and e["pred_mode"] == 0
+                        and e["chroma_mode"] == 2 for e in row):
+                    self._recon_intra_row_v(ctx, mby, row)
+                else:
+                    for mbx, e in enumerate(row):
+                        if isinstance(e, dict):
+                            self._recon_intra_mb(ctx, mbx, mby, e)
 
         if deblock_idc != 1:
             from ...ops import deblock as dbf
@@ -335,6 +358,50 @@ class H264Decoder:
                 oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
                 rec[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += resc[blk]
             plane[c0y:c0y + 8, c0x:c0x + 8] = np.clip(rec, 0, 255)
+
+    def _recon_intra_row_v(self, ctx, mby, row):
+        """Batched recon of one all-Vertical I16x16 MB row (luma V +
+        chroma V): prediction is the final pixel row above, broadcast;
+        residuals dequant/idct in one batch per plane."""
+        from .frame_ops import LUMA_BLK_ORDER as LBO
+        from .pframe import _BLK_GRID
+        zz = _ZZ
+        qp = ctx["qp"]
+        qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
+        n_mbx = len(row)
+        y = ctx["y"]
+        w = 16 * n_mbx
+
+        dc_zz = np.stack([e["dc_zz"] for e in row])      # (nMBx, 16)
+        ac = np.stack([e["ac"] for e in row])            # (nMBx, 16, 16)
+        dc_blk = np.zeros_like(dc_zz)
+        dc_blk[..., zz] = dc_zz
+        dc_rec = tf.dequant_dc4_np(dc_blk.reshape(n_mbx, 4, 4), qp)
+        wq_flat = np.zeros_like(ac)
+        wq_flat[..., zz] = ac
+        wq = tf.dequant4_np(wq_flat.reshape(n_mbx, 16, 4, 4), qp)
+        wq[:, :, 0, 0] = dc_rec[:, LBO[:, 0], LBO[:, 1]]
+        res = tf.idct4_np(wq)                            # (nMBx, 16, 4, 4)
+        res_rows = res[:, _BLK_GRID].transpose(1, 3, 0, 2, 4).reshape(16, w)
+        y0 = 16 * mby
+        pred = y[y0 - 1, :][None, :]
+        y[y0:y0 + 16, :] = np.clip(pred + res_rows, 0, 255)
+
+        cdc = np.stack([e["cdc"] for e in row])          # (nMBx, 2, 4)
+        cac = np.stack([e["cac"] for e in row])          # (nMBx, 2, 4, 16)
+        wc2 = 8 * n_mbx
+        c0y = 8 * mby
+        for ci, plane in enumerate((ctx["u"], ctx["v"])):
+            dc2_rec = tf.dequant_dc2_np(
+                cdc[:, ci].reshape(n_mbx, 2, 2), qpc)    # (nMBx, 2, 2)
+            wc_flat = np.zeros_like(cac[:, ci])
+            wc_flat[..., zz] = cac[:, ci]
+            wcq = tf.dequant4_np(wc_flat.reshape(n_mbx, 4, 4, 4), qpc)
+            wcq[:, :, 0, 0] = dc2_rec.reshape(n_mbx, 4)  # raster order
+            resc = tf.idct4_np(wcq).reshape(n_mbx, 2, 2, 4, 4)
+            resc_rows = resc.transpose(1, 3, 0, 2, 4).reshape(8, wc2)
+            predc = plane[c0y - 1, :][None, :]
+            plane[c0y:c0y + 8, :] = np.clip(predc + resc_rows, 0, 255)
 
     def _intra16_pred(self, y, y0, x0, mode) -> np.ndarray:
         top_ok = y0 > 0
