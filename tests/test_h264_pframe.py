@@ -165,3 +165,49 @@ def test_refine_half_stays_near_base_and_improves():
     assert sad(mvq) <= sad(np.asarray(mv_full) * 4)
     # content shifts by exactly half a pel: most MBs should pick dx frac 2
     assert (mvq[..., 1] % 4 == 2).mean() > 0.5
+
+def test_intra_mb_inside_p_slice_decodes():
+    """The decoder defers P-slice recon; intra MBs parsed mid-slice must
+    reconstruct AFTER the inter pass (their neighbors are final by then).
+    Our encoder never emits intra-in-P, so craft the slice by hand: one
+    16x16 picture, P slice whose only MB is I16x16-DC."""
+    from vcp_tpu.codec.h264 import entropy, frame_ops, headers as H
+    from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
+    from vcp_tpu.utils.bitstream import BitWriter, nal_unit
+
+    w, h, qp = 16, 16, 26
+    rng = np.random.default_rng(2)
+    y1 = rng.integers(0, 255, (h, w), np.uint8)
+    y2 = rng.integers(0, 255, (h, w), np.uint8)
+    flat = np.full((8, 8), 128, np.uint8)
+
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp, gop_size=2))
+    idr, _ = enc.encode_frame(y1, flat, flat)
+
+    # device-side intra math for the single MB (a 1-MB frame is exactly
+    # the row-0 DC case: no neighbors, pred = 128)
+    out = frame_ops.encode_iframe(y2.astype(np.int32), flat.astype(np.int32),
+                                  flat.astype(np.int32), qp, qp)
+    bw = BitWriter()
+    H.write_slice_header(bw, enc.sp, enc.pp, is_idr=False, frame_num=1,
+                         slice_qp=qp)
+    bw.ue(0)                                   # mb_skip_run
+    nz_y = entropy.NzContext(4, 4)
+    nz_cb = entropy.NzContext(2, 2)
+    nz_cr = entropy.NzContext(2, 2)
+    entropy._write_i16_mb(
+        bw, 0, 0,
+        np.asarray(out["luma_dc"])[0, 0], np.asarray(out["luma_ac"])[0, 0],
+        (np.asarray(out["cb_dc"])[0, 0], np.asarray(out["cr_dc"])[0, 0]),
+        (np.asarray(out["cb_ac"])[0, 0], np.asarray(out["cr_ac"])[0, 0]),
+        nz_y, nz_cb, nz_cr, slice_type_p=True, pred_mode=2, chroma_mode=0)
+    bw.rbsp_trailing_bits()
+    pnal = nal_unit(1, bw.to_bytes(), nal_ref_idc=2)  # NAL_SLICE_NONIDR
+
+    dec = H264Decoder()
+    frames = dec.decode_annexb(enc.headers_annexb() + idr + pnal)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[1].y,
+                                  np.asarray(out["recon_y"]))
+    np.testing.assert_array_equal(frames[1].u,
+                                  np.asarray(out["recon_u"]))
