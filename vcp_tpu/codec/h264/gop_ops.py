@@ -105,7 +105,10 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
             mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
         mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin,
                                 quarter=subpel >= 2)
-        pred_y = mops.mc_luma_q(planes, mv, margin)
+        if subpel >= 2:
+            pred_y = mops.mc_luma_q(planes, mv, margin)
+        else:
+            pred_y = mops.mc_luma_h(planes, mv, margin)
     else:
         # full-pel: no interpolated planes, plain gather MC
         mv = mv_full * 4

@@ -282,6 +282,27 @@ def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False):
     return mvq
 
 
+def mc_luma_h(planes, mvq, margin: int):
+    """Half-pel-only luma MC: mvq phases are in {0, 2}² (the refine_half
+    output), so each pixel needs exactly one of the four planes — 4
+    gathers + a 2-bit select instead of mc_luma_q's 8 gathers."""
+    n_mby, n_mbx = mvq.shape[:2]
+    h, w = 16 * n_mby, 16 * n_mbx
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, 16, 0), 16, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, 16, 0), 16, 1)
+    hy = jnp.repeat(jnp.repeat((mvq[..., 0] >> 1) & 1, 16, 0), 16, 1)
+    hx = jnp.repeat(jnp.repeat((mvq[..., 1] >> 1) & 1, 16, 0), 16, 1)
+    rows = jnp.arange(h)[:, None] + iy + margin
+    cols = jnp.arange(w)[None, :] + ix + margin
+    g = planes[0][rows, cols]
+    b = planes[1][rows, cols]
+    hh = planes[2][rows, cols]
+    j = planes[3][rows, cols]
+    top = jnp.where(hx == 1, b, g)
+    bot = jnp.where(hx == 1, j, hh)
+    return jnp.where(hy == 1, bot, top)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def mc_chroma(ref_c, mv_luma, search_range: int):
     """Chroma MC for full-pel luma MVs (spec 8.4.2.2.2).
