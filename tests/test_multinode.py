@@ -82,9 +82,12 @@ def test_two_producers_mixed_presets_four_consumers(redis_address, tmp_path):
         s = Stream(redis_address)
         info = s.get_queue_info()
         assert info.pending == 0 and info.length == 0
-        # work spread over >= 2 consumers
-        busy = [c for c in consumers if c.counters.succeeded > 0]
-        assert len(busy) >= 2
+        # exactly-once delivery across the group: 5 tasks, 5 successes
+        # total, no duplicates. (Spread across consumers is NOT a group
+        # guarantee — a fast first reader with a 2x-concurrency buffer
+        # can legitimately claim every task, and intermittently does.)
+        assert sum(c.counters.succeeded for c in consumers) == 5
+        assert sum(c.counters.processed for c in consumers) == 5
 
         # stats lifecycle: history reflects all 5 tasks + dispatch p50
         lines = []
