@@ -59,8 +59,9 @@ def main() -> None:
     # -j4 deployment shape at 1080p: host-side pack/entropy of one stream
     # overlaps device compute + transfers of the others (throughput
     # saturates at 4 concurrent streams on the tunneled chip). 4K frames
-    # are 4x the memory; 2 streams avoids host/HBM pressure.
-    default_streams = "2" if H == 2160 else "4"
+    # are 4x the memory; 3 streams is the measured sweet spot (4 hits
+    # host/HBM pressure: 1.7 fps at 3 vs 0.97 at 4, 1.33 at 2).
+    default_streams = "3" if H == 2160 else "4"
     streams = int(os.environ.get("BENCH_STREAMS", default_streams))
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,
