@@ -79,3 +79,29 @@ def test_unsupported_codec_rejected():
 
 def test_gop_flag():
     assert parse_encode_args("-c:v libx264 -g 60").gop_size == 60
+
+
+def test_keep_aspect_scale_args():
+    # ffmpeg spelling -vf scale=-2:720 keeps aspect (ADVICE round 1)
+    p = parse_encode_args("-c:v libx264 -vf scale=-2:720")
+    assert (p.scale_width, p.scale_height) == (-2, 720)
+    p = parse_encode_args("-c:v libx264 -vf scale=1280:-1")
+    assert (p.scale_width, p.scale_height) == (1280, -1)
+    with pytest.raises(ArgsError):
+        parse_encode_args("-c:v libx264 -vf scale=0:720")
+    with pytest.raises(ArgsError):
+        parse_encode_args("-c:v libx264 -vf scale=-3:720")
+    with pytest.raises(ArgsError):
+        parse_encode_args("-c:v libx264 -vf scale=-2:-2")
+    with pytest.raises(ArgsError):
+        parse_encode_args("-c:v libx264 -s -1280x720")
+
+
+def test_resolve_scale():
+    from vcp_tpu.codec.h264.encoder import resolve_scale
+    assert resolve_scale(0, 0, 1920, 1080) is None
+    assert resolve_scale(1280, 720, 1920, 1080) == (720, 1280)
+    assert resolve_scale(-2, 720, 1920, 1080) == (720, 1280)
+    assert resolve_scale(1280, -2, 1920, 1080) == (720, 1280)
+    # odd aspect result rounds to even
+    assert resolve_scale(-2, 500, 1920, 1080) == (500, 888)

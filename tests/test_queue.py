@@ -221,3 +221,29 @@ def test_rate_limit_publish_rejects(redis_address):
     s.publish(make_task(0))  # consumes the single token
     with pytest.raises(RedisError):
         s.publish(make_task(1))
+
+
+def test_miniredis_auth_enforced():
+    from vcp_tpu.queue.miniredis import MiniRedisServer
+    srv = MiniRedisServer(password="sekrit")
+    srv.start()
+    try:
+        # wrong password rejected; no AUTH at all → NOAUTH
+        assert not RedisClient(srv.address, password="nope").ping()
+        assert not RedisClient(srv.address).ping()
+        # correct password works
+        assert RedisClient(srv.address, password="sekrit").ping()
+    finally:
+        srv.stop()
+
+
+def test_miniredis_no_password_auth_errors():
+    from vcp_tpu.queue.miniredis import MiniRedisServer
+    srv = MiniRedisServer()
+    srv.start()
+    try:
+        assert RedisClient(srv.address).ping()
+        # AUTH when no password set is an error
+        assert not RedisClient(srv.address, password="x").ping()
+    finally:
+        srv.stop()

@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("redis-serve", help="run the embedded mini-redis")
     r.add_argument("--host", default="127.0.0.1")
     r.add_argument("--port", type=int, default=6379)
+    r.add_argument("--password", default="",
+                   help="require AUTH with this password")
 
     # quality (new: objective metrics between two videos)
     q = sub.add_parser("quality", help="PSNR/SSIM between two videos")
@@ -153,7 +155,7 @@ def _main(argv: list[str] | None = None) -> int:
 
     if args.command == "redis-serve":
         from .queue.miniredis import serve_forever
-        serve_forever(args.host, args.port)
+        serve_forever(args.host, args.port, password=args.password)
         return 0
 
     if args.command in ("consumer", "encode"):

@@ -167,15 +167,26 @@ def parse_encode_args(args: str) -> EncodeParams:
             v = need()
             if "x" in v:
                 w, h = v.split("x", 1)
-                p.scale_width, p.scale_height = int(w), int(h)
+                w, h = int(w), int(h)
+                if w <= 0 or h <= 0:
+                    raise ArgsError(f"-s {v}: dimensions must be positive")
+                p.scale_width, p.scale_height = w, h
             i += 2
         elif t == "-vf":
             v = need()
             if v.startswith("scale="):
                 parts = v[len("scale="):].split(":")
                 if len(parts) >= 2:
-                    p.scale_width = int(parts[0])
-                    p.scale_height = int(parts[1])
+                    w, h = int(parts[0]), int(parts[1])
+                    # ffmpeg keep-aspect spellings: -1 (exact) and -2
+                    # (round to even) are resolved against the source
+                    # dims at encode time (encoder.resolve_scale).
+                    if (w <= 0 and w not in (-1, -2)) or \
+                       (h <= 0 and h not in (-1, -2)) or \
+                       (w <= 0 and h <= 0):
+                        raise ArgsError(
+                            f"-vf {v}: bad scale target ({w}:{h})")
+                    p.scale_width, p.scale_height = w, h
             i += 2
         elif t == "-vn":
             p.video_disabled = True

@@ -324,6 +324,26 @@ def mux_mp4(path: str, sps: bytes, pps: bytes, samples, width: int,
     w.write(path, faststart=faststart)
 
 
+def resolve_scale(sw: int, sh: int, src_w: int, src_h: int):
+    """Resolve an ffmpeg-style scale target against the source dims.
+
+    Returns (height, width) or None for no scaling. ``-1``/``-2`` keep
+    the source aspect ratio (both rounded to even — yuv420 needs even
+    planes, matching ffmpeg's recommended ``-2`` spelling).
+    """
+    if not sw and not sh:
+        return None
+    if sw in (-1, -2) and sh in (-1, -2):
+        raise ValueError("scale: width and height cannot both be -1/-2")
+    if sw in (-1, -2):
+        sw = max(2, int(round(src_w * sh / src_h / 2)) * 2)
+    elif sh in (-1, -2):
+        sh = max(2, int(round(src_h * sw / src_w / 2)) * 2)
+    if sw <= 0 or sh <= 0:
+        raise ValueError(f"scale: bad target {sw}x{sh}")
+    return (sh, sw)
+
+
 def encode_file(input_path: str, output_path: str, params: EncodeParams,
                 deadline: float | None = None) -> int:
     """Encode a video file (.y4m raw or .mp4 h264) to MP4. Returns the
@@ -332,10 +352,7 @@ def encode_file(input_path: str, output_path: str, params: EncodeParams,
     from ..ingest import open_video
     vid = open_video(input_path)
     w, h = vid.width, vid.height
-    if params.scale_width and params.scale_height:
-        tgt = (params.scale_height, params.scale_width)
-    else:
-        tgt = None
+    tgt = resolve_scale(params.scale_width, params.scale_height, w, h)
 
     cfg = EncoderConfig.from_params(params, width=tgt[1] if tgt else w,
                                     height=tgt[0] if tgt else h,
@@ -360,7 +377,7 @@ def encode_file(input_path: str, output_path: str, params: EncodeParams,
         except Exception as e:
             log.warn("audio passthrough failed", error=str(e))
     mux_mp4(output_path, sps, pps, samples, cfg.width, cfg.height,
-            cfg.fps_num, cfg.fps_den, faststart=params.faststart or True,
+            cfg.fps_num, cfg.fps_den, faststart=params.faststart,
             audio_track=audio_track)
     dt = time.monotonic() - t0
     size = os.path.getsize(output_path)

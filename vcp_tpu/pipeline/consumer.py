@@ -245,7 +245,13 @@ class Consumer:
         try:
             self.stream.acknowledge(self.group, task.message_id)
         except Exception as e:
-            self.log.warn("ack failed", task=task.id, error=str(e))
+            # Mirror the reference (consumer.go returns false on ACK
+            # error): an un-ACKed success is a failure — the PEL entry
+            # will be reclaimed after the source is gone, so don't count
+            # it done twice.
+            self.log.task_failed(task.id, f"ack failed after success: {e}")
+            self.counters.inc("failed")
+            return False
         self.counters.inc("succeeded")
         self.log.task_success(
             task.id, time.monotonic() - t_start,

@@ -161,9 +161,6 @@ class MiniRedis:
     def cmd_PING(self, db, a):
         return RespWriter.simple("PONG") if not a else RespWriter.bulk(a[0])
 
-    def cmd_AUTH(self, db, a):
-        return RespWriter.simple("OK")
-
     def cmd_SELECT(self, db, a):
         return RespWriter.simple("OK")  # connection handler tracks db index
 
@@ -630,6 +627,8 @@ class MiniRedis:
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         engine: MiniRedis = self.server.engine  # type: ignore[attr-defined]
+        password = getattr(self.server, "password", None)
+        authed = not password  # per-connection auth state
         buf = b""
         dbidx = 0
         sock = self.request
@@ -682,6 +681,23 @@ class _Handler(socketserver.BaseRequestHandler):
             if cmd == "QUIT":
                 sock.sendall(RespWriter.simple("OK"))
                 return
+            if cmd == "AUTH":
+                # AUTH <pass> or AUTH <user> <pass> (redis 6 ACL form)
+                supplied = args[-1].decode() if len(args) >= 2 else ""
+                if not password:
+                    sock.sendall(RespWriter.error(
+                        "ERR Client sent AUTH, but no password is set"))
+                elif supplied == password:
+                    authed = True
+                    sock.sendall(RespWriter.simple("OK"))
+                else:
+                    sock.sendall(RespWriter.error(
+                        "WRONGPASS invalid username-password pair"))
+                continue
+            if not authed:
+                sock.sendall(RespWriter.error(
+                    "NOAUTH Authentication required."))
+                continue
             if cmd == "SELECT":
                 dbidx = int(args[1])
                 sock.sendall(RespWriter.simple("OK"))
@@ -698,11 +714,18 @@ class _ThreadingServer(socketserver.ThreadingTCPServer):
 class MiniRedisServer:
     """In-process Redis-subset server. ``start()`` returns the bound port."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 password: str = ""):
         self.engine = MiniRedis()
         self._server = _ThreadingServer((host, port), _Handler)
         self._server.engine = self.engine  # type: ignore[attr-defined]
+        self._server.password = password  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
+        if not password and host not in ("127.0.0.1", "localhost", "::1"):
+            import sys
+            print(f"miniredis: WARNING serving on {host} without a "
+                  "password — FLUSHALL/DEL are exposed; pass password=",
+                  file=sys.stderr)
 
     @property
     def address(self) -> str:
@@ -727,9 +750,10 @@ class MiniRedisServer:
             self._thread.join(timeout=5)
 
 
-def serve_forever(host: str = "127.0.0.1", port: int = 6379) -> None:
+def serve_forever(host: str = "127.0.0.1", port: int = 6379,
+                  password: str = "") -> None:
     """Blocking entry point for ``vcp redis-serve``."""
-    srv = MiniRedisServer(host, port)
+    srv = MiniRedisServer(host, port, password=password)
     srv.start()
     print(f"miniredis listening on {srv.address}", flush=True)
     try:
