@@ -115,7 +115,9 @@ def test_h264_task_through_pipeline(redis_address, tmp_path):
         c.stop()
 
 
-def test_h265_task_fails_cleanly(redis_address, tmp_path):
+def test_h265_task_succeeds(redis_address, tmp_path):
+    """hevc_nvenc preset tasks encode in-process since round 2
+    (ref config.go:47; was ack-and-drop-failure in round 1)."""
     cfg = make_cfg(redis_address, tmp_path)
     os.makedirs(cfg.producer.shared_directory, exist_ok=True)
     src = os.path.join(cfg.producer.shared_directory, "c.y4m")
@@ -130,7 +132,10 @@ def test_h265_task_fails_cleanly(redis_address, tmp_path):
     c = Consumer(cfg, name="tpu1", concurrency=1)
     c.start()
     try:
-        assert wait_until(lambda: c.counters.failed >= 1, timeout=60)
-        assert s.get_queue_info().pending == 0  # ack-and-drop
+        assert wait_until(lambda: c.counters.succeeded >= 1, timeout=120)
+        assert s.get_queue_info().pending == 0
+        out = os.path.join(cfg.producer.output_directory, "c.mp4")
+        from vcp_tpu.codec.h265.decoder import decode_mp4
+        assert len(list(decode_mp4(out))) == 2
     finally:
         c.stop()

@@ -1,0 +1,184 @@
+"""HEVC validation decoder (host, NumPy).
+
+Independent decode path for the streams this engine emits: parses the
+parameter sets, slice headers and CABAC slice data, then reconstructs
+frames with the normative dequant/inverse-transform/MC math
+(ops.transform_hevc *_np twins, frame_ops.mc_*_np). Used by tests and
+``vcp quality`` to prove the encoder's closed loop bit-exactly, filling
+the verification role ffprobe played for the reference
+(ref cmd/consumer.go:396-419).
+
+Supported stream shape = what the encoder produces (one 32x32 CU per
+CTU; intra DC/Vertical with DM chroma; P slices with one 2Nx2N PU,
+full-pel MVs, single reference). Anything else raises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...utils.bitstream import BitReader, emulation_remove
+from ...ops import transform_hevc as th
+from . import headers, syntax
+from .frame_ops import mc_chroma_np, mc_luma_np
+from .syntax import MODE_DC, MODE_VER
+
+
+class HevcDecodeError(ValueError):
+    pass
+
+
+def _blocks_to_plane(blocks: np.ndarray) -> np.ndarray:
+    """(nby, nbx, n, n) -> (nby*n, nbx*n)."""
+    nby, nbx, n, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
+
+
+class HevcDecoder:
+    """Stateful NAL-by-NAL decoder."""
+
+    def __init__(self):
+        self.hp: headers.HevcParams | None = None
+        self.recon = None       # (y, u, v) int32 padded planes
+
+    def decode_nal(self, nal: bytes):
+        """Feed one NAL (no start code). Returns (y, u, v) uint8 cropped
+        planes for slice NALs, else None."""
+        if len(nal) < 3:
+            raise HevcDecodeError("short NAL")
+        nal_type = (nal[0] >> 1) & 0x3F
+        rbsp = emulation_remove(nal[2:])
+        if nal_type == headers.NAL_VPS:
+            return None
+        if nal_type == headers.NAL_SPS:
+            self.hp = headers.parse_sps(rbsp)
+            if self.hp.log2_ctu != 5:
+                raise HevcDecodeError("only 32x32 CTUs are produced")
+            return None
+        if nal_type == headers.NAL_PPS:
+            if self.hp is not None:
+                self.hp.qp = headers.parse_pps_qp(rbsp)
+            return None
+        if nal_type in (headers.NAL_IDR_W_RADL, headers.NAL_TRAIL_R):
+            return self._decode_slice(rbsp, nal_type)
+        raise HevcDecodeError(f"unsupported NAL type {nal_type}")
+
+    def _decode_slice(self, rbsp: bytes, nal_type: int):
+        if self.hp is None:
+            raise HevcDecodeError("slice before SPS")
+        hp = self.hp
+        br = BitReader(rbsp)
+        slice_type, slice_qp, _poc = headers.parse_slice_header(
+            br, hp, nal_type)
+        payload = rbsp[br.pos // 8:]
+        is_idr = slice_type == 2
+        nby, nbx = hp.height // 32, hp.width // 32
+        ly, lu, lv, modes, mv = syntax.decode_slice_data(
+            payload, slice_qp, is_idr, nby, nbx)
+        qpc = th.chroma_qp(slice_qp)
+        if is_idr:
+            self.recon = self._recon_intra(ly, lu, lv, modes,
+                                           slice_qp, qpc)
+        else:
+            if self.recon is None:
+                raise HevcDecodeError("P slice before IDR")
+            self.recon = self._recon_inter(ly, lu, lv, mv,
+                                           slice_qp, qpc)
+        y, u, v = self.recon
+        w = hp.width - hp.conf_win_right
+        h = hp.height - hp.conf_win_bottom
+        return (y[:h, :w].astype(np.uint8),
+                u[:h // 2, :w // 2].astype(np.uint8),
+                v[:h // 2, :w // 2].astype(np.uint8))
+
+    def _recon_intra(self, ly, lu, lv, modes, qp, qpc):
+        hp = self.hp
+        h, w = hp.height, hp.width
+        nby, nbx = h // 32, w // 32
+        rec_y = np.zeros((h, w), np.int32)
+        rec_u = np.zeros((h // 2, w // 2), np.int32)
+        rec_v = np.zeros((h // 2, w // 2), np.int32)
+
+        res_y = th.inv_np(th.dequant_np(ly, qp, 5), 5)
+        res_u = th.inv_np(th.dequant_np(lu, qpc, 4), 4)
+        res_v = th.inv_np(th.dequant_np(lv, qpc, 4), 4)
+
+        # CTU row 0: DC (left-only references), sequential along x
+        for bx in range(nbx):
+            if modes[0, bx] != MODE_DC:
+                raise HevcDecodeError(
+                    f"unsupported intra mode {modes[0, bx]} in row 0")
+            if bx == 0:
+                dcy = dcu = dcv = 128
+            else:
+                left_y = rec_y[0:32, bx * 32 - 1]
+                left_u = rec_u[0:16, bx * 16 - 1]
+                left_v = rec_v[0:16, bx * 16 - 1]
+                dcy = int(left_y.sum() + 32 * left_y[0] + 32) >> 6
+                dcu = int(left_u.sum() + 16 * left_u[0] + 16) >> 5
+                dcv = int(left_v.sum() + 16 * left_v[0] + 16) >> 5
+            rec_y[0:32, bx * 32:bx * 32 + 32] = np.clip(
+                dcy + res_y[0, bx], 0, 255)
+            rec_u[0:16, bx * 16:bx * 16 + 16] = np.clip(
+                dcu + res_u[0, bx], 0, 255)
+            rec_v[0:16, bx * 16:bx * 16 + 16] = np.clip(
+                dcv + res_v[0, bx], 0, 255)
+
+        # rows >= 1: Vertical, vectorized per CTU row
+        for by in range(1, nby):
+            if np.any(modes[by] != MODE_VER):
+                raise HevcDecodeError("unsupported intra mode below row 0")
+            top_y = rec_y[by * 32 - 1]
+            top_u = rec_u[by * 16 - 1]
+            top_v = rec_v[by * 16 - 1]
+            row_y = res_y[by].transpose(1, 0, 2).reshape(32, w)
+            row_u = res_u[by].transpose(1, 0, 2).reshape(16, w // 2)
+            row_v = res_v[by].transpose(1, 0, 2).reshape(16, w // 2)
+            rec_y[by * 32:by * 32 + 32] = np.clip(
+                top_y[None, :] + row_y, 0, 255)
+            rec_u[by * 16:by * 16 + 16] = np.clip(
+                top_u[None, :] + row_u, 0, 255)
+            rec_v[by * 16:by * 16 + 16] = np.clip(
+                top_v[None, :] + row_v, 0, 255)
+        return rec_y, rec_u, rec_v
+
+    def _recon_inter(self, ly, lu, lv, mv, qp, qpc):
+        ref_y, ref_u, ref_v = self.recon
+        pred_y = mc_luma_np(ref_y, mv)
+        pred_u = mc_chroma_np(ref_u, mv)
+        pred_v = mc_chroma_np(ref_v, mv)
+        res_y = _blocks_to_plane(th.inv_np(th.dequant_np(ly, qp, 5), 5))
+        res_u = _blocks_to_plane(th.inv_np(th.dequant_np(lu, qpc, 4), 4))
+        res_v = _blocks_to_plane(th.inv_np(th.dequant_np(lv, qpc, 4), 4))
+        return (np.clip(pred_y + res_y, 0, 255),
+                np.clip(pred_u + res_u, 0, 255),
+                np.clip(pred_v + res_v, 0, 255))
+
+
+def decode_mp4(path: str):
+    """Decode an hvc1 MP4 produced by this engine. Yields (y, u, v)
+    uint8 planes; also returns via StopIteration nothing — use
+    ``list(decode_mp4(p))``."""
+    from ..mp4 import Mp4Demuxer
+    mux = Mp4Demuxer(path)
+    track = mux.video
+    if track is None or track.codec not in ("hvc1", "hev1"):
+        raise HevcDecodeError("no hvc1 video track")
+    dec = HevcDecoder()
+    for nal in track.vps + track.sps + track.pps:
+        dec.decode_nal(nal)
+    for i in range(track.sample_count):
+        for nal in mux.sample_nals(track, i):
+            out = dec.decode_nal(nal)
+            if out is not None:
+                yield out
+
+
+def decode_annexb(data: bytes):
+    """Decode an Annex-B elementary stream; yields (y, u, v) planes."""
+    from ..mp4 import split_annexb
+    dec = HevcDecoder()
+    for nal in split_annexb(data):
+        out = dec.decode_nal(nal)
+        if out is not None:
+            yield out

@@ -186,6 +186,52 @@ def write_pps(p: HevcParams) -> bytes:
     return hevc_nal(NAL_PPS, bw.to_bytes())
 
 
+def _skip_ptl(br) -> int:
+    br.u(2); br.u(1); br.u(5)
+    br.u(32); br.u(1); br.u(1); br.u(1); br.u(1)
+    br.u(32); br.u(12)
+    return br.u(8)                   # general_level_idc
+
+
+def parse_sps(rbsp: bytes) -> HevcParams:
+    """Parse an SPS written by ``write_sps`` into HevcParams (the fields
+    this engine varies; fixed fields are validated implicitly by the
+    closed-loop decode)."""
+    from ...utils.bitstream import BitReader
+    br = BitReader(rbsp)
+    br.u(4); br.u(3); br.u(1)
+    level = _skip_ptl(br)
+    br.ue()                          # sps id
+    br.ue()                          # chroma_format_idc
+    width = br.ue()
+    height = br.ue()
+    cw_right = cw_bottom = 0
+    if br.u(1):                      # conformance_window_flag
+        br.ue()
+        cw_right = br.ue() * 2
+        br.ue()
+        cw_bottom = br.ue() * 2
+    br.ue(); br.ue()                 # bit depths
+    br.ue()                          # log2_max_poc_lsb_minus4
+    br.u(1)                          # sub_layer_ordering_info_present
+    br.ue(); br.ue(); br.ue()        # dpb sizing
+    log2_min_cb = br.ue() + 3
+    log2_ctu = log2_min_cb + br.ue()
+    return HevcParams(width=width, height=height, level_idc=level,
+                      log2_ctu=log2_ctu, log2_min_cb=log2_min_cb,
+                      conf_win_right=cw_right, conf_win_bottom=cw_bottom)
+
+
+def parse_pps_qp(rbsp: bytes) -> int:
+    """init_qp from a PPS written by ``write_pps``."""
+    from ...utils.bitstream import BitReader
+    br = BitReader(rbsp)
+    br.ue(); br.ue()
+    br.u(1); br.u(1); br.u(3); br.u(1); br.u(1)
+    br.ue(); br.ue()
+    return 26 + br.se()
+
+
 def write_slice_header(bw: BitWriter, p: HevcParams, *, is_idr: bool,
                        poc_lsb: int = 0, slice_qp: int | None = None) -> None:
     """Slice segment header (7.3.6.1) up to byte alignment; the CABAC
@@ -197,12 +243,44 @@ def write_slice_header(bw: BitWriter, p: HevcParams, *, is_idr: bool,
     bw.ue(2 if is_idr else 1)        # slice_type (2 = I, 1 = P)
     if not is_idr:
         bw.u(8, poc_lsb & 0xFF)      # slice_pic_order_cnt_lsb (log2=8)
-        bw.u(1, 1)                   # short_term_ref_pic_set_sps_flag...
-        # (num_short_term_ref_pic_sets == 0 forces an explicit set here;
-        # P slices land with the round-2 CTU engine)
-        raise NotImplementedError("P slice headers land with the CTU engine")
+        bw.u(1, 0)                   # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(0): one negative (previous) picture, used
+        bw.ue(1)                     # num_negative_pics
+        bw.ue(0)                     # num_positive_pics
+        bw.ue(0)                     # delta_poc_s0_minus1 (POC - 1)
+        bw.u(1, 1)                   # used_by_curr_pic_s0_flag
+        # (long-term off, temporal MVP off, SAO off in SPS)
+        bw.u(1, 0)                   # num_ref_idx_active_override_flag
+        # (lists_modification off, cabac_init absent, weighted_pred off)
+        bw.ue(4)                     # five_minus_max_num_merge_cand (=1)
     qp = slice_qp if slice_qp is not None else p.qp
     bw.se(qp - p.qp)                 # slice_qp_delta (vs pps init_qp)
     # deblock disabled in PPS, override off; no SAO, no extensions
     bw.u(1, 1)                       # alignment_bit_equal_to_one
     bw.byte_align(0)
+
+
+def parse_slice_header(br, p: HevcParams, nal_type: int):
+    """Parse a slice segment header written by ``write_slice_header``.
+    Returns (slice_type, slice_qp, poc_lsb); leaves the reader
+    byte-aligned at the start of slice_segment_data."""
+    is_idr = nal_type == NAL_IDR_W_RADL
+    assert br.u(1) == 1, "only single-slice pictures are produced"
+    if is_idr:
+        br.u(1)                      # no_output_of_prior_pics_flag
+    br.ue()                          # slice_pic_parameter_set_id
+    slice_type = br.ue()
+    poc_lsb = 0
+    if not is_idr:
+        poc_lsb = br.u(8)
+        br.u(1)                      # short_term_ref_pic_set_sps_flag (0)
+        br.ue()                      # num_negative_pics
+        br.ue()                      # num_positive_pics
+        br.ue()                      # delta_poc_s0_minus1
+        br.u(1)                      # used_by_curr_pic_s0_flag
+        br.u(1)                      # num_ref_idx_active_override_flag
+        br.ue()                      # five_minus_max_num_merge_cand
+    slice_qp = p.qp + br.se()
+    br.u(1)                          # alignment bit
+    br.byte_align()
+    return slice_type, slice_qp, poc_lsb

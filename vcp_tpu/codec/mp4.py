@@ -490,6 +490,7 @@ class DemuxedTrack:
     height: int = 0
     sps: list[bytes] = dataclasses.field(default_factory=list)
     pps: list[bytes] = dataclasses.field(default_factory=list)
+    vps: list[bytes] = dataclasses.field(default_factory=list)  # hevc
     nal_length_size: int = 4
     # audio (mp4a)
     sample_rate: int = 0
@@ -588,6 +589,12 @@ class Mp4Demuxer:
                     avcc = find_box(buf, [b"avcC"], eps + 78, epe)
                     if avcc:
                         self._parse_avcc(buf[avcc[0]:avcc[1]], t)
+        elif stsd and info.codec in ("hvc1", "hev1"):
+            for btype, eps, epe in iter_boxes(buf, stsd[0] + 8, stsd[1]):
+                if btype in (b"hvc1", b"hev1"):
+                    hvcc = find_box(buf, [b"hvcC"], eps + 78, epe)
+                    if hvcc:
+                        self._parse_hvcc(buf[hvcc[0]:hvcc[1]], t)
         elif stsd and info.codec == "mp4a":
             for btype, eps, epe in iter_boxes(buf, stsd[0] + 8, stsd[1]):
                 if btype == b"mp4a":
@@ -677,6 +684,25 @@ class Mp4Demuxer:
             ln, = struct.unpack_from(">H", avcc, off)
             t.pps.append(avcc[off + 2:off + 2 + ln])
             off += 2 + ln
+
+    @staticmethod
+    def _parse_hvcc(hvcc: bytes, t: DemuxedTrack) -> None:
+        """hvcC (ISO 14496-15 8.3.3.1): 22 fixed bytes, then NAL arrays
+        keyed by type (32=VPS, 33=SPS, 34=PPS)."""
+        t.nal_length_size = (hvcc[21] & 3) + 1
+        n_arrays = hvcc[22]
+        off = 23
+        dest = {32: t.vps, 33: t.sps, 34: t.pps}
+        for _ in range(n_arrays):
+            nal_type = hvcc[off] & 0x3F
+            n_nalus, = struct.unpack_from(">H", hvcc, off + 1)
+            off += 3
+            for _ in range(n_nalus):
+                ln, = struct.unpack_from(">H", hvcc, off)
+                nal = hvcc[off + 2:off + 2 + ln]
+                if nal_type in dest:
+                    dest[nal_type].append(nal)
+                off += 2 + ln
 
     def sample(self, track: DemuxedTrack, i: int) -> bytes:
         off = track.sample_offsets[i]
