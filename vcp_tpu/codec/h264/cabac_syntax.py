@@ -1,0 +1,696 @@
+"""H.264 CABAC slice syntax (spec 7.3.5 / 9.3), encode and decode.
+
+Round-2 entropy upgrade: wires the shared arithmetic engine
+(vcp_tpu.codec.cabac) into I/P slice writing (entropy_coding_mode_flag=1)
+and into the validation decoder. libx264's *medium* preset — the
+reference's quality baseline (ref internal/config/config.go:49) —
+defaults to CABAC; CAVLC leaves ~10% bitrate on the table at equal QP.
+
+Both directions live here and share every context-increment derivation
+(neighbor cbf, |mvd| sums, cbp bits, skip flags), so the encoder and
+decoder cannot drift. Context initialization uses the neutral state
+(m=0, n=64 — initValue 154 in HEVC terms) for every context rather than
+the spec's Tables 9-12..9-33, exactly like the HEVC engine
+(codec.h265.ctx): inits are a pure compression refinement and the
+closed loop is what tests assert. Two documented simplifications of
+unavailable-neighbor handling (cbf: unavailable -> intra flag;
+mb_type b0: unavailable -> 0) are likewise symmetric.
+
+Stream shape: the frames this framework emits — I16x16-only I slices,
+P slices with P_L0_16x16 + P_Skip (single reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...utils.bitstream import BitWriter, nal_unit
+from ..cabac import CabacDecoder, CabacEncoder, Context
+from . import headers as H
+from .entropy import CHROMA_BLK_ORDER, _mb_i16_type
+from .frame_ops import LUMA_BLK_ORDER
+
+# Residual block categories (spec 9.3.3.1.3 ctxBlockCat)
+CAT_I16_DC = 0      # Intra16x16DCLevel, 16 coeffs
+CAT_I16_AC = 1      # Intra16x16ACLevel, 15
+CAT_LUMA4 = 2       # LumaLevel4x4, 16
+CAT_CHROMA_DC = 3   # ChromaDCLevel, 4
+CAT_CHROMA_AC = 4   # ChromaACLevel, 15
+
+_CTX_SETS = {
+    "mbt_i": 3,        # I mb_type bin 0 (neighbor-based)
+    "mbt_i_tail": 5,   # cbp_luma, cbp_chroma(2), pred mode (2) fixed bins
+    "mbt_p": 3,        # P mb_type prefix bins
+    "skip": 3,
+    "chroma_mode": 4,  # b0: 0..2 neighbor, b1+: 3
+    "qp_delta": 1,
+    "cbp_l": 4,
+    "cbp_c": 8,
+    "mvd_x": 7,        # b0: 0..2 neighbor, bins 1-4: 3..6
+    "mvd_y": 7,
+}
+for _cat in range(5):
+    _CTX_SETS[f"cbf{_cat}"] = 4
+    _CTX_SETS[f"sig{_cat}"] = 15
+    _CTX_SETS[f"last{_cat}"] = 15
+    _CTX_SETS[f"abs{_cat}"] = 10
+
+
+class H264CabacContexts:
+    """All adaptive contexts for one slice (neutral init)."""
+
+    def __init__(self, slice_qp: int):
+        self.c = {name: [Context.from_init(0, 64, slice_qp)
+                         for _ in range(n)]
+                  for name, n in _CTX_SETS.items()}
+
+    def __getitem__(self, key):
+        name, idx = key
+        return self.c[name][idx]
+
+
+class MbState:
+    """Per-slice neighbor state for context derivations. Kept identical
+    on both sides by construction (one code path fills it)."""
+
+    def __init__(self, n_mby: int, n_mbx: int):
+        self.n_mby, self.n_mbx = n_mby, n_mbx
+        self.avail = np.zeros((n_mby, n_mbx), bool)
+        self.skip = np.zeros((n_mby, n_mbx), bool)
+        self.intra = np.zeros((n_mby, n_mbx), bool)
+        self.chroma_mode = np.zeros((n_mby, n_mbx), np.int32)
+        self.cbp_luma8 = np.zeros((2 * n_mby, 2 * n_mbx), np.int32)
+        self.cbp_chroma = np.zeros((n_mby, n_mbx), np.int32)
+        self.absmvd = np.zeros((n_mby, n_mbx, 2), np.int32)
+        # coded_block_flag grids
+        self.cbf_l4 = np.zeros((4 * n_mby, 4 * n_mbx), np.int8)
+        self.cbf_i16dc = np.zeros((n_mby, n_mbx), np.int8)
+        self.cbf_cdc = np.zeros((2, n_mby, n_mbx), np.int8)
+        self.cbf_c4 = np.zeros((2, 2 * n_mby, 2 * n_mbx), np.int8)
+
+    # -- neighbor helpers ---------------------------------------------
+    def _nb(self, mbx, mby):
+        a = (mbx - 1, mby) if mbx > 0 else None
+        b = (mbx, mby - 1) if mby > 0 else None
+        return a, b
+
+    def mbt_i_ctx(self, mbx, mby):
+        a, b = self._nb(mbx, mby)
+        # condTerm = 1 when neighbor exists and is not I_4x4 (ours never
+        # are); unavailable -> 0
+        ca = 1 if (a and self.avail[a[1], a[0]]
+                   and self.intra[a[1], a[0]]) else 0
+        cb = 1 if (b and self.avail[b[1], b[0]]
+                   and self.intra[b[1], b[0]]) else 0
+        return ca + cb
+
+    def skip_ctx(self, mbx, mby):
+        a, b = self._nb(mbx, mby)
+        ca = 1 if (a and self.avail[a[1], a[0]]
+                   and not self.skip[a[1], a[0]]) else 0
+        cb = 1 if (b and self.avail[b[1], b[0]]
+                   and not self.skip[b[1], b[0]]) else 0
+        return ca + cb
+
+    def chroma_mode_ctx(self, mbx, mby):
+        a, b = self._nb(mbx, mby)
+        ca = 1 if (a and self.avail[a[1], a[0]]
+                   and self.chroma_mode[a[1], a[0]] != 0) else 0
+        cb = 1 if (b and self.avail[b[1], b[0]]
+                   and self.chroma_mode[b[1], b[0]] != 0) else 0
+        return ca + cb
+
+    def cbp_luma_ctx(self, mbx, mby, b8: int):
+        """b8 in raster 0..3 within the MB; cond = neighbor 8x8 bit == 0."""
+        gy, gx = 2 * mby + b8 // 2, 2 * mbx + b8 % 2
+        ca = 1 if gx > 0 and self.cbp_luma8[gy, gx - 1] == 0 else 0
+        if gx == 0:
+            ca = 0
+        cb = 1 if gy > 0 and self.cbp_luma8[gy - 1, gx] == 0 else 0
+        if gy == 0:
+            cb = 0
+        return ca + 2 * cb
+
+    def cbp_chroma_ctx(self, mbx, mby, binidx: int):
+        a, b = self._nb(mbx, mby)
+        if binidx == 0:
+            ca = 1 if (a and self.cbp_chroma[a[1], a[0]] != 0) else 0
+            cb = 1 if (b and self.cbp_chroma[b[1], b[0]] != 0) else 0
+            return ca + 2 * cb
+        ca = 1 if (a and self.cbp_chroma[a[1], a[0]] == 2) else 0
+        cb = 1 if (b and self.cbp_chroma[b[1], b[0]] == 2) else 0
+        return 4 + ca + 2 * cb
+
+    def mvd_ctx(self, mbx, mby, comp: int):
+        a, b = self._nb(mbx, mby)
+        s = 0
+        if a and self.avail[a[1], a[0]]:
+            s += int(self.absmvd[a[1], a[0], comp])
+        if b and self.avail[b[1], b[0]]:
+            s += int(self.absmvd[b[1], b[0], comp])
+        return 0 if s < 3 else (1 if s <= 32 else 2)
+
+    def cbf_ctx(self, cat: int, mbx, mby, blk: int, cur_intra: bool,
+                c: int = 0):
+        """ctxInc = condA + 2*condB from the neighboring block's cbf.
+        Unavailable neighbor -> (1 if current MB is intra else 0),
+        following spec 9.3.3.1.1.9's intra rule."""
+        miss = 1 if cur_intra else 0
+        if cat == CAT_I16_DC:
+            ca = (int(self.cbf_i16dc[mby, mbx - 1]) if mbx > 0 and
+                  self.intra[mby, mbx - 1] else miss)
+            cb = (int(self.cbf_i16dc[mby - 1, mbx]) if mby > 0 and
+                  self.intra[mby - 1, mbx] else miss)
+        elif cat in (CAT_I16_AC, CAT_LUMA4):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            gy, gx = 4 * mby + oy, 4 * mbx + ox
+            ca = int(self.cbf_l4[gy, gx - 1]) if gx > 0 else miss
+            cb = int(self.cbf_l4[gy - 1, gx]) if gy > 0 else miss
+        elif cat == CAT_CHROMA_DC:
+            ca = int(self.cbf_cdc[c, mby, mbx - 1]) if mbx > 0 else miss
+            cb = int(self.cbf_cdc[c, mby - 1, mbx]) if mby > 0 else miss
+        else:  # CAT_CHROMA_AC
+            oy, ox = (int(CHROMA_BLK_ORDER[blk, 0]),
+                      int(CHROMA_BLK_ORDER[blk, 1]))
+            gy, gx = 2 * mby + oy, 2 * mbx + ox
+            ca = int(self.cbf_c4[c, gy, gx - 1]) if gx > 0 else miss
+            cb = int(self.cbf_c4[c, gy - 1, gx]) if gy > 0 else miss
+        return ca + 2 * cb
+
+    def set_cbf(self, cat, mbx, mby, blk, val, c=0):
+        if cat == CAT_I16_DC:
+            self.cbf_i16dc[mby, mbx] = val
+        elif cat in (CAT_I16_AC, CAT_LUMA4):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            self.cbf_l4[4 * mby + oy, 4 * mbx + ox] = val
+        elif cat == CAT_CHROMA_DC:
+            self.cbf_cdc[c, mby, mbx] = val
+        else:
+            oy, ox = (int(CHROMA_BLK_ORDER[blk, 0]),
+                      int(CHROMA_BLK_ORDER[blk, 1]))
+            self.cbf_c4[c, 2 * mby + oy, 2 * mbx + ox] = val
+
+
+# ---------------------------------------------------------------------------
+# Bypass Exp-Golomb helpers
+# ---------------------------------------------------------------------------
+
+def _write_egk(enc, v: int, k: int) -> None:
+    while v >= (1 << k):
+        enc.encode_bypass(1)
+        v -= 1 << k
+        k += 1
+    enc.encode_bypass(0)
+    if k:
+        enc.encode_bypass_bits(v, k)
+
+
+def _read_egk(dec, k: int) -> int:
+    v = 0
+    while dec.decode_bypass():
+        v += 1 << k
+        k += 1
+    if k:
+        v += dec.decode_bypass_bits(k)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Residual block (spec 9.3.2.7 residual_block_cabac, frame-coded)
+# ---------------------------------------------------------------------------
+
+def _encode_block(enc, cx, st: MbState, coeffs, cat, mbx, mby, blk,
+                  cur_intra, c=0):
+    """cbf + significance map + levels for one scan-ordered block."""
+    nz = [i for i, v in enumerate(coeffs) if v]
+    cbf = 1 if nz else 0
+    enc.encode(cx[f"cbf{cat}", st.cbf_ctx(cat, mbx, mby, blk,
+                                          cur_intra, c)], cbf)
+    st.set_cbf(cat, mbx, mby, blk, cbf, c)
+    if not cbf:
+        return
+    n = len(coeffs)
+    last = nz[-1]
+    for i in range(n - 1):
+        sig = 1 if coeffs[i] else 0
+        enc.encode(cx[f"sig{cat}", i], sig)
+        if sig:
+            enc.encode(cx[f"last{cat}", i], 1 if i == last else 0)
+            if i == last:
+                break
+    neq1 = ngt1 = 0
+    for i in reversed(nz):
+        v = abs(int(coeffs[i])) - 1
+        ctx0 = 0 if ngt1 > 0 else min(4, 1 + neq1)
+        ctx1 = 5 + min(4, ngt1)
+        prefix = min(v, 14)
+        for b in range(prefix):
+            enc.encode(cx[f"abs{cat}", ctx0 if b == 0 else ctx1], 1)
+        if prefix < 14:
+            enc.encode(cx[f"abs{cat}", ctx0 if prefix == 0 else ctx1], 0)
+        else:
+            _write_egk(enc, v - 14, 0)
+        enc.encode_bypass(1 if coeffs[i] < 0 else 0)
+        if v == 0:
+            neq1 += 1
+        else:
+            ngt1 += 1
+
+
+def _decode_block(dec, cx, st: MbState, n, cat, mbx, mby, blk,
+                  cur_intra, c=0):
+    """Returns an n-length int32 scan-ordered array (zeros if cbf=0)."""
+    out = np.zeros(n, np.int32)
+    cbf = dec.decode(cx[f"cbf{cat}", st.cbf_ctx(cat, mbx, mby, blk,
+                                                cur_intra, c)])
+    st.set_cbf(cat, mbx, mby, blk, cbf, c)
+    if not cbf:
+        return out
+    sig = [0] * n
+    found_last = False
+    for i in range(n - 1):
+        sig[i] = dec.decode(cx[f"sig{cat}", i])
+        if sig[i] and dec.decode(cx[f"last{cat}", i]):
+            found_last = True
+            break
+    if not found_last:
+        # every earlier significant coeff said "not last" (or none were
+        # significant), so the final scan position is significant
+        sig[n - 1] = 1
+    nz = [i for i in range(n) if sig[i]]
+    neq1 = ngt1 = 0
+    for i in reversed(nz):
+        ctx0 = 0 if ngt1 > 0 else min(4, 1 + neq1)
+        ctx1 = 5 + min(4, ngt1)
+        v = 0
+        while v < 14 and dec.decode(cx[f"abs{cat}",
+                                       ctx0 if v == 0 else ctx1]):
+            v += 1
+        if v == 14:
+            v += _read_egk(dec, 0)
+        sign = dec.decode_bypass()
+        out[i] = -(v + 1) if sign else (v + 1)
+        if v == 0:
+            neq1 += 1
+        else:
+            ngt1 += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MB-layer syntax pieces
+# ---------------------------------------------------------------------------
+
+def _encode_mb_i16(enc, cx, st, mbx, mby, pred_mode, chroma_mode,
+                   cbp_luma15, cbp_chroma, in_pslice=False):
+    if in_pslice:
+        enc.encode(cx["mbt_p", 0], 1)        # intra prefix in P slice
+    b0 = st.mbt_i_ctx(mbx, mby)
+    enc.encode(cx["mbt_i", b0], 1)           # not I_4x4
+    enc.encode_terminate(0)                  # not I_PCM
+    enc.encode(cx["mbt_i_tail", 0], 1 if cbp_luma15 else 0)
+    enc.encode(cx["mbt_i_tail", 1], 1 if cbp_chroma > 0 else 0)
+    if cbp_chroma > 0:
+        enc.encode(cx["mbt_i_tail", 2], 1 if cbp_chroma == 2 else 0)
+    enc.encode(cx["mbt_i_tail", 3], (pred_mode >> 1) & 1)
+    enc.encode(cx["mbt_i_tail", 4], pred_mode & 1)
+    # intra_chroma_pred_mode: TU cMax 3
+    cm_ctx = st.chroma_mode_ctx(mbx, mby)
+    if chroma_mode == 0:
+        enc.encode(cx["chroma_mode", cm_ctx], 0)
+    else:
+        enc.encode(cx["chroma_mode", cm_ctx], 1)
+        for b in range(1, 3):
+            if chroma_mode == b:
+                enc.encode(cx["chroma_mode", 3], 0)
+                break
+            enc.encode(cx["chroma_mode", 3], 1)
+    st.intra[mby, mbx] = True
+    st.chroma_mode[mby, mbx] = chroma_mode
+    st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = \
+        1 if cbp_luma15 else 0
+    st.cbp_chroma[mby, mbx] = cbp_chroma
+
+
+def _decode_mb_i16(dec, cx, st, mbx, mby):
+    b0 = st.mbt_i_ctx(mbx, mby)
+    if dec.decode(cx["mbt_i", b0]) == 0:
+        raise ValueError("I_4x4 mb_type unsupported (CABAC)")
+    if dec.decode_terminate():
+        raise ValueError("I_PCM unsupported in CABAC slices here")
+    cbp_luma15 = dec.decode(cx["mbt_i_tail", 0])
+    cbp_chroma = 0
+    if dec.decode(cx["mbt_i_tail", 1]):
+        cbp_chroma = 2 if dec.decode(cx["mbt_i_tail", 2]) else 1
+    pred_mode = (dec.decode(cx["mbt_i_tail", 3]) << 1) | \
+        dec.decode(cx["mbt_i_tail", 4])
+    cm_ctx = st.chroma_mode_ctx(mbx, mby)
+    chroma_mode = 0
+    if dec.decode(cx["chroma_mode", cm_ctx]):
+        chroma_mode = 1
+        while chroma_mode < 3 and dec.decode(cx["chroma_mode", 3]):
+            chroma_mode += 1
+    st.intra[mby, mbx] = True
+    st.chroma_mode[mby, mbx] = chroma_mode
+    st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = \
+        1 if cbp_luma15 else 0
+    st.cbp_chroma[mby, mbx] = cbp_chroma
+    return pred_mode, chroma_mode, bool(cbp_luma15), int(cbp_chroma)
+
+
+def _encode_mvd_comp(enc, cx, st, mbx, mby, comp, mvd):
+    name = "mvd_x" if comp == 0 else "mvd_y"
+    v = abs(mvd)
+    b0 = st.mvd_ctx(mbx, mby, comp)
+    prefix = min(v, 9)
+    ctx_of = lambda b: b0 if b == 0 else min(6, 2 + b)  # noqa: E731
+    for b in range(prefix):
+        enc.encode(cx[name, ctx_of(b)], 1)
+    if prefix < 9:
+        enc.encode(cx[name, ctx_of(prefix)], 0)
+    else:
+        _write_egk(enc, v - 9, 3)
+    if v:
+        enc.encode_bypass(1 if mvd < 0 else 0)
+
+
+def _decode_mvd_comp(dec, cx, st, mbx, mby, comp):
+    name = "mvd_x" if comp == 0 else "mvd_y"
+    b0 = st.mvd_ctx(mbx, mby, comp)
+    ctx_of = lambda b: b0 if b == 0 else min(6, 2 + b)  # noqa: E731
+    v = 0
+    while v < 9 and dec.decode(cx[name, ctx_of(v)]):
+        v += 1
+    if v == 9:
+        v += _read_egk(dec, 3)
+    if v and dec.decode_bypass():
+        return -v
+    return v
+
+
+def _mb_i16_residual(enc_or_dec, cx, st, mbx, mby, *, encode,
+                     cbp_luma15, cbp_chroma, dc_zz=None, ac=None,
+                     cdc=None, cac=None):
+    """Shared block-order walk for an I16x16 MB's residual."""
+    if encode:
+        _encode_block(enc_or_dec, cx, st, [int(x) for x in dc_zz],
+                      CAT_I16_DC, mbx, mby, 0, True)
+    else:
+        dc_zz = _decode_block(enc_or_dec, cx, st, 16, CAT_I16_DC,
+                              mbx, mby, 0, True)
+        ac = np.zeros((16, 16), np.int32)
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 16), np.int32)
+    for blk in range(16):
+        if cbp_luma15:
+            if encode:
+                _encode_block(enc_or_dec, cx, st,
+                              [int(x) for x in ac[blk, 1:]],
+                              CAT_I16_AC, mbx, mby, blk, True)
+            else:
+                ac[blk, 1:] = _decode_block(enc_or_dec, cx, st, 15,
+                                            CAT_I16_AC, mbx, mby, blk, True)
+        else:
+            st.set_cbf(CAT_I16_AC, mbx, mby, blk, 0)
+    if cbp_chroma:
+        for c in range(2):
+            if encode:
+                _encode_block(enc_or_dec, cx, st, [int(x) for x in cdc[c]],
+                              CAT_CHROMA_DC, mbx, mby, 0, True, c)
+            else:
+                cdc[c] = _decode_block(enc_or_dec, cx, st, 4,
+                                       CAT_CHROMA_DC, mbx, mby, 0, True, c)
+    else:
+        for c in range(2):
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c)
+    for c in range(2):
+        for blk in range(4):
+            if cbp_chroma == 2:
+                if encode:
+                    _encode_block(enc_or_dec, cx, st,
+                                  [int(x) for x in cac[c][blk, 1:]],
+                                  CAT_CHROMA_AC, mbx, mby, blk, True, c)
+                else:
+                    cac[c, blk, 1:] = _decode_block(
+                        enc_or_dec, cx, st, 15, CAT_CHROMA_AC,
+                        mbx, mby, blk, True, c)
+            else:
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c)
+    if not encode:
+        return dc_zz, ac, cdc, cac
+
+
+# ---------------------------------------------------------------------------
+# Slice writers
+# ---------------------------------------------------------------------------
+
+def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                       idr_pic_id: int, qp: int, data: dict,
+                       deblock: bool = False) -> bytes:
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    bw = BitWriter()
+    H.write_slice_header(bw, sp, pp, is_idr=True, frame_num=frame_num,
+                         slice_qp=qp, idr_pic_id=idr_pic_id,
+                         disable_deblocking=not deblock)
+    bw.byte_align(1)                     # cabac_alignment_one_bit
+
+    enc = CabacEncoder()
+    cx = H264CabacContexts(qp)
+    st = MbState(n_mby, n_mbx)
+    luma_dc, luma_ac = data["luma_dc"], data["luma_ac"]
+    cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
+    cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
+
+    for mby in range(n_mby):
+        pred_mode, chroma_mode = (2, 0) if mby == 0 else (0, 2)
+        for mbx in range(n_mbx):
+            z_ac = luma_ac[mby, mbx]
+            cdc = np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]])
+            cac = np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]])
+            cbp_luma15 = bool(np.any(z_ac[:, 1:]))
+            any_cac = bool(np.any(cac[:, :, 1:]))
+            any_cdc = bool(np.any(cdc))
+            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+            _encode_mb_i16(enc, cx, st, mbx, mby, pred_mode, chroma_mode,
+                           cbp_luma15, cbp_chroma)
+            enc.encode(cx["qp_delta", 0], 0)   # mb_qp_delta == 0
+            _mb_i16_residual(enc, cx, st, mbx, mby, encode=True,
+                             cbp_luma15=cbp_luma15, cbp_chroma=cbp_chroma,
+                             dc_zz=luma_dc[mby, mbx], ac=z_ac,
+                             cdc=cdc, cac=cac)
+            st.avail[mby, mbx] = True
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            enc.encode_terminate(1 if last else 0)
+    return nal_unit(H.NAL_SLICE_IDR, bw.to_bytes() + enc.flush(),
+                    nal_ref_idc=3)
+
+
+def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                       qp: int, data: dict, deblock: bool = False) -> bytes:
+    from .pframe import mv_pred, skip_mv
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    bw = BitWriter()
+    H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
+                         slice_qp=qp, disable_deblocking=not deblock)
+    bw.byte_align(1)
+
+    enc = CabacEncoder()
+    cx = H264CabacContexts(qp)
+    st = MbState(n_mby, n_mbx)
+
+    mv = data["mv"]
+    luma = data["luma"]
+    cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
+    cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
+    valid = np.ones((n_mby, n_mbx), bool)
+    mv_xy = np.stack([mv[..., 1], mv[..., 0]], axis=-1)
+
+    luma_nz = np.any(np.asarray(luma) != 0, axis=-1)
+    quad_nz = luma_nz.reshape(n_mby, n_mbx, 4, 4).any(axis=-1)
+    cbp_luma = (quad_nz * np.array([1, 2, 4, 8])).sum(axis=-1)
+    any_cac = np.any(np.asarray(cb_ac)[..., 1:] != 0, axis=(-1, -2)) | \
+        np.any(np.asarray(cr_ac)[..., 1:] != 0, axis=(-1, -2))
+    any_cdc = np.any(np.asarray(cb_dc) != 0, axis=-1) | \
+        np.any(np.asarray(cr_dc) != 0, axis=-1)
+    cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
+            cbp_l = int(cbp_luma[mby, mbx])
+            cbp_c = int(cbp_chroma[mby, mbx])
+            smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+            is_skip = cbp_l == 0 and cbp_c == 0 and m == smv
+            enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
+                       1 if is_skip else 0)
+            st.avail[mby, mbx] = True
+            st.skip[mby, mbx] = is_skip
+            if is_skip:
+                # all-zero residual context state
+                st.cbp_luma8[2 * mby:2 * mby + 2,
+                             2 * mbx:2 * mbx + 2] = 0
+                st.cbp_chroma[mby, mbx] = 0
+                last = mby == n_mby - 1 and mbx == n_mbx - 1
+                enc.encode_terminate(1 if last else 0)
+                continue
+            # mb_type P_L0_16x16 -> "000"
+            enc.encode(cx["mbt_p", 0], 0)
+            enc.encode(cx["mbt_p", 1], 0)
+            enc.encode(cx["mbt_p", 2], 0)
+            pred = mv_pred(mv_xy, valid, mbx, mby, n_mbx)
+            mvd = (m[0] - pred[0], m[1] - pred[1])
+            _encode_mvd_comp(enc, cx, st, mbx, mby, 0, mvd[0])
+            _encode_mvd_comp(enc, cx, st, mbx, mby, 1, mvd[1])
+            st.absmvd[mby, mbx] = (abs(mvd[0]), abs(mvd[1]))
+            # coded_block_pattern: 4 luma bins + up to 2 chroma bins
+            for b8 in range(4):
+                enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
+                           (cbp_l >> b8) & 1)
+                st.cbp_luma8[2 * mby + b8 // 2,
+                             2 * mbx + b8 % 2] = (cbp_l >> b8) & 1
+            enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)],
+                       1 if cbp_c > 0 else 0)
+            if cbp_c > 0:
+                enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)],
+                           1 if cbp_c == 2 else 0)
+            st.cbp_chroma[mby, mbx] = cbp_c
+            if cbp_l or cbp_c:
+                enc.encode(cx["qp_delta", 0], 0)
+            _p_residual(enc, cx, st, mbx, mby, encode=True, cbp_l=cbp_l,
+                        cbp_c=cbp_c, luma=luma[mby, mbx],
+                        cdc=np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]]),
+                        cac=np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]]))
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            enc.encode_terminate(1 if last else 0)
+    return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes() + enc.flush(),
+                    nal_ref_idc=2)
+
+
+def _p_residual(ed, cx, st, mbx, mby, *, encode, cbp_l, cbp_c,
+                luma=None, cdc=None, cac=None):
+    """LumaLevel4x4 + chroma residual walk for an inter MB."""
+    if not encode:
+        luma = np.zeros((16, 16), np.int32)
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 16), np.int32)
+    for blk in range(16):
+        b8 = (blk // 4)                # LUMA_BLK_ORDER groups by 8x8
+        if (cbp_l >> b8) & 1:
+            if encode:
+                _encode_block(ed, cx, st, [int(x) for x in luma[blk]],
+                              CAT_LUMA4, mbx, mby, blk, False)
+            else:
+                luma[blk] = _decode_block(ed, cx, st, 16, CAT_LUMA4,
+                                          mbx, mby, blk, False)
+        else:
+            st.set_cbf(CAT_LUMA4, mbx, mby, blk, 0)
+    if cbp_c:
+        for c in range(2):
+            if encode:
+                _encode_block(ed, cx, st, [int(x) for x in cdc[c]],
+                              CAT_CHROMA_DC, mbx, mby, 0, False, c)
+            else:
+                cdc[c] = _decode_block(ed, cx, st, 4, CAT_CHROMA_DC,
+                                       mbx, mby, 0, False, c)
+    else:
+        for c in range(2):
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c)
+    for c in range(2):
+        for blk in range(4):
+            if cbp_c == 2:
+                if encode:
+                    _encode_block(ed, cx, st,
+                                  [int(x) for x in cac[c][blk, 1:]],
+                                  CAT_CHROMA_AC, mbx, mby, blk, False, c)
+                else:
+                    cac[c, blk, 1:] = _decode_block(
+                        ed, cx, st, 15, CAT_CHROMA_AC, mbx, mby, blk,
+                        False, c)
+            else:
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c)
+    if not encode:
+        return luma, cdc, cac
+
+
+# ---------------------------------------------------------------------------
+# Slice parsers (decoder side)
+# ---------------------------------------------------------------------------
+
+def parse_islice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int):
+    """Parse an I-slice CABAC payload. Returns rows of parsed-MB dicts
+    compatible with H264Decoder's recon path, plus the luma-nz grid for
+    deblocking."""
+    dec = CabacDecoder(payload)
+    cx = H264CabacContexts(qp)
+    st = MbState(n_mby, n_mbx)
+    rows = [[None] * n_mbx for _ in range(n_mby)]
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            pred_mode, chroma_mode, cbp_l15, cbp_c = _decode_mb_i16(
+                dec, cx, st, mbx, mby)
+            if dec.decode(cx["qp_delta", 0]):
+                raise ValueError("mb_qp_delta != 0 unsupported")
+            dc_zz, ac, cdc, cac = _mb_i16_residual(
+                dec, cx, st, mbx, mby, encode=False,
+                cbp_luma15=cbp_l15, cbp_chroma=cbp_c)
+            rows[mby][mbx] = dict(pred_mode=pred_mode,
+                                  chroma_mode=chroma_mode,
+                                  dc_zz=dc_zz, ac=ac, cdc=cdc, cac=cac)
+            st.avail[mby, mbx] = True
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            term = dec.decode_terminate()
+            if term != (1 if last else 0):
+                raise ValueError("CABAC I-slice MB count mismatch")
+    return rows, st
+
+
+def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
+                       on_skip, on_inter):
+    """Parse a P-slice CABAC payload. Calls on_skip(mbx, mby) for P_Skip
+    MBs and on_inter(mbx, mby, mvd_xy, luma, cdc, cac) for coded MBs, in
+    raster order (so callbacks can maintain mv prediction state)."""
+    dec = CabacDecoder(payload)
+    cx = H264CabacContexts(qp)
+    st = MbState(n_mby, n_mbx)
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            is_skip = dec.decode(cx["skip", st.skip_ctx(mbx, mby)])
+            st.avail[mby, mbx] = True
+            st.skip[mby, mbx] = bool(is_skip)
+            if is_skip:
+                st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+                st.cbp_chroma[mby, mbx] = 0
+                on_skip(mbx, mby)
+            else:
+                if dec.decode(cx["mbt_p", 0]):
+                    raise ValueError("intra MB in CABAC P slice "
+                                     "unsupported")
+                if dec.decode(cx["mbt_p", 1]) or dec.decode(cx["mbt_p", 2]):
+                    raise ValueError("P mb_type != P_L0_16x16 unsupported")
+                mvd_x = _decode_mvd_comp(dec, cx, st, mbx, mby, 0)
+                mvd_y = _decode_mvd_comp(dec, cx, st, mbx, mby, 1)
+                st.absmvd[mby, mbx] = (abs(mvd_x), abs(mvd_y))
+                cbp_l = 0
+                for b8 in range(4):
+                    bit = dec.decode(cx["cbp_l",
+                                        st.cbp_luma_ctx(mbx, mby, b8)])
+                    cbp_l |= bit << b8
+                    st.cbp_luma8[2 * mby + b8 // 2,
+                                 2 * mbx + b8 % 2] = bit
+                cbp_c = 0
+                if dec.decode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)]):
+                    cbp_c = 2 if dec.decode(
+                        cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
+                st.cbp_chroma[mby, mbx] = cbp_c
+                if cbp_l or cbp_c:
+                    if dec.decode(cx["qp_delta", 0]):
+                        raise ValueError("mb_qp_delta != 0 unsupported")
+                luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
+                                             encode=False, cbp_l=cbp_l,
+                                             cbp_c=cbp_c)
+                on_inter(mbx, mby, (mvd_x, mvd_y), luma, cdc, cac)
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            term = dec.decode_terminate()
+            if term != (1 if last else 0):
+                raise ValueError("CABAC P-slice MB count mismatch")
+    return st

@@ -138,6 +138,8 @@ class H264Decoder:
         else:
             if br.u(1):
                 raise DecodeError("adaptive ref marking unsupported")
+        if pp.cabac and is_p:
+            br.ue()                               # cabac_init_idc
         qp = pp.init_qp + br.se()
         deblock_idc = 1
         if pp.deblocking_filter_control_present:
@@ -180,38 +182,49 @@ class H264Decoder:
                             for _ in range(sp.mb_height)]
 
         n_mbs = sp.mb_width * sp.mb_height
-        mb = 0
-        while mb < n_mbs:
-            if is_p:
-                # mb_skip_run precedes every coded MB (and may end the slice)
-                run = br.ue()
-                for _ in range(run):
-                    mby, mbx = divmod(mb, sp.mb_width)
-                    self._decode_pskip(ctx, mbx, mby)
-                    mb += 1
-                if mb >= n_mbs:
-                    break
-                mby, mbx = divmod(mb, sp.mb_width)
-                mb_type = br.ue()
-                if mb_type >= 5:
-                    if mb_type - 5 == MB_TYPE_I_PCM:
-                        self._decode_pcm(ctx, mbx, mby)
-                    else:
-                        parsed = self._parse_intra_mb(ctx, mbx, mby,
-                                                      mb_type - 5)
-                        intra_queue.append((mbx, mby, parsed))
-                else:
-                    self._decode_inter_mb(ctx, mbx, mby, mb_type)
+        if pp.cabac:
+            from . import cabac_syntax as CS
+            from . import pframe as pf
+            br.byte_align()                 # cabac_alignment_one_bit(s)
+            payload = rbsp[br.pos // 8:]
+            if is_i:
+                rows, st = CS.parse_islice_cabac(
+                    payload, qp, sp.mb_height, sp.mb_width)
+                i_rows = rows
+                intra_mb[:, :] = True
+                nz_y.nz[:, :] = st.cbf_l4
+                nz_cb.nz[:, :] = st.cbf_c4[0]
+                nz_cr.nz[:, :] = st.cbf_c4[1]
             else:
-                mby, mbx = divmod(mb, sp.mb_width)
-                mb_type = br.ue()
-                if mb_type == MB_TYPE_I_PCM:
-                    self._decode_pcm(ctx, mbx, mby)
-                    i_rows[mby][mbx] = "pcm"
-                else:
-                    i_rows[mby][mbx] = self._parse_intra_mb(
-                        ctx, mbx, mby, mb_type)
-            mb += 1
+                def on_skip(mbx, mby):
+                    self._decode_pskip(ctx, mbx, mby)
+
+                def on_inter(mbx, mby, mvd, luma, cdc, cac):
+                    pred = pf.mv_pred(mvs, mv_valid, mbx, mby,
+                                      sp.mb_width)
+                    mvs[mby, mbx] = (pred[0] + mvd[0], pred[1] + mvd[1])
+                    mv_valid[mby, mbx] = True
+                    ctx["p_z_luma"][mby, mbx] = luma
+                    ctx["p_cdc"][mby, mbx] = cdc
+                    ctx["p_cac"][mby, mbx] = cac
+                    for blk in range(16):
+                        oy = int(LUMA_BLK_ORDER[blk, 0])
+                        ox = int(LUMA_BLK_ORDER[blk, 1])
+                        nz_y.nz[4 * mby + oy, 4 * mbx + ox] = \
+                            int(np.count_nonzero(luma[blk]))
+                    for c, nzc in ((0, nz_cb), (1, nz_cr)):
+                        for blk in range(4):
+                            oy = int(CHROMA_BLK_ORDER[blk, 0])
+                            ox = int(CHROMA_BLK_ORDER[blk, 1])
+                            nzc.nz[2 * mby + oy, 2 * mbx + ox] = \
+                                int(np.count_nonzero(cac[c, blk]))
+
+                CS.parse_pslice_cabac(payload, qp, sp.mb_height,
+                                      sp.mb_width, on_skip, on_inter)
+        else:
+            self._decode_mbs_cavlc(ctx, is_p, n_mbs,
+                                   intra_queue if is_p else None,
+                                   i_rows if not is_p else None)
 
         if is_p:
             from . import pframe
@@ -250,6 +263,42 @@ class H264Decoder:
         self.ref = (y.astype(np.uint8), u.astype(np.uint8),
                     v.astype(np.uint8))
         self.frames.append(DecodedFrame(crop_y, crop_u, crop_v, is_idr))
+
+    def _decode_mbs_cavlc(self, ctx, is_p, n_mbs, intra_queue, i_rows):
+        br = ctx["br"]
+        sp = ctx["sp"]
+        mb = 0
+        while mb < n_mbs:
+            if is_p:
+                # mb_skip_run precedes every coded MB (and may end the slice)
+                run = br.ue()
+                for _ in range(run):
+                    mby, mbx = divmod(mb, sp.mb_width)
+                    self._decode_pskip(ctx, mbx, mby)
+                    mb += 1
+                if mb >= n_mbs:
+                    break
+                mby, mbx = divmod(mb, sp.mb_width)
+                mb_type = br.ue()
+                if mb_type >= 5:
+                    if mb_type - 5 == MB_TYPE_I_PCM:
+                        self._decode_pcm(ctx, mbx, mby)
+                    else:
+                        parsed = self._parse_intra_mb(ctx, mbx, mby,
+                                                      mb_type - 5)
+                        intra_queue.append((mbx, mby, parsed))
+                else:
+                    self._decode_inter_mb(ctx, mbx, mby, mb_type)
+            else:
+                mby, mbx = divmod(mb, sp.mb_width)
+                mb_type = br.ue()
+                if mb_type == MB_TYPE_I_PCM:
+                    self._decode_pcm(ctx, mbx, mby)
+                    i_rows[mby][mbx] = "pcm"
+                else:
+                    i_rows[mby][mbx] = self._parse_intra_mb(
+                        ctx, mbx, mby, mb_type)
+            mb += 1
 
     # -- intra MBs --------------------------------------------------------
     def _decode_intra_mb(self, ctx, mbx, mby, mb_type):

@@ -45,6 +45,7 @@ class EncoderConfig:
     gop_size: int = 30
     effort: int = 4
     deblock: bool = False          # round 1: deblocking disabled per slice
+    cabac: bool = False            # CABAC entropy (VCP_CABAC=1 to enable)
     params: EncodeParams | None = None   # original preset args (rate control)
 
     @classmethod
@@ -55,6 +56,8 @@ class EncoderConfig:
         import os
         if os.environ.get("VCP_DEBLOCK") == "1":
             cfg.deblock = True
+        if os.environ.get("VCP_CABAC") == "1":
+            cfg.cabac = True
         if params.gop_size:
             cfg.gop_size = params.gop_size
         else:
@@ -78,7 +81,7 @@ class H264Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
         self.sp = headers.SeqParams(width=cfg.width, height=cfg.height)
-        self.pp = headers.PicParams(init_qp=26)
+        self.pp = headers.PicParams(init_qp=26, cabac=cfg.cabac)
         self.frame_index = 0
         self.idr_count = 0
         self._recon = None          # (y, u, v) uint8 planes, device-resident
@@ -115,7 +118,8 @@ class H264Encoder:
         nal = entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=self.idr_count % 65536, qp=qp, data=data,
-            src_y=yp, src_u=up, src_v=vp, deblock=self.cfg.deblock)
+            src_y=yp, src_u=up, src_v=vp, deblock=self.cfg.deblock,
+            cabac=self.cfg.cabac)
         self.idr_count += 1
         self._frame_num = 1
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -154,7 +158,8 @@ class H264Encoder:
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         return pframe.write_pslice(self.sp, self.pp,
                                    frame_num=self._frame_num, qp=qp,
-                                   data=data, deblock=self.cfg.deblock)
+                                   data=data, deblock=self.cfg.deblock,
+                                   cabac=self.cfg.cabac)
 
     # -- GOP-chunked hot path (one device call + one fetch per chunk) -----
     P_CHUNKS = (8, 4, 2, 1)
@@ -212,7 +217,8 @@ class H264Encoder:
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=(self.idr_count - 1) % 65536, qp=qp, data=idata,
-            src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock), True))
+            src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock,
+            cabac=cfg.cabac), True))
 
         # Then two fetches per chunk (meta+count, then the compacted
         # nonzero blocks only).
@@ -227,7 +233,8 @@ class H264Encoder:
                 nal = pframe.write_pslice(self.sp, self.pp,
                                           frame_num=self._frame_num,
                                           qp=qp, data=data,
-                                          deblock=cfg.deblock)
+                                          deblock=cfg.deblock,
+                                          cabac=cfg.cabac)
                 self._frame_num += 1
                 self.frame_index += 1
                 out.append((nal, False))

@@ -63,11 +63,19 @@ def _nal_from_rbsp_native(lib, rbsp_buf, rbsp_len: int, nal_type: int,
 def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  idr_pic_id: int, qp: int, data: dict,
                  src_y: np.ndarray, src_u: np.ndarray,
-                 src_v: np.ndarray, deblock: bool = False) -> bytes:
+                 src_v: np.ndarray, deblock: bool = False,
+                 cabac: bool = False) -> bytes:
     """Encode one IDR slice NAL. MB row 0 = I16x16-DC; rows 1.. = I16x16-V.
 
     Uses the C++ engine when available (bit-identical to the Python path,
-    asserted by tests); falls back to Python."""
+    asserted by tests); falls back to Python. ``cabac=True`` routes to
+    the CABAC syntax layer (requires pp.cabac; Python host path)."""
+    if cabac:
+        from .cabac_syntax import write_islice_cabac
+        assert pp.cabac, "pp.cabac must match the slice entropy mode"
+        return write_islice_cabac(sp, pp, frame_num=frame_num,
+                                  idr_pic_id=idr_pic_id, qp=qp, data=data,
+                                  deblock=deblock)
     from ... import native
     lib = native.get_lib()
     if lib is not None:

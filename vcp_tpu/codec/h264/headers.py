@@ -48,6 +48,7 @@ class PicParams:
     init_qp: int = 26
     chroma_qp_index_offset: int = 0
     deblocking_filter_control_present: bool = True
+    cabac: bool = False            # entropy_coding_mode_flag
 
 
 def write_sps(sp: SeqParams) -> bytes:
@@ -84,7 +85,7 @@ def write_pps(pp: PicParams) -> bytes:
     bw = BitWriter()
     bw.ue(pp.pps_id)
     bw.ue(pp.sps_id)
-    bw.u(1, 0)                     # entropy_coding_mode_flag = CAVLC
+    bw.u(1, 1 if pp.cabac else 0)  # entropy_coding_mode_flag
     bw.u(1, 0)                     # bottom_field_pic_order_in_frame_present
     bw.ue(0)                       # num_slice_groups_minus1
     bw.ue(0)                       # num_ref_idx_l0_default_active_minus1
@@ -121,6 +122,8 @@ def write_slice_header(bw: BitWriter, sp: SeqParams, pp: PicParams, *,
         bw.u(1, 0)                            # long_term_reference_flag
     else:
         bw.u(1, 0)                            # adaptive_ref_pic_marking_mode
+    if pp.cabac and not is_idr:
+        bw.ue(0)                              # cabac_init_idc
     bw.se(slice_qp - pp.init_qp)              # slice_qp_delta
     if pp.deblocking_filter_control_present:
         if disable_deblocking:
@@ -169,8 +172,7 @@ def parse_pps(rbsp: bytes) -> PicParams:
     br = BitReader(rbsp)
     pps_id = br.ue()
     sps_id = br.ue()
-    if br.u(1):
-        raise ValueError("CABAC unsupported by this decoder")
+    cabac = bool(br.u(1))
     br.u(1)
     if br.ue() != 0:
         raise ValueError("slice groups unsupported")
@@ -184,4 +186,5 @@ def parse_pps(rbsp: bytes) -> PicParams:
     deblock_present = bool(br.u(1))
     return PicParams(pps_id=pps_id, sps_id=sps_id, init_qp=init_qp,
                      chroma_qp_index_offset=chroma_off,
-                     deblocking_filter_control_present=deblock_present)
+                     deblocking_filter_control_present=deblock_present,
+                     cabac=cabac)

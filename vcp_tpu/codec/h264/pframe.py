@@ -165,8 +165,15 @@ def skip_mv(mvs, valid, mbx, mby, n_mbx):
 # ---------------------------------------------------------------------------
 
 def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
-                 qp: int, data: dict, deblock: bool = False) -> bytes:
-    """P slice NAL. C++ engine when available (bit-identical), else Python."""
+                 qp: int, data: dict, deblock: bool = False,
+                 cabac: bool = False) -> bytes:
+    """P slice NAL. C++ engine when available (bit-identical), else Python.
+    ``cabac=True`` routes to the CABAC syntax layer."""
+    if cabac:
+        from .cabac_syntax import write_pslice_cabac
+        assert pp.cabac, "pp.cabac must match the slice entropy mode"
+        return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
+                                  data=data, deblock=deblock)
     from ... import native
     lib = native.get_lib()
     if lib is not None:
