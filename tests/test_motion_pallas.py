@@ -31,3 +31,37 @@ def test_pallas_finds_known_motion():
     mv = np.asarray(full_search_pallas(cur, ref, 4, 1, interpret=True))
     assert tuple(mv[1, 1]) == (-2, 3)
     assert tuple(mv[1, 2]) == (-2, 3)
+
+
+@pytest.mark.parametrize("sr", [4, 8])
+def test_pallas_fused_pred_matches_mc_luma(sr):
+    """with_pred=True must emit exactly mc_luma(ref, mv, sr) and the same
+    MVs as the plain search."""
+    rng = np.random.default_rng(sr + 100)
+    h, w = 64, 128
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    ref = np.clip(np.roll(cur, (1, -2), (0, 1))
+                  + rng.integers(-3, 4, (h, w)), 0, 255).astype(np.int32)
+    mv0 = full_search_pallas(cur, ref, sr, 4, interpret=True)
+    mv, pred = full_search_pallas(cur, ref, sr, 4, interpret=True,
+                                  with_pred=True)
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(mv0))
+    want = np.asarray(mops.mc_luma(ref, mv0, sr))
+    np.testing.assert_array_equal(np.asarray(pred), want)
+
+
+@pytest.mark.parametrize("sr", [4, 8])
+def test_chroma_mc_pair_matches_gather(sr):
+    """mc_chroma_q_pair (select-accumulate) == mc_chroma_q (gather)."""
+    rng = np.random.default_rng(sr)
+    m = sr // 2 + 2
+    hc, wc = 48, 64
+    mby, mbx = hc // 8, wc // 8
+    ru = rng.integers(0, 255, (hc, wc)).astype(np.int32)
+    rv = rng.integers(0, 255, (hc, wc)).astype(np.int32)
+    mvq = rng.integers(-4 * sr - 2, 4 * sr + 3, (mby, mbx, 2)).astype(np.int32)
+    gu = np.asarray(mops.mc_chroma_q(ru, mvq, m))
+    gv = np.asarray(mops.mc_chroma_q(rv, mvq, m))
+    su, sv = mops.mc_chroma_q_pair(ru, rv, mvq, m)
+    np.testing.assert_array_equal(gu, np.asarray(su))
+    np.testing.assert_array_equal(gv, np.asarray(sv))

@@ -141,6 +141,11 @@ class H264Encoder:
             nal = self._encode_pframe(yp, up, vp, qp, qpc)
             self._frame_num += 1
         self.frame_index += 1
+        # per-frame path doesn't maintain the device-resident source;
+        # invalidate the delta-upload carry so a later encode_gop on the
+        # same encoder re-bootstraps with a full upload
+        self._prev_tiles = None
+        self._src_dev = None
         return nal, is_idr
 
     def _encode_pframe(self, yp, up, vp, qp, qpc) -> bytes:
@@ -164,6 +169,12 @@ class H264Encoder:
     # -- GOP-chunked hot path (one device call + one fetch per chunk) -----
     P_CHUNKS = (8, 4, 2, 1)
 
+    def _use_delta(self) -> bool:
+        """Conditional-replenishment uploads (gop_ops delta tiles): upload
+        only changed 16x16 tiles, carry the source on device. Bit-exact
+        (tiles are verbatim); default-on. VCP_DELTA=0 opts out."""
+        return os.environ.get("VCP_DELTA", "1") != "0"
+
     def encode_gop(self, frames: list) -> list[tuple[bytes, bool]]:
         """Encode a list of (y, u, v) frames, first as IDR, rest as P,
         using device-resident GOP chunks (see gop_ops)."""
@@ -176,14 +187,34 @@ class H264Encoder:
 
         out: list[tuple[bytes, bool]] = []
         n_mby, n_mbx = self.sp.mb_height, self.sp.mb_width
+        n_mb = n_mby * n_mbx
         h16, w16 = 16 * n_mby, 16 * n_mbx
+        delta = self._use_delta()
 
         # Phase 1: dispatch the IDR and ALL P chunks (async). The chunks
         # chain on the IDR's device-resident recon, so everything queues
         # while phase 2 fetches results in order.
         yp, up, vp = self._pad(*frames[0])
-        imeta, icount, iblocks, ry, ru, rv = gop_ops.encode_iframe_sparse(
-            yp, up, vp, qp, qpc, cfg.deblock)
+        prev_tiles = getattr(self, "_prev_tiles", None)
+        src_dev = getattr(self, "_src_dev", None)
+        cur_tiles = gop_ops.tiles_from_planes_host(yp, up, vp) \
+            if delta else None
+        if (delta and prev_tiles is not None and src_dev is not None
+                and prev_tiles.shape == cur_tiles.shape):
+            # IDR delta against the carried source (cross-GOP continuity)
+            idx, t = gop_ops.delta_tiles_host(prev_tiles, cur_tiles)
+            bucket = gop_ops.delta_bucket(len(idx), n_mb)
+            idxp, tp = gop_ops.pad_delta(idx, t, bucket, n_mb)
+            (imeta, icount, iblocks, sy, su, sv, ry, ru, rv) = \
+                gop_ops.encode_iframe_delta(*src_dev, idxp, tp, qp, qpc,
+                                            h16, w16, cfg.deblock)
+        else:
+            imeta, icount, iblocks, ry, ru, rv = gop_ops.encode_iframe_sparse(
+                yp, up, vp, qp, qpc, cfg.deblock)
+            if delta:
+                sy, su, sv = gop_ops.source_tiles(yp, up, vp, h16, w16)
+        if delta:
+            prev_tiles = cur_tiles
         recon = (ry, ru, rv)
         self.idr_count += 1
         self._frame_num = 1
@@ -193,11 +224,32 @@ class H264Encoder:
         i = 1
         while i < len(frames):
             chunk = next(c for c in self.P_CHUNKS if c <= len(frames) - i)
-            buf = gop_ops.pack_frames(
-                [self._pad(*frames[i + k]) for k in range(chunk)])
-            meta, count, blocks, ry, ru, rv = gop_ops.encode_pchunk_sparse(
-                buf, *recon, qp, qpc, sr, lam, h16, w16, cfg.deblock,
-                pframe.subpel_for_effort(cfg.effort))
+            if delta:
+                idxs, tiles, kmax = [], [], 0
+                for k in range(chunk):
+                    ct = gop_ops.tiles_from_planes_host(
+                        *self._pad(*frames[i + k]))
+                    ix, t = gop_ops.delta_tiles_host(prev_tiles, ct)
+                    prev_tiles = ct
+                    idxs.append(ix)
+                    tiles.append(t)
+                    kmax = max(kmax, len(ix))
+                bucket = gop_ops.delta_bucket(kmax, n_mb)
+                padded = [gop_ops.pad_delta(ix, t, bucket, n_mb)
+                          for ix, t in zip(idxs, tiles)]
+                idx_arr = np.stack([p[0] for p in padded])
+                tile_arr = np.stack([p[1] for p in padded])
+                (meta, count, blocks, sy, su, sv, ry, ru, rv) = \
+                    gop_ops.encode_pchunk_delta(
+                        sy, su, sv, idx_arr, tile_arr, *recon, qp, qpc,
+                        sr, lam, h16, w16, cfg.deblock,
+                        pframe.subpel_for_effort(cfg.effort))
+            else:
+                buf = gop_ops.pack_frames(
+                    [self._pad(*frames[i + k]) for k in range(chunk)])
+                meta, count, blocks, ry, ru, rv = gop_ops.encode_pchunk_sparse(
+                    buf, *recon, qp, qpc, sr, lam, h16, w16, cfg.deblock,
+                    pframe.subpel_for_effort(cfg.effort))
             recon = (ry.astype("uint8"), ru.astype("uint8"),
                      rv.astype("uint8"))
             for a in (meta, count):
@@ -208,6 +260,9 @@ class H264Encoder:
             pending.append((chunk, meta, count, blocks))
             i += chunk
         self._recon = recon
+        if delta:
+            self._prev_tiles = prev_tiles
+            self._src_dev = (sy, su, sv)
 
         # Phase 2: fetch + host entropy, IDR first.
         icnt = int(np.asarray(icount)[0])

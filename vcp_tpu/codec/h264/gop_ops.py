@@ -92,9 +92,16 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     h, w = cur_y.shape
     n_mby, n_mbx = h // 16, w // 16
 
+    pred_full = None
     if _use_pallas_me():
         from ...ops.motion_pallas import full_search_pallas
-        mv_full = full_search_pallas(cur_y, ref_y, sr, lam)
+        if subpel:
+            mv_full = full_search_pallas(cur_y, ref_y, sr, lam)
+        else:
+            # fused search+MC: the kernel emits the winning block while
+            # the window is VMEM-resident (saves a standalone gather MC)
+            mv_full, pred_full = full_search_pallas(cur_y, ref_y, sr, lam,
+                                                    with_pred=True)
     else:
         mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam)
 
@@ -110,9 +117,10 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         else:
             pred_y = mops.mc_luma_h(planes, mv, margin)
     else:
-        # full-pel: no interpolated planes, plain gather MC
+        # full-pel: no interpolated planes
         mv = mv_full * 4
-        pred_y = mops.mc_luma(ref_y, mv_full, sr)
+        pred_y = pred_full if pred_full is not None \
+            else mops.mc_luma(ref_y, mv_full, sr)
     coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
     z = tf.quant4(coef, qp, intra=False)
     zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
@@ -129,9 +137,17 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
                        0, 255)
     z_luma = z_zz.reshape(n_mby, n_mbx, 256)
 
-    def chroma(cur, ref):
+    # chroma MC: select-accumulate kernel on TPU (generic gathers lower
+    # to scalar loads there), plain gather on CPU where it's fastest
+    if jax.default_backend() == "cpu":
+        pred_u = mops.mc_chroma_q(ref_u, mv, sr // 2 + 2)
+        pred_v = mops.mc_chroma_q(ref_v, mv, sr // 2 + 2)
+    else:
+        pred_u, pred_v = mops.mc_chroma_q_pair(ref_u, ref_v, mv,
+                                               sr // 2 + 2)
+
+    def chroma(cur, ref, pred):
         hc, wc = cur.shape
-        pred = mops.mc_chroma_q(ref, mv, sr // 2 + 2)
         cf = tf.fdct4(tf.to_blocks4(cur - pred))
         dc = cf[..., 0, 0]
         dc_mb = dc.reshape(n_mby, 2, n_mbx, 2).transpose(0, 2, 1, 3)
@@ -147,8 +163,8 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         return (z_dc.reshape(n_mby, n_mbx, 4),
                 z_ac_zz.reshape(n_mby, n_mbx, 64), rec)
 
-    cb_dc, cb_ac, recon_u = chroma(cur_u, ref_u)
-    cr_dc, cr_ac, recon_v = chroma(cur_v, ref_v)
+    cb_dc, cb_ac, recon_u = chroma(cur_u, ref_u, pred_u)
+    cr_dc, cr_ac, recon_v = chroma(cur_v, ref_v, pred_v)
 
     if deblock:
         from ...ops import deblock as dbf
@@ -221,16 +237,9 @@ def _flag_words(flags_f):
     return (words.astype(jnp.uint16)).astype(jnp.int16)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
-def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
-                         qp, qpc, sr: int, lam,
-                         h: int, w: int, deblock: bool = False,
-                         subpel: int = 1):
-    """Sparse-output variant of encode_pchunk_packed."""
-    packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
-        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel)
-    f = packed.shape[0]
-    n_mb = (h // 16) * (w // 16)
+def _sparsify_packed(packed, f: int, n_mb: int):
+    """Compact a dense (F, nMB*MB_WORDS) int16 chunk into the sparse fetch
+    triple (meta, count, blocks) — see module comment above."""
     arr = packed.reshape(f, n_mb, MB_WORDS)
     mv = arr[..., :2]
     luma = arr[..., 2:258]
@@ -255,7 +264,21 @@ def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
         jnp.concatenate([mv, cb_dc, cr_dc], axis=-1).reshape(f, n_mb * 10),
         _flag_words(flags.reshape(f, n_mb * BLOCKS_PER_MB)),
     ], axis=1)
-    return meta, count.reshape(1), buffer, ry, ru, rv
+    return meta, count.reshape(1), buffer
+
+
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
+def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
+                         qp, qpc, sr: int, lam,
+                         h: int, w: int, deblock: bool = False,
+                         subpel: int = 1):
+    """Sparse-output variant of encode_pchunk_packed."""
+    packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
+        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel)
+    f = packed.shape[0]
+    n_mb = (h // 16) * (w // 16)
+    meta, count, buffer = _sparsify_packed(packed, f, n_mb)
+    return meta, count, buffer, ry, ru, rv
 
 
 # ---------------------------------------------------------------------------
@@ -383,6 +406,149 @@ def pack_frames(batch: list) -> np.ndarray:
     return np.stack([
         np.concatenate([y.reshape(-1), u.reshape(-1), v.reshape(-1)])
         for y, u, v in batch])
+
+
+# ---------------------------------------------------------------------------
+# Conditional-replenishment source upload (delta tiles)
+# ---------------------------------------------------------------------------
+#
+# Raw 1080p YUV420 is 3.1 MB/frame; on deployments where the host↔device
+# link is the bottleneck (tunneled chips measure ~35 MB/s → a 12 fps hard
+# ceiling), uploading every pixel every frame is the wall. Consecutive
+# source frames usually share most of their pixels (static background,
+# screen content, any fixed camera), so the host uploads only the 16x16
+# macroblock tiles that CHANGED since the previous source frame, and the
+# device carries the reconstructed source across the GOP — a classic
+# conditional-replenishment ingest, bit-exact by construction (tiles are
+# copied verbatim, never approximated). Fully-changing content degrades
+# gracefully to whole-frame tiles (same bytes as the dense path plus a
+# 4-byte index per MB).
+#
+# Device-side source layout is MB-tiled: luma (nMB, 256) + chroma 2x
+# (nMB, 64) uint8, so a frame update is one scatter per plane.
+TILE_WORDS = 384  # 256 luma + 64 cb + 64 cr bytes per MB
+
+
+def tiles_from_planes_host(yp: np.ndarray, up: np.ndarray,
+                           vp: np.ndarray) -> np.ndarray:
+    """(padded uint8 planes) → (nMB, 384) uint8 MB-tile view (host)."""
+    h, w = yp.shape
+    mby, mbx = h // 16, w // 16
+    yt = yp.reshape(mby, 16, mbx, 16).swapaxes(1, 2).reshape(-1, 256)
+    ut = up.reshape(mby, 8, mbx, 8).swapaxes(1, 2).reshape(-1, 64)
+    vt = vp.reshape(mby, 8, mbx, 8).swapaxes(1, 2).reshape(-1, 64)
+    return np.concatenate([yt, ut, vt], axis=1)
+
+
+def delta_tiles_host(prev_tiles: np.ndarray,
+                     cur_tiles: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Changed-MB delta between consecutive source frames (host side).
+    Returns (idx (K,) int32, tiles (K, 384) uint8)."""
+    changed = (prev_tiles != cur_tiles).any(axis=1)
+    idx = np.nonzero(changed)[0].astype(np.int32)
+    return idx, cur_tiles[idx]
+
+
+def delta_bucket(k: int, n_mb: int) -> int:
+    """Round a tile count up to a bucket (bounds distinct jit programs).
+    Growth factor 4 from 128 keeps the program count small while wasting
+    at most 4x padding on the (already small) delta uploads."""
+    b = 128
+    while b < k:
+        b *= 4
+    return min(b, n_mb)
+
+
+def pad_delta(idx: np.ndarray, tiles: np.ndarray, bucket: int, n_mb: int):
+    """Pad (idx, tiles) to the bucket size; padding rows use index n_mb,
+    which the device scatter drops (mode='drop')."""
+    k = idx.shape[0]
+    if k == bucket:
+        return idx, tiles
+    pidx = np.full(bucket, n_mb, np.int32)
+    pidx[:k] = idx
+    ptiles = np.zeros((bucket, TILE_WORDS), np.uint8)
+    ptiles[:k] = tiles
+    return pidx, ptiles
+
+
+def _apply_tiles(sy, su, sv, idx_f, t):
+    """Scatter one frame's delta tiles into the carried MB-tiled source."""
+    sy = sy.at[idx_f].set(t[:, :256], mode="drop")
+    su = su.at[idx_f].set(t[:, 256:320], mode="drop")
+    sv = sv.at[idx_f].set(t[:, 320:384], mode="drop")
+    return sy, su, sv
+
+
+def _tiled_to_planes(sy, su, sv, n_mby: int, n_mbx: int):
+    y = sy.reshape(n_mby, n_mbx, 16, 16).transpose(0, 2, 1, 3) \
+        .reshape(n_mby * 16, n_mbx * 16)
+    u = su.reshape(n_mby, n_mbx, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(n_mby * 8, n_mbx * 8)
+    v = sv.reshape(n_mby, n_mbx, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(n_mby * 8, n_mbx * 8)
+    return y, u, v
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def source_tiles(yp, up, vp, h: int, w: int):
+    """Full-frame upload → device MB-tiled source (GOP bootstrap)."""
+    n_mby, n_mbx = h // 16, w // 16
+    sy = yp.reshape(n_mby, 16, n_mbx, 16).transpose(0, 2, 1, 3) \
+        .reshape(-1, 256)
+    su = up.reshape(n_mby, 8, n_mbx, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    sv = vp.reshape(n_mby, 8, n_mbx, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    return sy, su, sv
+
+
+@functools.partial(jax.jit, static_argnums=(10, 12, 13, 14, 15))
+def encode_pchunk_delta(sy, su, sv, idx, tiles,
+                        ref_y, ref_u, ref_v,
+                        qp, qpc, sr: int, lam,
+                        h: int, w: int, deblock: bool = False,
+                        subpel: int = 1):
+    """encode_pchunk_sparse fed by delta tiles instead of raw frames.
+
+    sy/su/sv: carried MB-tiled source (previous frame, device-resident);
+    idx: (N, K) int32 changed-MB indices (n_mb = drop padding);
+    tiles: (N, K, 384) uint8 replacement tiles.
+    Returns (meta, count, blocks, sy', su', sv', recon_y/u/v).
+    """
+    n_mby, n_mbx = h // 16, w // 16
+    n_mb = n_mby * n_mbx
+    ref_y, ref_u, ref_v = (a.astype(jnp.int32)
+                           for a in (ref_y, ref_u, ref_v))
+
+    def step(carry, xs):
+        sy, su, sv, ry, ru, rv = carry
+        idx_f, t = xs
+        sy, su, sv = _apply_tiles(sy, su, sv, idx_f, t)
+        cy, cu, cv = _tiled_to_planes(sy, su, sv, n_mby, n_mbx)
+        packed, ry, ru, rv = _pstep(
+            cy.astype(jnp.int32), cu.astype(jnp.int32), cv.astype(jnp.int32),
+            ry, ru, rv, qp, qpc, sr, lam, subpel=subpel, deblock=deblock)
+        return (sy, su, sv, ry, ru, rv), packed
+
+    (sy, su, sv, ry, ru, rv), packed = jax.lax.scan(
+        step, (sy, su, sv, ref_y, ref_u, ref_v), (idx, tiles))
+    f = idx.shape[0]
+    meta, count, buffer = _sparsify_packed(packed, f, n_mb)
+    return meta, count, buffer, sy, su, sv, ry, ru, rv
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def encode_iframe_delta(sy, su, sv, idx, tiles, qp, qpc,
+                        h: int, w: int, deblock: bool = False):
+    """encode_iframe_sparse fed by delta tiles against the carried source
+    (IDR at a GOP boundary: the source usually barely changed from the
+    last P frame of the previous GOP). Returns the encode_iframe_sparse
+    outputs plus the updated source tiles."""
+    n_mby, n_mbx = h // 16, w // 16
+    sy, su, sv = _apply_tiles(sy, su, sv, idx, tiles)
+    y, u, v = _tiled_to_planes(sy, su, sv, n_mby, n_mbx)
+    meta, count, buffer, ry, ru, rv = encode_iframe_sparse.__wrapped__(
+        y, u, v, qp, qpc, deblock)
+    return meta, count, buffer, sy, su, sv, ry, ru, rv
 
 
 def unpack_frame(packed: np.ndarray, n_mby: int, n_mbx: int) -> dict:

@@ -207,6 +207,52 @@ def mc_chroma_q(ref_c, mvq_luma, margin: int):
     return num >> 6
 
 
+def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int):
+    """Both chroma planes' 1/8-pel MC via shift-and-select accumulation.
+
+    Numerically identical to ``mc_chroma_q`` (asserted by tests) but
+    TPU-shaped: per-MB MVs make the generic gather formulation lower to
+    scalar loads (~30 ms/plane @1080p on v5e); instead we loop over the
+    (2·margin+2)² possible integer offsets with ``dynamic_slice`` +
+    per-MB masks — dense VPU selects, ~10x faster. The four bilinear taps
+    A/B/C/D of offset (dy, dx) are served by the slices at (dy, dx),
+    (dy, dx+1), (dy+1, dx), (dy+1, dx+1), so one slice per iteration
+    feeds all four accumulators.
+    """
+    hc, wc = ref_u.shape
+    m = margin
+    stack = jnp.stack([ref_u, ref_v]).astype(jnp.int32)
+    ref_pad = jnp.pad(stack, ((0, 0), (m, m + 1), (m, m + 1)), mode="edge")
+
+    dy_map = mvq_luma[..., 0] >> 3            # (mby, mbx) integer offsets
+    dx_map = mvq_luma[..., 1] >> 3
+    fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, 8, 0), 8, 1)
+    fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, 8, 0), 8, 1)
+
+    side = 2 * m + 2                          # offsets −m..m+1 per axis
+
+    def up(mask):
+        return jnp.repeat(jnp.repeat(mask, 8, 0), 8, 1)[None]
+
+    def body(o, acc):
+        a, bt, c, d = acc
+        dy = o // side - m
+        dx = o % side - m
+        w = jax.lax.dynamic_slice(ref_pad, (0, dy + m, dx + m), (2, hc, wc))
+        a = jnp.where(up((dy_map == dy) & (dx_map == dx)), w, a)
+        bt = jnp.where(up((dy_map == dy) & (dx_map == dx - 1)), w, bt)
+        c = jnp.where(up((dy_map == dy - 1) & (dx_map == dx)), w, c)
+        d = jnp.where(up((dy_map == dy - 1) & (dx_map == dx - 1)), w, d)
+        return a, bt, c, d
+
+    z = jnp.zeros((2, hc, wc), jnp.int32)
+    a, bt, c, d = jax.lax.fori_loop(0, side * side, body, (z, z, z, z))
+    num = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * bt
+           + (8 - fx) * fy * c + fx * fy * d + 32)
+    pred = num >> 6
+    return pred[0], pred[1]
+
+
 def _mb_sad(cur_mb, pred, n_mby, n_mbx):
     return jnp.abs(cur_mb - pred.reshape(n_mby, 16, n_mbx, 16)
                    ).sum(axis=(1, 3))

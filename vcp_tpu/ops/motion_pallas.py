@@ -33,6 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref, cost_ref,
             best_ref, sem, *, sr: int, w: int, n_mbx: int, wpad: int):
+    _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
+                 cost_ref, best_ref, sem, sr=sr, w=w, n_mbx=n_mbx,
+                 wpad=wpad)
+
+
+def _kernel_pred(cur_ref, ref_hbm, seg_ref, lam_ref, segt_ref, mv_ref,
+                 pred_ref, win_ref, cost_ref, best_ref, sem, *, sr: int,
+                 w: int, n_mbx: int, wpad: int):
+    _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
+                 cost_ref, best_ref, sem, sr=sr, w=w, n_mbx=n_mbx,
+                 wpad=wpad, pred_ref=pred_ref, segt_ref=segt_ref)
+
+
+def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
+                 cost_ref, best_ref, sem, *, sr: int, w: int, n_mbx: int,
+                 wpad: int, pred_ref=None, segt_ref=None):
     i = pl.program_id(0)
     side = 2 * sr + 1
     rows = 16 + 2 * sr
@@ -56,7 +72,8 @@ def _kernel(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref, cost_ref,
         # (Mosaic requires aligned vector loads; rotate is lane-exact)
         shifted = pltpu.roll(win, rows - dy, axis=0)
         shifted = pltpu.roll(shifted, wpad - dx, axis=1)
-        window = shifted[:16, :w].astype(jnp.float32)
+        window_i = shifted[:16, :w]
+        window = window_i.astype(jnp.float32)
         diff = jnp.abs(cur - window)                 # VPU
         colsum = jnp.sum(diff, axis=0, keepdims=True)   # (1, w)
         # HIGHEST precision: the MXU rounds f32 inputs to bf16 by default,
@@ -69,6 +86,13 @@ def _kernel(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref, cost_ref,
         better = cost < cost_ref[:]
         cost_ref[:] = jnp.where(better, cost, cost_ref[:])
         best_ref[:] = jnp.where(better, o, best_ref[:])
+        if pred_ref is not None:
+            # fused MC: track the winning block per MB as the argmin
+            # updates — broadcast `better` to columns via the transposed
+            # segment matrix (one extra small MXU op per offset)
+            bcols = jnp.dot(better.astype(jnp.float32), segt_ref[:],
+                            preferred_element_type=jnp.float32)  # (1, w)
+            pred_ref[:] = jnp.where(bcols > 0, window_i, pred_ref[:])
         return 0
 
     cost_ref[:] = jnp.full((1, n_mbx), 3.0e9, jnp.float32)
@@ -81,10 +105,15 @@ def _kernel(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref, cost_ref,
 
 
 def full_search_pallas(cur, ref, search_range: int, lam=4,
-                       interpret: bool = False):
+                       interpret: bool = False, with_pred: bool = False):
     """Drop-in replacement for motion.full_search (returns mv (nMBy,
     nMBx, 2) [dy, dx], bit-identical to the XLA version). ``lam`` may be
-    a traced scalar (rate-control lambda); it rides in SMEM."""
+    a traced scalar (rate-control lambda); it rides in SMEM.
+
+    with_pred=True additionally returns the full-pel motion-compensated
+    prediction (H, W) int32 — identical to motion.mc_luma(ref, mv, sr)
+    but produced inside the kernel while the window is VMEM-resident,
+    which removes the (slow, scalar-gather) standalone MC pass."""
     sr = int(search_range)
     h, w = cur.shape
     n_mby, n_mbx = h // 16, w // 16
@@ -95,30 +124,52 @@ def full_search_pallas(cur, ref, search_range: int, lam=4,
     # segment-sum matrix: (w, n_mbx), S[c, m] = 1 iff c // 16 == m
     cols = np.arange(w)
     seg = (cols[:, None] // 16 == np.arange(n_mbx)[None, :]).astype(np.float32)
-    kernel = functools.partial(_kernel, sr=sr, w=w, n_mbx=n_mbx, wpad=wpad)
     lam_arr = jnp.asarray(lam, jnp.int32).reshape(1, 1)
+    scratch = [
+        pltpu.VMEM((16 + 2 * sr, wpad), jnp.int32),
+        pltpu.VMEM((1, n_mbx), jnp.float32),
+        pltpu.VMEM((1, n_mbx), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    base_specs = [
+        pl.BlockSpec((16, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),             # padded ref, DMA'd
+        pl.BlockSpec((w, n_mbx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    mv_spec = pl.BlockSpec((1, 2, n_mbx), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    mv_shape = jax.ShapeDtypeStruct((n_mby, 2, n_mbx), jnp.int32)
+    cur_i = jnp.asarray(cur).astype(jnp.int32)
+
+    if with_pred:
+        kernel = functools.partial(_kernel_pred, sr=sr, w=w, n_mbx=n_mbx,
+                                   wpad=wpad)
+        mv2, pred = pl.pallas_call(
+            kernel,
+            grid=(n_mby,),
+            in_specs=base_specs + [
+                pl.BlockSpec((n_mbx, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[mv_spec,
+                       pl.BlockSpec((16, w), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[mv_shape, jax.ShapeDtypeStruct((h, w), jnp.int32)],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(cur_i, ref_pad, jnp.asarray(seg), lam_arr,
+          jnp.asarray(seg.T.copy()))
+        return jnp.stack([mv2[:, 0], mv2[:, 1]], axis=-1), pred
+
+    kernel = functools.partial(_kernel, sr=sr, w=w, n_mbx=n_mbx, wpad=wpad)
     mv2 = pl.pallas_call(
         kernel,
         grid=(n_mby,),
-        in_specs=[
-            pl.BlockSpec((16, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),         # padded ref, DMA'd
-            pl.BlockSpec((w, n_mbx), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, n_mbx), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_mby, 2, n_mbx), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((16 + 2 * sr, wpad), jnp.int32),
-            pltpu.VMEM((1, n_mbx), jnp.float32),
-            pltpu.VMEM((1, n_mbx), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        in_specs=base_specs,
+        out_specs=mv_spec,
+        out_shape=mv_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.asarray(cur).astype(jnp.int32), ref_pad, jnp.asarray(seg),
-      lam_arr)
+    )(cur_i, ref_pad, jnp.asarray(seg), lam_arr)
     return jnp.stack([mv2[:, 0], mv2[:, 1]], axis=-1)
