@@ -44,7 +44,7 @@ class EncoderConfig:
     qp: int = 28
     gop_size: int = 30
     effort: int = 4
-    deblock: bool = False          # round 1: deblocking disabled per slice
+    deblock: bool = True           # in-loop filter (VCP_DEBLOCK=0 disables)
     cabac: bool = False            # CABAC entropy (VCP_CABAC=1 to enable)
     params: EncodeParams | None = None   # original preset args (rate control)
 
@@ -54,8 +54,8 @@ class EncoderConfig:
         cfg = cls(width=width, height=height, fps_num=fps_num,
                   fps_den=fps_den, effort=params.effort)
         import os
-        if os.environ.get("VCP_DEBLOCK") == "1":
-            cfg.deblock = True
+        if os.environ.get("VCP_DEBLOCK") == "0":
+            cfg.deblock = False
         if os.environ.get("VCP_CABAC") == "1":
             cfg.cabac = True
         if params.gop_size:

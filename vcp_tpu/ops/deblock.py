@@ -55,19 +55,13 @@ def _clip1(x):
     return jnp.clip(x, 0, 255)
 
 
-def _filter_segment_luma(seg, bs, qp_av):
-    """Filter one vertical luma edge for all rows.
+def filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+    """Elementwise luma edge filter (spec 8.7.2.3-4), shape-polymorphic.
 
-    seg: (H, 8) int32 columns [p3 p2 p1 p0 | q0 q1 q2 q3];
-    bs:  (H,) boundary strength; qp_av: (H,) averaged QP.
-    Returns the filtered (H, 8) segment.
-    """
-    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
-    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
-    idx = jnp.clip(qp_av, 0, 51)
-    alpha = jnp.asarray(ALPHA)[idx]
-    beta = jnp.asarray(BETA)[idx]
-
+    All inputs same-shape int32 (bs/alpha/beta/tc0 pre-looked-up per
+    sample). Returns (out_p2, out_p1, out_p0, out_q0, out_q1, out_q2).
+    Shared by the XLA edge loop below and the Pallas edge-scan kernel
+    (ops.deblock_pallas)."""
     filt = ((bs > 0)
             & (jnp.abs(p0 - q0) < alpha)
             & (jnp.abs(p1 - p0) < beta)
@@ -76,7 +70,6 @@ def _filter_segment_luma(seg, bs, qp_av):
     aq = jnp.abs(q2 - q0) < beta
 
     # --- normal filter (bS 1..3)
-    tc0 = jnp.asarray(TC0)[jnp.clip(bs, 1, 3) - 1, idx]
     tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
     delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
     np0 = _clip1(p0 + delta)
@@ -108,21 +101,16 @@ def _filter_segment_luma(seg, bs, qp_av):
     out_q0 = jnp.where(filt, jnp.where(is4, sq0, nq0), q0)
     out_q1 = jnp.where(filt, jnp.where(is4, sq1, nq1), q1)
     out_q2 = jnp.where(filt & is4, sq2, q2)
-    return jnp.stack([p3, out_p2, out_p1, out_p0,
-                      out_q0, out_q1, out_q2, q3], axis=1)
+    return out_p2, out_p1, out_p0, out_q0, out_q1, out_q2
 
 
-def _filter_segment_chroma(seg, bs, qp_av):
-    """Chroma edge filter: seg (H, 4) columns [p1 p0 | q0 q1]."""
-    p1, p0, q0, q1 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
-    idx = jnp.clip(qp_av, 0, 51)
-    alpha = jnp.asarray(ALPHA)[idx]
-    beta = jnp.asarray(BETA)[idx]
+def filter_core_chroma(p1, p0, q0, q1, bs, alpha, beta, tc0):
+    """Elementwise chroma edge filter (spec 8.7.2.3-4); see
+    filter_core_luma. Returns (out_p0, out_q0)."""
     filt = ((bs > 0)
             & (jnp.abs(p0 - q0) < alpha)
             & (jnp.abs(p1 - p0) < beta)
             & (jnp.abs(q1 - q0) < beta))
-    tc0 = jnp.asarray(TC0)[jnp.clip(bs, 1, 3) - 1, idx]
     tc = tc0 + 1
     delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
     np0 = _clip1(p0 + delta)
@@ -132,6 +120,54 @@ def _filter_segment_chroma(seg, bs, qp_av):
     is4 = bs == 4
     out_p0 = jnp.where(filt, jnp.where(is4, sp0, np0), p0)
     out_q0 = jnp.where(filt, jnp.where(is4, sq0, nq0), q0)
+    return out_p0, out_q0
+
+
+def lookup_tables(bs, qp_av):
+    """(alpha, beta, tc0) per sample from the spec tables.
+
+    Gather-free: per-sample indexing of a 52-entry table lowers to a slow
+    generic gather on TPU (~6 ms per 479x1088 pass); instead unroll a
+    52-way select-sum — dense VPU compares XLA fuses into one pass.
+    Call at block-row resolution where possible (4x fewer samples)."""
+    idx = jnp.clip(qp_av, 0, 51)
+    bsc = jnp.clip(bs, 1, 3)
+    alpha = jnp.zeros_like(idx)
+    beta = jnp.zeros_like(idx)
+    tc0 = jnp.zeros_like(idx)
+    for k in range(16, 52):         # all tables are 0 below index 16
+        m = idx == k
+        alpha = jnp.where(m, int(ALPHA[k]), alpha)
+        beta = jnp.where(m, int(BETA[k]), beta)
+        tc0 = jnp.where(
+            m,
+            jnp.where(bsc == 1, int(TC0[0, k]),
+                      jnp.where(bsc == 2, int(TC0[1, k]), int(TC0[2, k]))),
+            tc0)
+    return alpha, beta, tc0
+
+
+def _filter_segment_luma(seg, bs, qp_av):
+    """Filter one vertical luma edge for all rows.
+
+    seg: (H, 8) int32 columns [p3 p2 p1 p0 | q0 q1 q2 q3];
+    bs:  (H,) boundary strength; qp_av: (H,) averaged QP.
+    Returns the filtered (H, 8) segment.
+    """
+    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
+    alpha, beta, tc0 = lookup_tables(bs, qp_av)
+    out = filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3,
+                           bs, alpha, beta, tc0)
+    return jnp.stack([p3, *out, q3], axis=1)
+
+
+def _filter_segment_chroma(seg, bs, qp_av):
+    """Chroma edge filter: seg (H, 4) columns [p1 p0 | q0 q1]."""
+    p1, p0, q0, q1 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    alpha, beta, tc0 = lookup_tables(bs, qp_av)
+    out_p0, out_q0 = filter_core_chroma(p1, p0, q0, q1,
+                                        bs, alpha, beta, tc0)
     return jnp.stack([p1, out_p0, out_q0, q1], axis=1)
 
 
@@ -165,6 +201,69 @@ def _repeat_rows(block_vals, factor):
     return jnp.repeat(block_vals, factor, axis=1)
 
 
+def _edge_scan(blocks, bs_edges, alpha, beta, tc0, luma: bool):
+    """Filter all edges of one direction as a ``lax.scan`` over 4-sample
+    blocks — the TPU-shaped formulation of the edge chain.
+
+    The naive per-edge loop does a tiny (L, 8) dynamic slice + update of
+    the whole plane per edge (~19 µs/edge on v5e ≈ 33 ms/frame at 1080p).
+    Here the plane is pre-blocked to (n_blocks, 4, L) with the along-edge
+    dimension LAST (vector lanes); the scan carries the current block —
+    exactly the filter's data dependency (edge k modifies block k's tail
+    and block k+1's head) — so each step is pure elementwise VPU work on
+    static shapes. Bit-identical to _edge_pass (asserted by tests).
+
+    blocks: (n_blocks, 4, L) int32; bs/alpha/beta/tc0: (n_blocks-1, L)
+    (thresholds pre-looked-up via lookup_tables, ideally at block-row
+    resolution). Returns filtered blocks, same shape.
+
+    On TPU backends the chain runs as a single Pallas kernel
+    (ops.deblock_pallas, bit-identical) — the XLA scan pays ~30 µs/step
+    of op dispatch on tiny (4, L) blocks; VCP_PALLAS_DEBLOCK=0 opts out.
+    """
+    import os
+    if (jax.default_backend() not in ("cpu",)
+            and os.environ.get("VCP_PALLAS_DEBLOCK", "1") != "0"):
+        from .deblock_pallas import edge_scan_pallas
+        return edge_scan_pallas(blocks, bs_edges, alpha, beta, tc0, luma)
+    bs_edges = jnp.asarray(bs_edges, jnp.int32)
+
+    if luma:
+        def step(carry, xs):
+            nxt, bs, al, be, tc = xs
+            p3, p2, p1, p0 = carry[0], carry[1], carry[2], carry[3]
+            q0, q1, q2, q3 = nxt[0], nxt[1], nxt[2], nxt[3]
+            op2, op1, op0, oq0, oq1, oq2 = filter_core_luma(
+                p3, p2, p1, p0, q0, q1, q2, q3, bs, al, be, tc)
+            return (jnp.stack([oq0, oq1, oq2, q3]),
+                    jnp.stack([p3, op2, op1, op0]))
+    else:
+        def step(carry, xs):
+            nxt, bs, al, be, tc = xs
+            p1, p0 = carry[2], carry[3]
+            q0, q1 = nxt[0], nxt[1]
+            op0, oq0 = filter_core_chroma(p1, p0, q0, q1, bs, al, be, tc)
+            return (jnp.stack([oq0, nxt[1], nxt[2], nxt[3]]),
+                    jnp.stack([carry[0], carry[1], p1, op0]))
+
+    carry, outs = jax.lax.scan(
+        step, blocks[0], (blocks[1:], bs_edges, alpha, beta, tc0))
+    return jnp.concatenate([outs, carry[None]], axis=0)
+
+
+def _scan_pass(plane, bs_px, alpha_px, beta_px, tc0_px, luma: bool,
+               transpose: bool):
+    """One direction's full edge pass via _edge_scan. ``transpose=True``
+    filters vertical edges (chain along x): the plane is transposed so
+    the along-edge dim lands on vector lanes."""
+    p = plane.T if transpose else plane
+    n, l = p.shape
+    out = _edge_scan(p.reshape(n // 4, 4, l), bs_px, alpha_px, beta_px,
+                     tc0_px, luma)
+    out = out.reshape(n, l)
+    return out.T if transpose else out
+
+
 def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool):
     """Boundary strengths for all internal luma edges in one direction.
 
@@ -178,20 +277,15 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool):
         nz_blk = nz_blk.T
         mvq = jnp.swapaxes(mvq, 0, 1)
     bh, bw = nz_blk.shape
-    mb_of_blk = jnp.arange(bw) // 4
-    # blocks p = col j, q = col j+1 for edge j (j = 0..bw-2)
-    j = jnp.arange(bw - 1)
-    mb_p = mb_of_blk[j]
-    mb_q = mb_of_blk[j + 1]
-    rows_mb = jnp.arange(bh) // 4
-    intra_p = intra_mb[rows_mb[:, None], mb_p[None, :]]
-    intra_q = intra_mb[rows_mb[:, None], mb_q[None, :]]
-    intra_e = intra_p | intra_q
-    is_mb_edge = ((j + 1) % 4 == 0)[None, :]
+    # per-block expansions are repeat+shift (gather-free; edge j sits
+    # between block cols j and j+1, j = 0..bw-2)
+    intra_e4 = jnp.repeat(jnp.repeat(intra_mb, 4, 0), 4, 1)   # (bh, bw)
+    intra_e = intra_e4[:, :-1] | intra_e4[:, 1:]
+    j = np.arange(bw - 1)
+    is_mb_edge = jnp.asarray(((j + 1) % 4 == 0)[None, :])
     nz_e = nz_blk[:, :-1] | nz_blk[:, 1:]
-    mv_p = mvq[rows_mb[:, None], mb_p[None, :]]
-    mv_q = mvq[rows_mb[:, None], mb_q[None, :]]
-    mv_diff = jnp.any(jnp.abs(mv_p - mv_q) >= 4, axis=-1)
+    mv_e = jnp.repeat(jnp.repeat(mvq, 4, 0), 4, 1)            # (bh, bw, 2)
+    mv_diff = jnp.any(jnp.abs(mv_e[:, :-1] - mv_e[:, 1:]) >= 4, axis=-1)
     bs = jnp.where(
         intra_e,
         jnp.where(is_mb_edge, 4, 3),
@@ -204,17 +298,20 @@ def compute_qp_edges(qp_mb, vertical: bool, chroma: bool,
     """Per-edge averaged QP, expanded per block row: (n_edges, Hb)."""
     if not vertical:
         qp_mb = qp_mb.T
-    n_mby, n_mbx = qp_mb.shape
     if chroma:
-        qp_mb = jnp.asarray(chroma_qp_table)[jnp.clip(qp_mb, 0, 51)]
+        # gather-free 52-way select (tiny per-MB array, but generic
+        # gathers are disproportionately slow on TPU)
+        tbl = np.asarray(chroma_qp_table)
+        qpc = jnp.zeros_like(qp_mb)
+        idx = jnp.clip(qp_mb, 0, 51)
+        for k in range(52):
+            qpc = jnp.where(idx == k, int(tbl[k]), qpc)
+        qp_mb = qpc
     blocks_per_mb = 2 if chroma else 4
-    bw = n_mbx * blocks_per_mb
-    j = jnp.arange(bw - 1)
-    mb_p = j // blocks_per_mb
-    mb_q = (j + 1) // blocks_per_mb
-    rows = jnp.arange(n_mby * blocks_per_mb) // blocks_per_mb
-    qp_p = qp_mb[rows[:, None], mb_p[None, :]]
-    qp_q = qp_mb[rows[:, None], mb_q[None, :]]
+    qp_e = jnp.repeat(jnp.repeat(qp_mb, blocks_per_mb, 0),
+                      blocks_per_mb, 1)
+    qp_p = qp_e[:, :-1]
+    qp_q = qp_e[:, 1:]
     return (((qp_p + qp_q + 1) >> 1).T).astype(jnp.int32)
 
 
@@ -226,32 +323,51 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table):
     (nMBy, nMBx, 2) quarter-pel (zeros for intra frames).
     Vertical edges first (full pass), then horizontal (spec 8.7).
     """
-    h, w = y.shape
+    y = jnp.asarray(y, jnp.int32)
+    u = jnp.asarray(u, jnp.int32)
+    v = jnp.asarray(v, jnp.int32)
+    hc, wc = u.shape
+
+    def expand(bs, qp, factor):
+        """Threshold lookup at block-row resolution, then pixel expand."""
+        al, be, tc = lookup_tables(bs, qp)
+        return tuple(_repeat_rows(a, factor) for a in (bs, al, be, tc))
+
     # --- luma
     bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True)
     qp_v = compute_qp_edges(qp_mb, True, False)
-    bs_vr = _repeat_rows(bs_v, 4)
-    qp_vr = _repeat_rows(qp_v, 4)
-    y = _edge_pass(y, bs_vr, qp_vr, luma=True)
+    y = _scan_pass(y, *expand(bs_v, qp_v, 4), luma=True, transpose=True)
 
     bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False)
     qp_h = compute_qp_edges(qp_mb, False, False)
-    y = _edge_pass(y.T, _repeat_rows(bs_h, 4), _repeat_rows(qp_h, 4),
-                   luma=True).T
+    y = _scan_pass(y, *expand(bs_h, qp_h, 4), luma=True, transpose=False)
 
-    # --- chroma: only edges on the 8-px luma grid (every other luma edge)
-    def chroma_plane(c):
-        # chroma row yc maps to luma rows 2yc → luma block row yc//2, so
-        # each luma-block-row bS value covers 2 chroma rows
-        bs_cv = bs_v[1::2]                      # luma edges at x%8==0
-        qp_cv = compute_qp_edges(qp_mb, True, True, chroma_qp_table)
-        c1 = _edge_pass(c, _repeat_rows(bs_cv, 2),
-                        _repeat_rows(qp_cv, 4), luma=False)
-        bs_ch = bs_h[1::2]
-        qp_ch = compute_qp_edges(qp_mb, False, True, chroma_qp_table)
-        return _edge_pass(c1.T, _repeat_rows(bs_ch, 2),
-                          _repeat_rows(qp_ch, 4), luma=False).T
+    # --- chroma: only edges on the 8-px luma grid (every other luma
+    # edge); u and v share bS/QP, so both planes ride one scan stacked
+    # along the (along-edge) lane dimension
+    def two(args):
+        return tuple(jnp.concatenate([a, a], axis=1) for a in args)
 
-    u = chroma_plane(u)
-    v = chroma_plane(v)
-    return y, u, v
+    # chroma row yc maps to luma rows 2yc → luma block row yc//2, so
+    # each luma-block-row bS value covers 2 chroma rows
+    bs_cv_blk = bs_v[1::2]                # (n_ce, n_mby*4)
+    qp_cv = _repeat_rows(compute_qp_edges(qp_mb, True, True,
+                                          chroma_qp_table), 2)
+    al, be, tc = lookup_tables(bs_cv_blk, qp_cv)
+    cv_args = two((_repeat_rows(bs_cv_blk, 2), _repeat_rows(al, 2),
+                   _repeat_rows(be, 2), _repeat_rows(tc, 2)))
+    cv = jnp.concatenate([u.T, v.T], axis=1)          # (wc, 2*hc)
+    cv = _edge_scan(cv.reshape(wc // 4, 4, 2 * hc), *cv_args,
+                    luma=False).reshape(wc, 2 * hc)
+    u, v = cv[:, :hc].T, cv[:, hc:].T
+
+    bs_ch_blk = bs_h[1::2]
+    qp_ch = _repeat_rows(compute_qp_edges(qp_mb, False, True,
+                                          chroma_qp_table), 2)
+    al, be, tc = lookup_tables(bs_ch_blk, qp_ch)
+    ch_args = two((_repeat_rows(bs_ch_blk, 2), _repeat_rows(al, 2),
+                   _repeat_rows(be, 2), _repeat_rows(tc, 2)))
+    ch = jnp.concatenate([u, v], axis=1)              # (hc, 2*wc)
+    ch = _edge_scan(ch.reshape(hc // 4, 4, 2 * wc), *ch_args,
+                    luma=False).reshape(hc, 2 * wc)
+    return y, ch[:, :wc], ch[:, wc:]
