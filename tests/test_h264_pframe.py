@@ -181,7 +181,9 @@ def test_intra_mb_inside_p_slice_decodes():
     y2 = rng.integers(0, 255, (h, w), np.uint8)
     flat = np.full((8, 8), 128, np.uint8)
 
-    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp, gop_size=2))
+    # hand-built slice below uses CAVLC syntax -> pin the PPS to CAVLC
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp, gop_size=2,
+                                    cabac=False))
     idr, _ = enc.encode_frame(y1, flat, flat)
 
     # device-side intra math for the single MB (a 1-MB frame is exactly

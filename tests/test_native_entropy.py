@@ -37,12 +37,13 @@ def test_escape_matches_python(lib):
         assert out[:m].tobytes() == emulation_prevent(data.tobytes())
 
 
-def _encode_both(qp, gop, n=5, w=64, h=48):
+def _encode_both(qp, gop, n=5, w=64, h=48, cabac=False):
     frames = synth_video(w, h, n)
 
     def run():
         enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
-                                        gop_size=gop, effort=2))
+                                        gop_size=gop, effort=2,
+                                        cabac=cabac))
         return [enc.encode_frame(*f)[0] for f in frames]
 
     os.environ["VCP_NO_NATIVE"] = "1"
@@ -66,6 +67,32 @@ def test_pslice_bit_identical(lib, qp):
     py, nat = _encode_both(qp=qp, gop=5, n=5)
     for i, (a, b) in enumerate(zip(py, nat)):
         assert a == b, f"frame {i} differs at qp {qp}"
+
+
+@pytest.mark.parametrize("qp", [18, 30, 44])
+def test_cabac_islice_bit_identical(lib, qp):
+    py, nat = _encode_both(qp=qp, gop=1, n=2, cabac=True)
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, f"CABAC I frame {i} differs at qp {qp}"
+
+
+@pytest.mark.parametrize("qp", [22, 34])
+def test_cabac_pslice_bit_identical(lib, qp):
+    py, nat = _encode_both(qp=qp, gop=5, n=5, cabac=True)
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, f"CABAC frame {i} differs at qp {qp}"
+
+
+def test_native_cabac_stream_decodes(lib):
+    enc = H264Encoder(EncoderConfig(width=64, height=48, qp=26, gop_size=4,
+                                    cabac=True))
+    frames = synth_video(64, 48, 6)
+    aus = [enc.encode_frame(*f)[0] for f in frames]
+    dec = H264Decoder()
+    out = dec.decode_annexb(enc.headers_annexb() + b"".join(aus))
+    assert len(out) == 6
+    ry, _, _ = enc.recon_planes
+    np.testing.assert_array_equal(out[-1].y, np.asarray(ry))
 
 
 def test_native_stream_decodes(lib):

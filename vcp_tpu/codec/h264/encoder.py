@@ -45,7 +45,7 @@ class EncoderConfig:
     gop_size: int = 30
     effort: int = 4
     deblock: bool = True           # in-loop filter (VCP_DEBLOCK=0 disables)
-    cabac: bool = False            # CABAC entropy (VCP_CABAC=1 to enable)
+    cabac: bool = True             # CABAC entropy (VCP_CABAC=0 -> CAVLC)
     params: EncodeParams | None = None   # original preset args (rate control)
 
     @classmethod
@@ -56,8 +56,8 @@ class EncoderConfig:
         import os
         if os.environ.get("VCP_DEBLOCK") == "0":
             cfg.deblock = False
-        if os.environ.get("VCP_CABAC") == "1":
-            cfg.cabac = True
+        if os.environ.get("VCP_CABAC") == "0":
+            cfg.cabac = False
         if params.gop_size:
             cfg.gop_size = params.gop_size
         else:

@@ -70,14 +70,18 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     Uses the C++ engine when available (bit-identical to the Python path,
     asserted by tests); falls back to Python. ``cabac=True`` routes to
     the CABAC syntax layer (requires pp.cabac; Python host path)."""
+    from ... import native
+    lib = native.get_lib()
     if cabac:
-        from .cabac_syntax import write_islice_cabac
         assert pp.cabac, "pp.cabac must match the slice entropy mode"
+        if lib is not None:
+            return _write_islice_cabac_native(
+                lib, sp, pp, frame_num=frame_num, idr_pic_id=idr_pic_id,
+                qp=qp, data=data, deblock=deblock)
+        from .cabac_syntax import write_islice_cabac
         return write_islice_cabac(sp, pp, frame_num=frame_num,
                                   idr_pic_id=idr_pic_id, qp=qp, data=data,
                                   deblock=deblock)
-    from ... import native
-    lib = native.get_lib()
     if lib is not None:
         return _write_islice_native(lib, sp, pp, frame_num=frame_num,
                                     idr_pic_id=idr_pic_id, qp=qp, data=data,
@@ -87,6 +91,25 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                             idr_pic_id=idr_pic_id, qp=qp, data=data,
                             src_y=src_y, src_u=src_u, src_v=src_v,
                             deblock=deblock)
+
+
+def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,
+                               data, deblock=False) -> bytes:
+    import ctypes
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma_dc", "luma_ac", "cb_dc", "cb_ac",
+                      "cr_dc", "cr_ac")]
+    n = lib.vcp_write_islice_cabac(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
+        frame_num, idr_pic_id, 0 if deblock else 1,
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError("native cabac islice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_IDR, 3)
 
 
 def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,

@@ -169,13 +169,17 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  cabac: bool = False) -> bytes:
     """P slice NAL. C++ engine when available (bit-identical), else Python.
     ``cabac=True`` routes to the CABAC syntax layer."""
-    if cabac:
-        from .cabac_syntax import write_pslice_cabac
-        assert pp.cabac, "pp.cabac must match the slice entropy mode"
-        return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
-                                  data=data, deblock=deblock)
     from ... import native
     lib = native.get_lib()
+    if cabac:
+        assert pp.cabac, "pp.cabac must match the slice entropy mode"
+        if lib is not None:
+            return _write_pslice_cabac_native(
+                lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
+                deblock=deblock)
+        from .cabac_syntax import write_pslice_cabac
+        return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
+                                  data=data, deblock=deblock)
     if lib is not None:
         return _write_pslice_native(lib, sp, pp, frame_num=frame_num,
                                     qp=qp, data=data, deblock=deblock)
@@ -203,6 +207,29 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         raise RuntimeError("native pslice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
+
+
+def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
+                               deblock=False) -> bytes:
+    import ctypes
+    from .entropy import _nal_from_rbsp_native
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    mv = np.asarray(data["mv"])
+    mv_xy = np.ascontiguousarray(
+        np.stack([mv[..., 1], mv[..., 0]], axis=-1), np.int32)
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")]
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.vcp_write_pslice_cabac(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
+        0 if deblock else 1,
+        mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise RuntimeError("native cabac pslice buffer overflow")
     return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
 
 

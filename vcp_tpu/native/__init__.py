@@ -30,6 +30,14 @@ def _configure(lib) -> None:
     lib.vcp_write_pslice.argtypes = [
         i32, i32, i32, i32, i32, i32, i32,
         i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+    lib.vcp_write_islice_cabac.restype = i64
+    lib.vcp_write_islice_cabac.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32, i32,
+        i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+    lib.vcp_write_pslice_cabac.restype = i64
+    lib.vcp_write_pslice_cabac.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32,
+        i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
 
 
 def get_lib():

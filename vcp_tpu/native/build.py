@@ -81,15 +81,20 @@ def generate_tables_header() -> str:
     return "\n".join(lines) + "\n"
 
 
+SOURCES = ("entropy.cpp", "cabac.cpp")
+
+
 def build(force: bool = False) -> str | None:
     """Compile (if stale) and return the .so path, or None on failure."""
     os.makedirs(BUILD_DIR, exist_ok=True)
-    src = os.path.join(_DIR, "entropy.cpp")
+    srcs = [os.path.join(_DIR, s) for s in SOURCES]
     header = generate_tables_header()
     hdr_path = os.path.join(BUILD_DIR, "tables_gen.h")
 
-    key = hashlib.sha256(
-        header.encode() + open(src, "rb").read()).hexdigest()[:16]
+    h = hashlib.sha256(header.encode())
+    for src in srcs:
+        h.update(open(src, "rb").read())
+    key = h.hexdigest()[:16]
     so_path = os.path.join(BUILD_DIR, f"libvcp_entropy_{key}.so")
     if os.path.exists(so_path) and not force:
         return so_path
@@ -97,7 +102,7 @@ def build(force: bool = False) -> str | None:
     with open(hdr_path, "w") as fh:
         fh.write(header)
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-           f"-I{BUILD_DIR}", src, "-o", so_path + ".tmp"]
+           f"-I{BUILD_DIR}", *srcs, "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired,

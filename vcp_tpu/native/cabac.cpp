@@ -1,0 +1,716 @@
+// CABAC slice entropy engine (host fast path).
+//
+// Native counterpart of vcp_tpu/codec/h264/cabac_syntax.py and the
+// arithmetic core in vcp_tpu/codec/cabac.py (spec 9.3). Mirrors the
+// Python reference bit-for-bit — same neutral context init (m=0, n=64),
+// same neighbor/context derivations, same stream shape (I16x16-only I
+// slices; P slices with P_L0_16x16 + P_Skip) — and the test suite
+// asserts identical output. Replaces (in role) the CABAC coder inside
+// libx264 that the reference reached through `exec ffmpeg`
+// (ref cmd/consumer.go:370-394).
+//
+// C ABI, loaded via ctypes (no pybind11 in the image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Arithmetic core (spec 9.3.4) — mirrors codec/cabac.py
+// ---------------------------------------------------------------------------
+
+// Table 9-44: rangeTabLPS[pStateIdx][qRangeIdx].
+const uint8_t RANGE_TAB_LPS[64][4] = {
+    {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
+    {123, 150, 178, 205}, {116, 142, 169, 195}, {111, 135, 160, 185},
+    {105, 128, 152, 175}, {100, 122, 144, 166}, {95, 116, 137, 158},
+    {90, 110, 130, 150}, {85, 104, 123, 142}, {81, 99, 117, 135},
+    {77, 94, 111, 128}, {73, 89, 105, 122}, {69, 85, 100, 116},
+    {66, 80, 95, 110}, {62, 76, 90, 104}, {59, 72, 86, 99},
+    {56, 69, 81, 94}, {53, 65, 77, 89}, {51, 62, 73, 85},
+    {48, 59, 69, 80}, {46, 56, 66, 76}, {43, 53, 63, 72},
+    {41, 50, 59, 69}, {39, 48, 56, 65}, {37, 45, 54, 62},
+    {35, 43, 51, 59}, {33, 41, 48, 56}, {32, 39, 46, 53},
+    {30, 37, 43, 50}, {29, 35, 41, 48}, {27, 33, 39, 45},
+    {26, 31, 37, 43}, {24, 30, 35, 41}, {23, 28, 33, 39},
+    {22, 27, 32, 37}, {21, 26, 30, 35}, {20, 24, 29, 33},
+    {19, 23, 27, 31}, {18, 22, 26, 30}, {17, 21, 25, 28},
+    {16, 20, 23, 27}, {15, 19, 22, 25}, {14, 18, 21, 24},
+    {14, 17, 20, 23}, {13, 16, 19, 22}, {12, 15, 18, 21},
+    {12, 14, 17, 20}, {11, 14, 16, 19}, {11, 13, 15, 18},
+    {10, 12, 15, 17}, {10, 12, 14, 16}, {9, 11, 13, 15},
+    {9, 11, 12, 14}, {8, 10, 12, 14}, {8, 9, 11, 13},
+    {7, 9, 11, 12}, {7, 9, 10, 12}, {7, 8, 10, 11},
+    {6, 8, 9, 11}, {6, 7, 9, 10}, {6, 7, 8, 9},
+    {2, 2, 2, 2},
+};
+
+// Table 9-45: transIdxLPS.
+const uint8_t TRANS_IDX_LPS[64] = {
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 23, 23, 24,
+    24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+    33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
+};
+
+struct Ctx {
+    uint8_t state;  // 6-bit probability state
+    uint8_t mps;
+};
+
+// Neutral init (m=0, n=64): preCtxState = 64 -> state 0, MPS 1 — matches
+// cabac_syntax.py's Context.from_init(0, 64, qp) for every qp.
+inline Ctx neutral() { return Ctx{0, 1}; }
+
+struct CabacEnc {
+    uint32_t low = 0;
+    uint32_t range = 510;
+    int bits_outstanding = 0;
+    bool first = true;
+    std::vector<uint8_t> bits;  // one bit per entry (kept simple: the
+                                // bit plumbing is not the hot loop)
+
+    void put(int b) {
+        if (first) first = false;  // spec: the very first PutBit is discarded
+        else bits.push_back((uint8_t)b);
+        int nb = 1 - b;
+        while (bits_outstanding > 0) {
+            bits.push_back((uint8_t)nb);
+            bits_outstanding--;
+        }
+    }
+    void renorm() {
+        while (range < 256) {
+            if (low < 256) put(0);
+            else if (low >= 512) { low -= 512; put(1); }
+            else { low -= 256; bits_outstanding++; }
+            range <<= 1;
+            low <<= 1;
+        }
+    }
+    void encode(Ctx& c, int binval) {
+        uint32_t q = (range >> 6) & 3;
+        uint32_t r_lps = RANGE_TAB_LPS[c.state][q];
+        range -= r_lps;
+        if (binval != c.mps) {
+            low += range;
+            range = r_lps;
+            if (c.state == 0) c.mps ^= 1;
+            c.state = TRANS_IDX_LPS[c.state];
+        } else {
+            if (c.state < 62) c.state++;
+        }
+        renorm();
+    }
+    void bypass(int binval) {
+        low <<= 1;
+        if (binval) low += range;
+        if (low >= 1024) { low -= 1024; put(1); }
+        else if (low < 512) put(0);
+        else { low -= 512; bits_outstanding++; }
+    }
+    void bypass_bits(uint32_t v, int n) {
+        for (int i = n - 1; i >= 0; i--) bypass((v >> i) & 1);
+    }
+    void terminate(int binval) {
+        range -= 2;
+        if (binval) {
+            low += range;
+            range = 2;
+            renorm();
+            put((low >> 9) & 1);
+            bits.push_back((uint8_t)((low >> 8) & 1));
+            bits.push_back(1);
+        } else {
+            renorm();
+        }
+    }
+    // Byte-align with zero padding; append payload bytes to out.
+    void flush_to(std::vector<uint8_t>& out) {
+        size_t n = bits.size();
+        size_t nb = (n + 7) / 8;
+        for (size_t i = 0; i < nb; i++) {
+            uint32_t byte = 0;
+            for (size_t j = 0; j < 8; j++) {
+                size_t k = i * 8 + j;
+                byte = (byte << 1) | (k < n ? bits[k] : 0);
+            }
+            out.push_back((uint8_t)byte);
+        }
+    }
+};
+
+// Exp-Golomb-k bypass suffix (cabac_syntax._write_egk).
+void write_egk(CabacEnc& e, uint32_t v, int k) {
+    while (v >= (1u << k)) {
+        e.bypass(1);
+        v -= 1u << k;
+        k++;
+    }
+    e.bypass(0);
+    if (k) e.bypass_bits(v, k);
+}
+
+// ---------------------------------------------------------------------------
+// Header bit writer (plain Exp-Golomb, before the CABAC payload)
+// ---------------------------------------------------------------------------
+
+struct HdrWriter {
+    std::vector<uint8_t> buf;
+    uint64_t acc = 0;
+    int nbits = 0;
+    void u(int n, uint32_t value) {
+        acc = (acc << n) | (uint64_t)value;
+        nbits += n;
+        while (nbits >= 8) {
+            nbits -= 8;
+            buf.push_back((uint8_t)((acc >> nbits) & 0xFF));
+        }
+        acc &= (nbits ? ((1ULL << nbits) - 1) : 0);
+    }
+    void ue(uint32_t v) {
+        uint32_t k = v + 1;
+        int n = 32 - __builtin_clz(k);
+        u(2 * n - 1, k);
+    }
+    void se(int32_t v) {
+        ue(v > 0 ? 2 * (uint32_t)v - 1 : (uint32_t)(-2 * (int64_t)v));
+    }
+    void align_ones() { while (nbits % 8) u(1, 1); }  // cabac_alignment_one_bit
+};
+
+// Slice header for CABAC slices (headers.write_slice_header: for P slices
+// cabac_init_idc=0 precedes slice_qp_delta).
+void cabac_slice_header(HdrWriter& bw, bool is_idr, int frame_num_bits,
+                        int frame_num, int idr_pic_id, int qp, int init_qp,
+                        int deblock_idc) {
+    bw.ue(0);                              // first_mb_in_slice
+    bw.ue(is_idr ? 7 : 5);                 // slice_type (I-all / P-all)
+    bw.ue(0);                              // pps id
+    bw.u(frame_num_bits, (uint32_t)(frame_num & ((1 << frame_num_bits) - 1)));
+    if (is_idr) bw.ue((uint32_t)idr_pic_id);
+    if (!is_idr) { bw.u(1, 0); bw.u(1, 0); }  // no override, no reordering
+    if (is_idr) { bw.u(1, 0); bw.u(1, 0); }   // IDR dec_ref_pic_marking
+    else bw.u(1, 0);                          // adaptive_ref_pic_marking
+    if (!is_idr) bw.ue(0);                    // cabac_init_idc
+    bw.se(qp - init_qp);                      // slice_qp_delta
+    bw.ue((uint32_t)deblock_idc);             // disable_deblocking_filter_idc
+    if (deblock_idc != 1) { bw.se(0); bw.se(0); }
+}
+
+// ---------------------------------------------------------------------------
+// Contexts + per-slice neighbor state — mirrors H264CabacContexts/MbState
+// ---------------------------------------------------------------------------
+
+// Residual block categories (ctxBlockCat).
+enum { CAT_I16_DC = 0, CAT_I16_AC, CAT_LUMA4, CAT_CHROMA_DC, CAT_CHROMA_AC };
+
+struct H264Ctxs {
+    Ctx mbt_i[3], mbt_i_tail[5], mbt_p[3], skip[3], chroma_mode[4];
+    Ctx qp_delta[1], cbp_l[4], cbp_c[8];
+    Ctx mvd[2][7];                      // [comp][ctx]
+    Ctx cbf[5][4], sig[5][15], last[5][15], absl[5][10];
+    H264Ctxs() { memset_neutral(); }
+    void memset_neutral() {
+        Ctx* all[] = {mbt_i, mbt_i_tail, mbt_p, skip, chroma_mode, qp_delta,
+                      cbp_l, cbp_c, mvd[0], mvd[1]};
+        int ns[] = {3, 5, 3, 3, 4, 1, 4, 8, 7, 7};
+        for (int i = 0; i < 10; i++)
+            for (int j = 0; j < ns[i]; j++) all[i][j] = neutral();
+        for (int c = 0; c < 5; c++) {
+            for (int j = 0; j < 4; j++) cbf[c][j] = neutral();
+            for (int j = 0; j < 15; j++) sig[c][j] = neutral();
+            for (int j = 0; j < 15; j++) last[c][j] = neutral();
+            for (int j = 0; j < 10; j++) absl[c][j] = neutral();
+        }
+    }
+};
+
+// Luma 4x4 coding order → (y, x) offsets (frame_ops.LUMA_BLK_ORDER).
+const int BLK_Y[16] = {0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3};
+const int BLK_X[16] = {0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3};
+const int CBLK_Y[4] = {0, 0, 1, 1};
+const int CBLK_X[4] = {0, 1, 0, 1};
+
+struct MbState {
+    int n_mby, n_mbx;
+    std::vector<uint8_t> avail, skip, intra;
+    std::vector<int32_t> chroma_mode, cbp_luma8, cbp_chroma;
+    std::vector<int32_t> absmvd;     // (n_mby, n_mbx, 2)
+    std::vector<int8_t> cbf_l4;      // (4*n_mby, 4*n_mbx)
+    std::vector<int8_t> cbf_i16dc;   // (n_mby, n_mbx)
+    std::vector<int8_t> cbf_cdc;     // (2, n_mby, n_mbx)
+    std::vector<int8_t> cbf_c4;      // (2, 2*n_mby, 2*n_mbx)
+
+    MbState(int h, int w)
+        : n_mby(h), n_mbx(w),
+          avail((size_t)h * w, 0), skip((size_t)h * w, 0),
+          intra((size_t)h * w, 0), chroma_mode((size_t)h * w, 0),
+          cbp_luma8((size_t)4 * h * w, 0), cbp_chroma((size_t)h * w, 0),
+          absmvd((size_t)2 * h * w, 0),
+          cbf_l4((size_t)16 * h * w, 0), cbf_i16dc((size_t)h * w, 0),
+          cbf_cdc((size_t)2 * h * w, 0), cbf_c4((size_t)8 * h * w, 0) {}
+
+    size_t mb(int mbx, int mby) const { return (size_t)mby * n_mbx + mbx; }
+
+    int mbt_i_ctx(int mbx, int mby) const {
+        int ca = (mbx > 0 && avail[mb(mbx - 1, mby)] &&
+                  intra[mb(mbx - 1, mby)]) ? 1 : 0;
+        int cb = (mby > 0 && avail[mb(mbx, mby - 1)] &&
+                  intra[mb(mbx, mby - 1)]) ? 1 : 0;
+        return ca + cb;
+    }
+    int skip_ctx(int mbx, int mby) const {
+        int ca = (mbx > 0 && avail[mb(mbx - 1, mby)] &&
+                  !skip[mb(mbx - 1, mby)]) ? 1 : 0;
+        int cb = (mby > 0 && avail[mb(mbx, mby - 1)] &&
+                  !skip[mb(mbx, mby - 1)]) ? 1 : 0;
+        return ca + cb;
+    }
+    int chroma_mode_ctx(int mbx, int mby) const {
+        int ca = (mbx > 0 && avail[mb(mbx - 1, mby)] &&
+                  chroma_mode[mb(mbx - 1, mby)] != 0) ? 1 : 0;
+        int cb = (mby > 0 && avail[mb(mbx, mby - 1)] &&
+                  chroma_mode[mb(mbx, mby - 1)] != 0) ? 1 : 0;
+        return ca + cb;
+    }
+    int cbp_luma_ctx(int mbx, int mby, int b8) const {
+        int gy = 2 * mby + b8 / 2, gx = 2 * mbx + b8 % 2;
+        int w8 = 2 * n_mbx;
+        int ca = (gx > 0 && cbp_luma8[(size_t)gy * w8 + gx - 1] == 0) ? 1 : 0;
+        if (gx == 0) ca = 0;
+        int cb = (gy > 0 && cbp_luma8[(size_t)(gy - 1) * w8 + gx] == 0) ? 1 : 0;
+        if (gy == 0) cb = 0;
+        return ca + 2 * cb;
+    }
+    int cbp_chroma_ctx(int mbx, int mby, int binidx) const {
+        bool a = mbx > 0, b = mby > 0;
+        if (binidx == 0) {
+            int ca = (a && cbp_chroma[mb(mbx - 1, mby)] != 0) ? 1 : 0;
+            int cb = (b && cbp_chroma[mb(mbx, mby - 1)] != 0) ? 1 : 0;
+            return ca + 2 * cb;
+        }
+        int ca = (a && cbp_chroma[mb(mbx - 1, mby)] == 2) ? 1 : 0;
+        int cb = (b && cbp_chroma[mb(mbx, mby - 1)] == 2) ? 1 : 0;
+        return 4 + ca + 2 * cb;
+    }
+    int mvd_ctx(int mbx, int mby, int comp) const {
+        int s = 0;
+        if (mbx > 0 && avail[mb(mbx - 1, mby)])
+            s += absmvd[2 * mb(mbx - 1, mby) + comp];
+        if (mby > 0 && avail[mb(mbx, mby - 1)])
+            s += absmvd[2 * mb(mbx, mby - 1) + comp];
+        return s < 3 ? 0 : (s <= 32 ? 1 : 2);
+    }
+    int cbf_ctx(int cat, int mbx, int mby, int blk, bool cur_intra,
+                int c) const {
+        int miss = cur_intra ? 1 : 0;
+        int ca, cb;
+        if (cat == CAT_I16_DC) {
+            ca = (mbx > 0 && intra[mb(mbx - 1, mby)])
+                     ? cbf_i16dc[mb(mbx - 1, mby)] : miss;
+            cb = (mby > 0 && intra[mb(mbx, mby - 1)])
+                     ? cbf_i16dc[mb(mbx, mby - 1)] : miss;
+        } else if (cat == CAT_I16_AC || cat == CAT_LUMA4) {
+            int gy = 4 * mby + BLK_Y[blk], gx = 4 * mbx + BLK_X[blk];
+            int w4 = 4 * n_mbx;
+            ca = gx > 0 ? cbf_l4[(size_t)gy * w4 + gx - 1] : miss;
+            cb = gy > 0 ? cbf_l4[(size_t)(gy - 1) * w4 + gx] : miss;
+        } else if (cat == CAT_CHROMA_DC) {
+            ca = mbx > 0 ? cbf_cdc[(size_t)c * n_mby * n_mbx
+                                   + mb(mbx - 1, mby)] : miss;
+            cb = mby > 0 ? cbf_cdc[(size_t)c * n_mby * n_mbx
+                                   + mb(mbx, mby - 1)] : miss;
+        } else {  // CAT_CHROMA_AC
+            int gy = 2 * mby + CBLK_Y[blk], gx = 2 * mbx + CBLK_X[blk];
+            int w2 = 2 * n_mbx;
+            size_t base = (size_t)c * 2 * n_mby * w2;
+            ca = gx > 0 ? cbf_c4[base + (size_t)gy * w2 + gx - 1] : miss;
+            cb = gy > 0 ? cbf_c4[base + (size_t)(gy - 1) * w2 + gx] : miss;
+        }
+        return ca + 2 * cb;
+    }
+    void set_cbf(int cat, int mbx, int mby, int blk, int val, int c) {
+        if (cat == CAT_I16_DC) {
+            cbf_i16dc[mb(mbx, mby)] = (int8_t)val;
+        } else if (cat == CAT_I16_AC || cat == CAT_LUMA4) {
+            int gy = 4 * mby + BLK_Y[blk], gx = 4 * mbx + BLK_X[blk];
+            cbf_l4[(size_t)gy * 4 * n_mbx + gx] = (int8_t)val;
+        } else if (cat == CAT_CHROMA_DC) {
+            cbf_cdc[(size_t)c * n_mby * n_mbx + mb(mbx, mby)] = (int8_t)val;
+        } else {
+            int gy = 2 * mby + CBLK_Y[blk], gx = 2 * mbx + CBLK_X[blk];
+            cbf_c4[(size_t)c * 2 * n_mby * 2 * n_mbx
+                   + (size_t)gy * 2 * n_mbx + gx] = (int8_t)val;
+        }
+    }
+    void set_cbp_luma8(int mbx, int mby, int b8, int bit) {
+        cbp_luma8[(size_t)(2 * mby + b8 / 2) * 2 * n_mbx
+                  + 2 * mbx + b8 % 2] = bit;
+    }
+    void fill_cbp_luma8(int mbx, int mby, int v) {
+        for (int b8 = 0; b8 < 4; b8++) set_cbp_luma8(mbx, mby, b8, v);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Residual block (spec 9.3.2.7, frame-coded) — cabac_syntax._encode_block
+// ---------------------------------------------------------------------------
+
+void encode_block(CabacEnc& e, H264Ctxs& cx, MbState& st,
+                  const int32_t* coeffs, int n, int cat, int mbx, int mby,
+                  int blk, bool cur_intra, int c) {
+    int nz[16], total = 0;
+    for (int i = 0; i < n; i++)
+        if (coeffs[i]) nz[total++] = i;
+    int cbf = total ? 1 : 0;
+    e.encode(cx.cbf[cat][st.cbf_ctx(cat, mbx, mby, blk, cur_intra, c)], cbf);
+    st.set_cbf(cat, mbx, mby, blk, cbf, c);
+    if (!cbf) return;
+    int last = nz[total - 1];
+    for (int i = 0; i < n - 1; i++) {
+        int sig = coeffs[i] ? 1 : 0;
+        e.encode(cx.sig[cat][i], sig);
+        if (sig) {
+            e.encode(cx.last[cat][i], i == last ? 1 : 0);
+            if (i == last) break;
+        }
+    }
+    int neq1 = 0, ngt1 = 0;
+    for (int j = total - 1; j >= 0; j--) {
+        int i = nz[j];
+        int32_t cv = coeffs[i];
+        int v = (cv < 0 ? -cv : cv) - 1;
+        int ctx0 = ngt1 > 0 ? 0 : (1 + neq1 < 4 ? 1 + neq1 : 4);
+        int ctx1 = 5 + (ngt1 < 4 ? ngt1 : 4);
+        int prefix = v < 14 ? v : 14;
+        for (int b = 0; b < prefix; b++)
+            e.encode(cx.absl[cat][b == 0 ? ctx0 : ctx1], 1);
+        if (prefix < 14)
+            e.encode(cx.absl[cat][prefix == 0 ? ctx0 : ctx1], 0);
+        else
+            write_egk(e, (uint32_t)(v - 14), 0);
+        e.bypass(cv < 0 ? 1 : 0);
+        if (v == 0) neq1++;
+        else ngt1++;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// MB-layer syntax — cabac_syntax._encode_mb_i16 / _encode_mvd_comp / walks
+// ---------------------------------------------------------------------------
+
+void encode_mb_i16(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx, int mby,
+                   int pred_mode, int chroma_mode, bool cbp_luma15,
+                   int cbp_chroma) {
+    int b0 = st.mbt_i_ctx(mbx, mby);
+    e.encode(cx.mbt_i[b0], 1);              // not I_4x4
+    e.terminate(0);                          // not I_PCM
+    e.encode(cx.mbt_i_tail[0], cbp_luma15 ? 1 : 0);
+    e.encode(cx.mbt_i_tail[1], cbp_chroma > 0 ? 1 : 0);
+    if (cbp_chroma > 0)
+        e.encode(cx.mbt_i_tail[2], cbp_chroma == 2 ? 1 : 0);
+    e.encode(cx.mbt_i_tail[3], (pred_mode >> 1) & 1);
+    e.encode(cx.mbt_i_tail[4], pred_mode & 1);
+    int cm_ctx = st.chroma_mode_ctx(mbx, mby);
+    if (chroma_mode == 0) {
+        e.encode(cx.chroma_mode[cm_ctx], 0);
+    } else {
+        e.encode(cx.chroma_mode[cm_ctx], 1);
+        for (int b = 1; b < 3; b++) {
+            if (chroma_mode == b) { e.encode(cx.chroma_mode[3], 0); break; }
+            e.encode(cx.chroma_mode[3], 1);
+        }
+    }
+    st.intra[st.mb(mbx, mby)] = 1;
+    st.chroma_mode[st.mb(mbx, mby)] = chroma_mode;
+    st.fill_cbp_luma8(mbx, mby, cbp_luma15 ? 1 : 0);
+    st.cbp_chroma[st.mb(mbx, mby)] = cbp_chroma;
+}
+
+void encode_mvd_comp(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx,
+                     int mby, int comp, int mvd) {
+    int v = mvd < 0 ? -mvd : mvd;
+    int b0 = st.mvd_ctx(mbx, mby, comp);
+    Ctx* row = cx.mvd[comp];
+    auto ctx_of = [&](int b) { return b == 0 ? b0 : (2 + b < 6 ? 2 + b : 6); };
+    int prefix = v < 9 ? v : 9;
+    for (int b = 0; b < prefix; b++) e.encode(row[ctx_of(b)], 1);
+    if (prefix < 9) e.encode(row[ctx_of(prefix)], 0);
+    else write_egk(e, (uint32_t)(v - 9), 3);
+    if (v) e.bypass(mvd < 0 ? 1 : 0);
+}
+
+// I16x16 residual walk (cabac_syntax._mb_i16_residual, encode side).
+void mb_i16_residual(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx,
+                     int mby, bool cbp_luma15, int cbp_chroma,
+                     const int32_t* dc_zz, const int32_t* ac,
+                     const int32_t* cdc[2], const int32_t* cac[2]) {
+    encode_block(e, cx, st, dc_zz, 16, CAT_I16_DC, mbx, mby, 0, true, 0);
+    for (int blk = 0; blk < 16; blk++) {
+        if (cbp_luma15)
+            encode_block(e, cx, st, ac + blk * 16 + 1, 15, CAT_I16_AC,
+                         mbx, mby, blk, true, 0);
+        else
+            st.set_cbf(CAT_I16_AC, mbx, mby, blk, 0, 0);
+    }
+    if (cbp_chroma) {
+        for (int c = 0; c < 2; c++)
+            encode_block(e, cx, st, cdc[c], 4, CAT_CHROMA_DC, mbx, mby, 0,
+                         true, c);
+    } else {
+        for (int c = 0; c < 2; c++)
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c);
+    }
+    for (int c = 0; c < 2; c++) {
+        for (int blk = 0; blk < 4; blk++) {
+            if (cbp_chroma == 2)
+                encode_block(e, cx, st, cac[c] + blk * 16 + 1, 15,
+                             CAT_CHROMA_AC, mbx, mby, blk, true, c);
+            else
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c);
+        }
+    }
+}
+
+// Inter residual walk (cabac_syntax._p_residual, encode side).
+void p_residual(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx, int mby,
+                int cbp_l, int cbp_c, const int32_t* luma,
+                const int32_t* cdc[2], const int32_t* cac[2]) {
+    for (int blk = 0; blk < 16; blk++) {
+        int b8 = blk / 4;
+        if ((cbp_l >> b8) & 1)
+            encode_block(e, cx, st, luma + blk * 16, 16, CAT_LUMA4,
+                         mbx, mby, blk, false, 0);
+        else
+            st.set_cbf(CAT_LUMA4, mbx, mby, blk, 0, 0);
+    }
+    if (cbp_c) {
+        for (int c = 0; c < 2; c++)
+            encode_block(e, cx, st, cdc[c], 4, CAT_CHROMA_DC, mbx, mby, 0,
+                         false, c);
+    } else {
+        for (int c = 0; c < 2; c++)
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c);
+    }
+    for (int c = 0; c < 2; c++) {
+        for (int blk = 0; blk < 4; blk++) {
+            if (cbp_c == 2)
+                encode_block(e, cx, st, cac[c] + blk * 16 + 1, 15,
+                             CAT_CHROMA_AC, mbx, mby, blk, false, c);
+            else
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c);
+        }
+    }
+}
+
+// mv prediction — duplicated small helpers from entropy.cpp (kept local so
+// each TU is self-contained; both mirror pframe.mv_pred/skip_mv).
+void mv_neighbors2(const int32_t* mv, const uint8_t* valid, int n_mbx,
+                   int mbx, int mby, int a[2], int& ra, int b[2], int& rb,
+                   int c[2], int& rc) {
+    auto get = [&](int x, int y, int m[2]) -> int {
+        if (x < 0 || y < 0 || x >= n_mbx) { m[0] = m[1] = 0; return -1; }
+        if (!valid[(size_t)y * n_mbx + x]) { m[0] = m[1] = 0; return -1; }
+        m[0] = mv[((size_t)y * n_mbx + x) * 2 + 0];
+        m[1] = mv[((size_t)y * n_mbx + x) * 2 + 1];
+        return 0;
+    };
+    ra = get(mbx - 1, mby, a);
+    rb = get(mbx, mby - 1, b);
+    bool c_exists = (mby > 0) && (mbx + 1 < n_mbx);
+    if (c_exists) rc = get(mbx + 1, mby - 1, c);
+    else { c[0] = c[1] = 0; rc = -1; }
+    if (rc < 0) {
+        int d[2]; int rd = get(mbx - 1, mby - 1, d);
+        c[0] = d[0]; c[1] = d[1]; rc = rd;
+    }
+}
+
+void mv_pred2(const int32_t* mv, const uint8_t* valid, int n_mbx, int mbx,
+              int mby, int out[2]) {
+    int a[2], b[2], c[2], ra, rb, rc;
+    mv_neighbors2(mv, valid, n_mbx, mbx, mby, a, ra, b, rb, c, rc);
+    bool b_exists = (mby > 0) && rb >= 0;
+    if (!b_exists && rc < 0 && ra >= 0) { out[0] = a[0]; out[1] = a[1]; return; }
+    int hits = (ra == 0) + (rb == 0) + (rc == 0);
+    if (hits == 1) {
+        const int* m = (ra == 0) ? a : (rb == 0 ? b : c);
+        out[0] = m[0]; out[1] = m[1]; return;
+    }
+    for (int k = 0; k < 2; k++) {
+        int x = a[k], y = b[k], z = c[k];
+        int mx = x > y ? x : y;
+        int mn = x < y ? x : y;
+        out[k] = z > mx ? mx : (z < mn ? mn : z);
+    }
+}
+
+void skip_mv2(const int32_t* mv, const uint8_t* valid, int n_mbx, int mbx,
+              int mby, int out[2]) {
+    out[0] = out[1] = 0;
+    if (mbx - 1 < 0 || mby - 1 < 0) return;
+    int a[2], b[2], c[2], ra, rb, rc;
+    mv_neighbors2(mv, valid, n_mbx, mbx, mby, a, ra, b, rb, c, rc);
+    if (ra < 0 || rb < 0) return;
+    if ((ra == 0 && a[0] == 0 && a[1] == 0) ||
+        (rb == 0 && b[0] == 0 && b[1] == 0)) return;
+    mv_pred2(mv, valid, n_mbx, mbx, mby, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// CABAC IDR slice. Level-array layout identical to vcp_write_islice.
+// Returns RBSP length, or -1 if out_cap too small.
+int64_t vcp_write_islice_cabac(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int idr_pic_id, int deblock_idc,
+    const int32_t* luma_dc, const int32_t* luma_ac,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    HdrWriter bw;
+    cabac_slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
+                       init_qp, deblock_idc);
+    bw.align_ones();
+
+    CabacEnc e;
+    e.bits.reserve((size_t)n_mby * n_mbx * 256);
+    H264Ctxs cx;
+    MbState st(n_mby, n_mbx);
+
+    for (int mby = 0; mby < n_mby; mby++) {
+        int pred_mode = (mby == 0) ? 2 : 0;
+        int chroma_mode = (mby == 0) ? 0 : 2;
+        for (int mbx = 0; mbx < n_mbx; mbx++) {
+            size_t mb = (size_t)mby * n_mbx + mbx;
+            const int32_t* zdc = luma_dc + mb * 16;
+            const int32_t* zac = luma_ac + mb * 256;
+            const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
+            const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
+
+            bool cbp_luma15 = false;
+            for (int blk = 0; blk < 16 && !cbp_luma15; blk++)
+                for (int k = 1; k < 16; k++)
+                    if (zac[blk * 16 + k]) { cbp_luma15 = true; break; }
+            bool any_cac = false, any_cdc = false;
+            for (int c = 0; c < 2; c++) {
+                for (int k = 0; k < 4; k++) if (cdc[c][k]) any_cdc = true;
+                for (int blk = 0; blk < 4; blk++)
+                    for (int k = 1; k < 16; k++)
+                        if (cac[c][blk * 16 + k]) any_cac = true;
+            }
+            int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
+
+            encode_mb_i16(e, cx, st, mbx, mby, pred_mode, chroma_mode,
+                          cbp_luma15, cbp_chroma);
+            e.encode(cx.qp_delta[0], 0);      // mb_qp_delta == 0
+            mb_i16_residual(e, cx, st, mbx, mby, cbp_luma15, cbp_chroma,
+                            zdc, zac, cdc, cac);
+            st.avail[mb] = 1;
+            bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+            e.terminate(last ? 1 : 0);
+        }
+    }
+    std::vector<uint8_t>& buf = bw.buf;
+    e.flush_to(buf);
+    if ((int64_t)buf.size() > out_cap) return -1;
+    std::memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+// CABAC P slice. mv layout: (n_mby, n_mbx, 2) [x, y] quarter-pel, as for
+// vcp_write_pslice.
+int64_t vcp_write_pslice_cabac(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int deblock_idc,
+    const int32_t* mv_xy, const int32_t* luma,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    HdrWriter bw;
+    cabac_slice_header(bw, false, frame_num_bits, frame_num, 0, qp, init_qp,
+                       deblock_idc);
+    bw.align_ones();
+
+    CabacEnc e;
+    e.bits.reserve((size_t)n_mby * n_mbx * 128);
+    H264Ctxs cx;
+    MbState st(n_mby, n_mbx);
+    std::vector<uint8_t> valid((size_t)n_mby * n_mbx, 1);
+
+    for (int mby = 0; mby < n_mby; mby++) {
+        for (int mbx = 0; mbx < n_mbx; mbx++) {
+            size_t mb = (size_t)mby * n_mbx + mbx;
+            const int32_t* zl = luma + mb * 256;
+            const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
+            const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
+
+            int cbp_l = 0;
+            for (int blk = 0; blk < 16; blk++) {
+                for (int k = 0; k < 16; k++)
+                    if (zl[blk * 16 + k]) { cbp_l |= 1 << (blk / 4); break; }
+            }
+            bool any_cac = false, any_cdc = false;
+            for (int c = 0; c < 2; c++) {
+                for (int k = 0; k < 4; k++) if (cdc[c][k]) any_cdc = true;
+                for (int blk = 0; blk < 4; blk++)
+                    for (int k = 1; k < 16; k++)
+                        if (cac[c][blk * 16 + k]) any_cac = true;
+            }
+            int cbp_c = any_cac ? 2 : (any_cdc ? 1 : 0);
+
+            int m[2] = {mv_xy[mb * 2 + 0], mv_xy[mb * 2 + 1]};
+            int smv[2];
+            skip_mv2(mv_xy, valid.data(), n_mbx, mbx, mby, smv);
+            bool is_skip = (cbp_l == 0 && cbp_c == 0 &&
+                            m[0] == smv[0] && m[1] == smv[1]);
+            e.encode(cx.skip[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
+            st.avail[mb] = 1;
+            st.skip[mb] = is_skip ? 1 : 0;
+            bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+            if (is_skip) {
+                st.fill_cbp_luma8(mbx, mby, 0);
+                st.cbp_chroma[mb] = 0;
+                e.terminate(last ? 1 : 0);
+                continue;
+            }
+            // mb_type P_L0_16x16 -> "000"
+            e.encode(cx.mbt_p[0], 0);
+            e.encode(cx.mbt_p[1], 0);
+            e.encode(cx.mbt_p[2], 0);
+            int pred[2];
+            mv_pred2(mv_xy, valid.data(), n_mbx, mbx, mby, pred);
+            int mvd[2] = {m[0] - pred[0], m[1] - pred[1]};
+            encode_mvd_comp(e, cx, st, mbx, mby, 0, mvd[0]);
+            encode_mvd_comp(e, cx, st, mbx, mby, 1, mvd[1]);
+            st.absmvd[2 * mb + 0] = mvd[0] < 0 ? -mvd[0] : mvd[0];
+            st.absmvd[2 * mb + 1] = mvd[1] < 0 ? -mvd[1] : mvd[1];
+            for (int b8 = 0; b8 < 4; b8++) {
+                int bit = (cbp_l >> b8) & 1;
+                e.encode(cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
+                st.set_cbp_luma8(mbx, mby, b8, bit);
+            }
+            e.encode(cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)],
+                     cbp_c > 0 ? 1 : 0);
+            if (cbp_c > 0)
+                e.encode(cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
+                         cbp_c == 2 ? 1 : 0);
+            st.cbp_chroma[mb] = cbp_c;
+            if (cbp_l || cbp_c) e.encode(cx.qp_delta[0], 0);
+            p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac);
+            e.terminate(last ? 1 : 0);
+        }
+    }
+    std::vector<uint8_t>& buf = bw.buf;
+    e.flush_to(buf);
+    if ((int64_t)buf.size() > out_cap) return -1;
+    std::memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+}  // extern "C"
