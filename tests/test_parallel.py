@@ -5,9 +5,8 @@ import pytest
 
 import jax
 
-from vcp_tpu.ops import motion as mops
-from vcp_tpu.ops import transform as tf
-from vcp_tpu.parallel.mesh import encode_pframe_sharded, make_mesh
+from vcp_tpu.codec.h264.gop_ops import encode_pchunk
+from vcp_tpu.parallel.mesh import encode_pchunk_sharded, make_mesh
 
 
 @pytest.fixture(scope="module")
@@ -21,33 +20,39 @@ def test_mesh_shape(mesh):
     assert mesh.shape["data"] * mesh.shape["tile"] == 8
 
 
-def test_sharded_pframe_matches_single_chip(mesh):
-    """Band-sharded ME/MC/transform must be numerically identical to the
-    single-chip step (all-gather of ref rows makes the search global)."""
+@pytest.mark.parametrize("subpel,deblock", [(0, False), (1, True), (2, True)])
+def test_sharded_pchunk_bit_identical(mesh, subpel, deblock):
+    """The band-sharded production P step (full sub-pel ladder, chroma,
+    decimation, deblock) must be BIT-identical to the single-chip
+    encode_pchunk — the sharded path IS the production path."""
     rng = np.random.default_rng(3)
     t = mesh.shape["tile"]
-    b = 2 * mesh.shape["data"]
+    b = mesh.shape["data"]          # one stream per data shard
+    n = 3                           # P frames per stream
     h, w = 32 * t, 64
-    qp, sr, lam = 26, 4, 4
-    y = rng.integers(0, 256, (b, h, w)).astype(np.int32)
-    ref = np.roll(y, (0, 2, -1), (0, 1, 2)).astype(np.int32)
+    qp, qpc, sr, lam = 26, 26, 4, 4
+    ys = rng.integers(0, 256, (b, n, h, w)).astype(np.int32)
+    us = rng.integers(0, 256, (b, n, h // 2, w // 2)).astype(np.int32)
+    vs = rng.integers(0, 256, (b, n, h // 2, w // 2)).astype(np.int32)
+    ref_y = np.roll(ys[:, 0], (0, 2, -1), (0, 1, 2)).astype(np.int32)
+    ref_u = np.roll(us[:, 0], (0, 1, 1), (0, 1, 2)).astype(np.int32)
+    ref_v = np.roll(vs[:, 0], (0, 1, 1), (0, 1, 2)).astype(np.int32)
 
-    mv_s, z_s, rec_s = encode_pframe_sharded(mesh, y, ref, qp=qp, sr=sr,
-                                             lam=lam)
-    mv_s, z_s, rec_s = map(np.asarray, (mv_s, z_s, rec_s))
+    packed_s, ry_s, ru_s, rv_s = encode_pchunk_sharded(
+        mesh, ys, us, vs, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
+        subpel=subpel, deblock=deblock)
+    packed_s, ry_s, ru_s, rv_s = map(np.asarray,
+                                     (packed_s, ry_s, ru_s, rv_s))
 
     for i in range(b):
-        mv1, _ = mops.full_search(y[i], ref[i], sr, lam)
-        pred1 = mops.mc_luma(ref[i], mv1, sr)
-        coef = tf.fdct4(tf.to_blocks4(y[i] - pred1))
-        z1 = tf.quant4(coef, qp, intra=False)
-        rec1 = np.clip(np.asarray(pred1)
-                       + np.asarray(tf.from_blocks4(
-                           tf.idct4(tf.dequant4(z1, qp)))), 0, 255)
-        np.testing.assert_array_equal(mv_s[i], np.asarray(mv1),
-                                      err_msg=f"frame {i} mv")
-        np.testing.assert_array_equal(z_s[i], np.asarray(z1))
-        np.testing.assert_array_equal(rec_s[i], rec1)
+        packed1, ry1, ru1, rv1 = encode_pchunk(
+            ys[i], us[i], vs[i], ref_y[i], ref_u[i], ref_v[i],
+            qp, qpc, sr, lam, deblock, subpel)
+        np.testing.assert_array_equal(packed_s[i], np.asarray(packed1),
+                                      err_msg=f"stream {i} packed")
+        np.testing.assert_array_equal(ry_s[i], np.asarray(ry1))
+        np.testing.assert_array_equal(ru_s[i], np.asarray(ru1))
+        np.testing.assert_array_equal(rv_s[i], np.asarray(rv1))
 
 
 def test_graft_entry_and_dryrun():

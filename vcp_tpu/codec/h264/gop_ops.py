@@ -89,11 +89,37 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
            subpel: int = 1, deblock: bool = False):
     """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes).
     MVs are in QUARTER-pel units throughout."""
+    packed, recon_y, recon_u, recon_v, nz4, mv = _pstep_core(
+        cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
+        subpel=subpel)
+    if deblock:
+        from ...ops import deblock as dbf
+        h, w = cur_y.shape
+        n_mby, n_mbx = h // 16, w // 16
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        intra = jnp.zeros((n_mby, n_mbx), bool)
+        recon_y, recon_u, recon_v = dbf.deblock_frame(
+            recon_y, recon_u, recon_v, qp_mb, intra, nz4, mv,
+            tf.CHROMA_QP_FULL)
+    return packed, recon_y, recon_u, recon_v
+
+
+def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
+                subpel: int = 1, row0=0):
+    """Band-parametrized P step shared by single-chip and tile-sharded
+    paths: ``cur_*`` may be a horizontal band starting at frame row
+    ``row0`` against the taller full-frame references (multi-chip mesh,
+    parallel.mesh.encode_pchunk_sharded). ``row0=0`` with matching shapes
+    is the whole-frame case. Deblocking (frame-global) is NOT applied
+    here; returns (packed, recon bands pre-deblock, nz4 grid, mvq)."""
     h, w = cur_y.shape
     n_mby, n_mbx = h // 16, w // 16
+    # the Pallas search kernel is whole-frame only; a traced (band) row0
+    # routes to the identical XLA search
+    whole_frame = isinstance(row0, int) and row0 == 0
 
     pred_full = None
-    if _use_pallas_me():
+    if whole_frame and _use_pallas_me():
         from ...ops.motion_pallas import full_search_pallas
         if subpel:
             mv_full = full_search_pallas(cur_y, ref_y, sr, lam)
@@ -103,7 +129,7 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
             mv_full, pred_full = full_search_pallas(cur_y, ref_y, sr, lam,
                                                     with_pred=True)
     else:
-        mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam)
+        mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam, row0)
 
     if subpel:
         pad = sr + 6
@@ -111,16 +137,16 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         planes = jnp.stack(
             mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
         mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin,
-                                quarter=subpel >= 2)
+                                quarter=subpel >= 2, row0=row0)
         if subpel >= 2:
-            pred_y = mops.mc_luma_q(planes, mv, margin)
+            pred_y = mops.mc_luma_q(planes, mv, margin, row0)
         else:
-            pred_y = mops.mc_luma_h(planes, mv, margin)
+            pred_y = mops.mc_luma_h(planes, mv, margin, row0)
     else:
         # full-pel: no interpolated planes
         mv = mv_full * 4
         pred_y = pred_full if pred_full is not None \
-            else mops.mc_luma(ref_y, mv_full, sr)
+            else mops.mc_luma(ref_y, mv_full, sr, row0)
     coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
     z = tf.quant4(coef, qp, intra=False)
     zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
@@ -139,12 +165,13 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
 
     # chroma MC: select-accumulate kernel on TPU (generic gathers lower
     # to scalar loads there), plain gather on CPU where it's fastest
+    row0c = row0 // 2
     if jax.default_backend() == "cpu":
-        pred_u = mops.mc_chroma_q(ref_u, mv, sr // 2 + 2)
-        pred_v = mops.mc_chroma_q(ref_v, mv, sr // 2 + 2)
+        pred_u = mops.mc_chroma_q(ref_u, mv, sr // 2 + 2, row0c)
+        pred_v = mops.mc_chroma_q(ref_v, mv, sr // 2 + 2, row0c)
     else:
         pred_u, pred_v = mops.mc_chroma_q_pair(ref_u, ref_v, mv,
-                                               sr // 2 + 2)
+                                               sr // 2 + 2, row0c)
 
     def chroma(cur, ref, pred):
         hc, wc = cur.shape
@@ -166,20 +193,12 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     cb_dc, cb_ac, recon_u = chroma(cur_u, ref_u, pred_u)
     cr_dc, cr_ac, recon_v = chroma(cur_v, ref_v, pred_v)
 
-    if deblock:
-        from ...ops import deblock as dbf
-        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
-        intra = jnp.zeros((n_mby, n_mbx), bool)
-        nz = jnp.any(z != 0, axis=(-1, -2))     # (H/4, W/4)
-        recon_y, recon_u, recon_v = dbf.deblock_frame(
-            recon_y, recon_u, recon_v, qp_mb, intra, nz, mv,
-            tf.CHROMA_QP_FULL)
-
+    nz4 = jnp.any(z != 0, axis=(-1, -2))        # (H/4, W/4) for deblock
     packed = jnp.concatenate([
         mv.reshape(n_mby, n_mbx, 2),
         z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
     ], axis=-1).astype(jnp.int16).reshape(-1)
-    return packed, recon_y, recon_u, recon_v
+    return packed, recon_y, recon_u, recon_v, nz4, mv
 
 
 @functools.partial(jax.jit, static_argnums=(8, 10, 11))

@@ -24,15 +24,17 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def full_search(cur, ref, search_range: int, lam=4):
+def full_search(cur, ref, search_range: int, lam=4, row0=0):
     """Full-pel exhaustive SAD search over ±search_range, 16x16 MBs.
 
-    cur, ref: (H, W) int32 with H, W multiples of 16.
+    cur: (Hb, W) int32 — a full frame, or one horizontal band of it when
+    ``row0`` is the band's first row (multi-chip tile sharding; ref is
+    then the taller full-frame plane). Hb, W multiples of 16.
     Returns (mv (nMBy, nMBx, 2) int32 [dy, dx], best_cost).
     Cost = SAD + lam * (|dx| + |dy|) — a rate bias toward short vectors.
     """
-    h, w = cur.shape
-    n_mby, n_mbx = h // 16, w // 16
+    hb, w = cur.shape
+    n_mby, n_mbx = hb // 16, w // 16
     sr = search_range
     side = 2 * sr + 1
     ref_pad = jnp.pad(ref, sr, mode="edge")
@@ -42,7 +44,8 @@ def full_search(cur, ref, search_range: int, lam=4):
         best_cost, best_o = carry
         dy = o // side - sr
         dx = o % side - sr
-        shifted = jax.lax.dynamic_slice(ref_pad, (dy + sr, dx + sr), (h, w))
+        shifted = jax.lax.dynamic_slice(
+            ref_pad, (row0 + dy + sr, dx + sr), (hb, w))
         diff = jnp.abs(cur_mb - shifted.reshape(n_mby, 16, n_mbx, 16))
         sad = diff.sum(axis=(1, 3))
         cost = sad + lam * (jnp.abs(dx) + jnp.abs(dy))
@@ -58,17 +61,19 @@ def full_search(cur, ref, search_range: int, lam=4):
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def mc_luma(ref, mv, search_range: int):
+def mc_luma(ref, mv, search_range: int, row0=0):
     """Full-pel luma MC: gather each MB's 16x16 block at its MV.
 
-    ref: (H, W) int32; mv: (nMBy, nMBx, 2) [dy, dx] full-pel.
+    ref: (H, W) int32; mv: (nMBy, nMBx, 2) [dy, dx] full-pel covering a
+    band starting at frame row ``row0`` (0 = whole frame).
     """
-    h, w = ref.shape
+    w = ref.shape[1]
+    hb = 16 * mv.shape[0]
     sr = search_range
     ref_pad = jnp.pad(ref, sr, mode="edge")
     dy = jnp.repeat(jnp.repeat(mv[..., 0], 16, axis=0), 16, axis=1)
     dx = jnp.repeat(jnp.repeat(mv[..., 1], 16, axis=0), 16, axis=1)
-    rows = jnp.arange(h)[:, None] + dy + sr
+    rows = jnp.arange(hb)[:, None] + row0 + dy + sr
     cols = jnp.arange(w)[None, :] + dx + sr
     return ref_pad[rows, cols]
 
@@ -151,12 +156,13 @@ _QPEL_P2 = np.array([_SRC_INDEX[tuple(r[3:])] for r in _QPEL_TABLE],
                     np.int32)
 
 
-def mc_luma_q(planes, mvq, margin: int):
+def mc_luma_q(planes, mvq, margin: int, row0=0):
     """Quarter-pel luma MC from precomputed half-pel planes.
 
     planes: (4, Hp, Wp) stacked [G, b, h, j], aligned so that index
     (margin + y, margin + x) is integer position (y, x) of the frame.
-    mvq: (nMBy, nMBx, 2) [dy, dx] in QUARTER-pel units.
+    mvq: (nMBy, nMBx, 2) [dy, dx] in QUARTER-pel units, covering a band
+    starting at frame row ``row0`` (0 = whole frame).
 
     TPU shape: one dense 2D gather per distinct sample source (8 total)
     plus per-pixel where-chains — a per-pixel plane-index gather lowers to
@@ -169,7 +175,7 @@ def mc_luma_q(planes, mvq, margin: int):
     fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, 16, 0), 16, 1)
     fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, 16, 0), 16, 1)
     case = fy * 4 + fx
-    rows = jnp.arange(h)[:, None] + iy + margin
+    rows = jnp.arange(h)[:, None] + row0 + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
 
     srcs = [planes[p][rows + dy, cols + dx] for p, dy, dx in _QPEL_SOURCES]
@@ -186,17 +192,18 @@ def mc_luma_q(planes, mvq, margin: int):
     return (p1 + p2 + 1) >> 1
 
 
-def mc_chroma_q(ref_c, mvq_luma, margin: int):
+def mc_chroma_q(ref_c, mvq_luma, margin: int, row0c=0):
     """Chroma MC for quarter-pel luma MVs: chroma vector in 1/8 units
-    equals the quarter-luma value (spec 8.4.1.4); full 1/8 bilinear."""
-    hc, wc = ref_c.shape
+    equals the quarter-luma value (spec 8.4.1.4); full 1/8 bilinear.
+    ``row0c`` is the band's first CHROMA row (0 = whole frame)."""
+    hc, wc = 8 * mvq_luma.shape[0], 8 * mvq_luma.shape[1]
     ref_pad = jnp.pad(ref_c, ((margin, margin + 1), (margin, margin + 1)),
                       mode="edge")
     dy_i = jnp.repeat(jnp.repeat(mvq_luma[..., 0] >> 3, 8, 0), 8, 1)
     dx_i = jnp.repeat(jnp.repeat(mvq_luma[..., 1] >> 3, 8, 0), 8, 1)
     fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, 8, 0), 8, 1)
     fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, 8, 0), 8, 1)
-    rows = jnp.arange(hc)[:, None] + dy_i + margin
+    rows = jnp.arange(hc)[:, None] + row0c + dy_i + margin
     cols = jnp.arange(wc)[None, :] + dx_i + margin
     a = ref_pad[rows, cols]
     b = ref_pad[rows, cols + 1]
@@ -207,7 +214,7 @@ def mc_chroma_q(ref_c, mvq_luma, margin: int):
     return num >> 6
 
 
-def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int):
+def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0):
     """Both chroma planes' 1/8-pel MC via shift-and-select accumulation.
 
     Numerically identical to ``mc_chroma_q`` (asserted by tests) but
@@ -219,7 +226,7 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int):
     (dy, dx+1), (dy+1, dx), (dy+1, dx+1), so one slice per iteration
     feeds all four accumulators.
     """
-    hc, wc = ref_u.shape
+    hc, wc = 8 * mvq_luma.shape[0], 8 * mvq_luma.shape[1]
     m = margin
     stack = jnp.stack([ref_u, ref_v]).astype(jnp.int32)
     ref_pad = jnp.pad(stack, ((0, 0), (m, m + 1), (m, m + 1)), mode="edge")
@@ -238,7 +245,8 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int):
         a, bt, c, d = acc
         dy = o // side - m
         dx = o % side - m
-        w = jax.lax.dynamic_slice(ref_pad, (0, dy + m, dx + m), (2, hc, wc))
+        w = jax.lax.dynamic_slice(ref_pad, (0, row0c + dy + m, dx + m),
+                                  (2, hc, wc))
         a = jnp.where(up((dy_map == dy) & (dx_map == dx)), w, a)
         bt = jnp.where(up((dy_map == dy) & (dx_map == dx - 1)), w, bt)
         c = jnp.where(up((dy_map == dy - 1) & (dx_map == dx)), w, c)
@@ -258,7 +266,7 @@ def _mb_sad(cur_mb, pred, n_mby, n_mbx):
                    ).sum(axis=(1, 3))
 
 
-def refine_half(cur, planes, mv_full, lam, margin: int):
+def refine_half(cur, planes, mv_full, lam, margin: int, row0=0):
     """Half-pel refinement with single-plane gathers.
 
     Every half-step candidate delta shares one fractional phase across
@@ -270,7 +278,7 @@ def refine_half(cur, planes, mv_full, lam, margin: int):
     n_mby, n_mbx = mv_full.shape[:2]
     h, w = cur.shape
     cur_mb = cur.reshape(n_mby, 16, n_mbx, 16)
-    rows = jnp.arange(h)[:, None]
+    rows = jnp.arange(h)[:, None] + row0
     cols = jnp.arange(w)[None, :]
     dy_f = jnp.repeat(jnp.repeat(mv_full[..., 0], 16, 0), 16, 1)
     dx_f = jnp.repeat(jnp.repeat(mv_full[..., 1], 16, 0), 16, 1)
@@ -297,14 +305,14 @@ def refine_half(cur, planes, mv_full, lam, margin: int):
     return mvq
 
 
-def refine_quarter(cur, planes, mvq, lam, margin: int):
+def refine_quarter(cur, planes, mvq, lam, margin: int, row0=0):
     """Quarter-pel refinement around a half-pel result (general MC per
     candidate — expensive; reserved for high-effort presets)."""
     n_mby, n_mbx = mvq.shape[:2]
     cur_mb = cur.reshape(n_mby, 16, n_mbx, 16)
 
     def cost_of(m):
-        pred = mc_luma_q(planes, m, margin)
+        pred = mc_luma_q(planes, m, margin, row0)
         sad = _mb_sad(cur_mb, pred, n_mby, n_mbx)
         return sad + lam * ((jnp.abs(m[..., 0]) + jnp.abs(m[..., 1])) >> 1)
 
@@ -319,16 +327,17 @@ def refine_quarter(cur, planes, mvq, lam, margin: int):
     return mvq
 
 
-def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False):
+def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False,
+                  row0=0):
     """Full-pel MVs → sub-pel: half-pel always (cheap single-plane
     gathers), quarter-pel optionally on top."""
-    mvq = refine_half(cur, planes, mv_full, lam, margin)
+    mvq = refine_half(cur, planes, mv_full, lam, margin, row0)
     if quarter:
-        mvq = refine_quarter(cur, planes, mvq, lam, margin)
+        mvq = refine_quarter(cur, planes, mvq, lam, margin, row0)
     return mvq
 
 
-def mc_luma_h(planes, mvq, margin: int):
+def mc_luma_h(planes, mvq, margin: int, row0=0):
     """Half-pel-only luma MC: mvq phases are in {0, 2}² (the refine_half
     output), so each pixel needs exactly one of the four planes — 4
     gathers + a 2-bit select instead of mc_luma_q's 8 gathers."""
@@ -338,7 +347,7 @@ def mc_luma_h(planes, mvq, margin: int):
     ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, 16, 0), 16, 1)
     hy = jnp.repeat(jnp.repeat((mvq[..., 0] >> 1) & 1, 16, 0), 16, 1)
     hx = jnp.repeat(jnp.repeat((mvq[..., 1] >> 1) & 1, 16, 0), 16, 1)
-    rows = jnp.arange(h)[:, None] + iy + margin
+    rows = jnp.arange(h)[:, None] + row0 + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
     g = planes[0][rows, cols]
     b = planes[1][rows, cols]

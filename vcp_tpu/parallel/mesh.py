@@ -59,85 +59,80 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
     return Mesh(arr, axis_names=("data", "tile"))
 
 
-def _band_search_and_mc(cur_band, ref_full, band_row0, sr: int, lam: int):
-    """Full-pel SAD search + MC for one horizontal band against the full
-    reference plane. Mirrors ops.motion exactly (same padding semantics)."""
-    hb, w = cur_band.shape
-    n_mby, n_mbx = hb // 16, w // 16
-    side = 2 * sr + 1
-    ref_pad = jnp.pad(ref_full, sr, mode="edge")
-    cur_mb = cur_band.reshape(n_mby, 16, n_mbx, 16)
+def encode_pchunk_sharded(mesh: Mesh, ys, us, vs, ref_y, ref_u, ref_v,
+                          qp: int, qpc: int, sr: int = 8, lam: int = 4,
+                          subpel: int = 1, deblock: bool = False):
+    """THE production P-chunk step (codec.h264.gop_ops._pstep_core — same
+    search, sub-pel ladder, chroma MC, transform/quant, decimation,
+    deblock) sharded over the mesh: independent streams on ``data``,
+    horizontal bands of each frame on ``tile``.
 
-    def body(o, carry):
-        best_cost, best_o = carry
-        dy = o // side - sr
-        dx = o % side - sr
-        shifted = jax.lax.dynamic_slice(
-            ref_pad, (band_row0 + dy + sr, dx + sr), (hb, w))
-        sad = jnp.abs(cur_mb - shifted.reshape(n_mby, 16, n_mbx, 16)
-                      ).sum(axis=(1, 3))
-        cost = sad + lam * (jnp.abs(dx) + jnp.abs(dy))
-        better = cost < best_cost
-        return (jnp.where(better, cost, best_cost),
-                jnp.where(better, o, best_o))
+    ys/us/vs: (B, N, H, W[/2]) int32 — B streams of N consecutive P
+    frames; ref_*: (B, H, W[/2]) previous reconstructions. Per band the
+    step runs band-local against the all-gathered full reference (one ICI
+    all_gather per plane per frame); reconstruction bands are gathered
+    back so every device carries the full reference for the next frame in
+    the ``lax.scan``, and the (frame-global) deblock filter runs on the
+    gathered planes — identical math to the single-chip encode_pchunk,
+    asserted bit-exact by tests/test_parallel.py.
 
-    init = (jnp.full((n_mby, n_mbx), 2**30, jnp.int32),
-            jnp.zeros((n_mby, n_mbx), jnp.int32))
-    _, best_o = jax.lax.fori_loop(0, side * side, body, init)
-    mv = jnp.stack([best_o // side - sr, best_o % side - sr], axis=-1)
-
-    dy = jnp.repeat(jnp.repeat(mv[..., 0], 16, axis=0), 16, axis=1)
-    dx = jnp.repeat(jnp.repeat(mv[..., 1], 16, axis=0), 16, axis=1)
-    rows = jnp.arange(hb)[:, None] + band_row0 + dy + sr
-    cols = jnp.arange(w)[None, :] + dx + sr
-    pred = ref_pad[rows, cols]
-    return mv, pred
-
-
-def encode_pframe_sharded(mesh: Mesh, y, ref_y, qp: int, sr: int = 8,
-                          lam: int = 4):
-    """Sharded P-frame luma step: (B, H, W) int32 frames + refs →
-    (mv, levels, recon), batch on ``data``, frame rows on ``tile``.
-
-    Each tile shard all-gathers the reference rows along ``tile`` (ICI
-    collective) and computes its band's ME/MC/transform/quant/recon
-    locally. Results are numerically identical to the single-chip step.
+    Returns (packed (B, N, nMB*MB_WORDS) int16, final recon planes).
     """
-    n_tile = mesh.shape["tile"]
-    b, h, w = y.shape
-    assert (h // n_tile) % 16 == 0, "band height must be MB-aligned"
+    from ..codec.h264.gop_ops import MB_WORDS, _pstep_core
+    from ..ops import deblock as dbf
 
-    spec_frames = P("data", "tile", None)
-    spec_mv = P("data", "tile", None, None)
+    n_tile = mesh.shape["tile"]
+    b, n, h, w = ys.shape
+    band_h = h // n_tile
+    assert band_h % 16 == 0, "band height must be MB-aligned"
+    n_mby, n_mbx = h // 16, w // 16
+
+    spec_in = P("data", None, "tile", None)      # (B, N, H, W)
+    spec_ref = P("data", None, None)             # full planes, replicated
+    spec_packed = P("data", None, "tile")        # bands -> raster order
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(spec_frames, spec_frames),
-        out_specs=(spec_mv, P("data", "tile", None, None, None),
-                   spec_frames),
+        in_specs=(spec_in, spec_in, spec_in, spec_ref, spec_ref, spec_ref),
+        out_specs=(spec_packed, spec_ref, spec_ref, spec_ref),
         check_vma=False)
-    def step(y_band, ref_band):
-        # gather full reference plane along the tile axis (ICI)
-        ref_full = jax.lax.all_gather(ref_band, "tile", axis=1, tiled=True)
-        band_h = y_band.shape[1]
-        band_row0 = jax.lax.axis_index("tile") * band_h
+    def run(y_b, u_b, v_b, ry, ru, rv):
+        row0 = jax.lax.axis_index("tile") * band_h
 
-        def per_frame(cur_b, ref_f):
-            mv, pred = _band_search_and_mc(cur_b, ref_f, band_row0, sr, lam)
-            res = cur_b - pred
-            coef = tf.fdct4(tf.to_blocks4(res))
-            z = tf.quant4(coef, qp, intra=False)
-            rec = jnp.clip(
-                pred + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
-                0, 255)
-            return mv, z, rec
+        def one_stream(y1, u1, v1, ry1, ru1, rv1):
+            def step(carry, xs):
+                ref_y, ref_u, ref_v = carry
+                cy, cu, cv = xs
+                packed, by, bu, bv, nz4, mv = _pstep_core(
+                    cy, cu, cv, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
+                    subpel=subpel, row0=row0)
+                # recon bands -> full planes over ICI (next frame's ref)
+                fy = jax.lax.all_gather(by, "tile", axis=0, tiled=True)
+                fu = jax.lax.all_gather(bu, "tile", axis=0, tiled=True)
+                fv = jax.lax.all_gather(bv, "tile", axis=0, tiled=True)
+                if deblock:
+                    nzf = jax.lax.all_gather(nz4, "tile", axis=0,
+                                             tiled=True)
+                    mvf = jax.lax.all_gather(mv, "tile", axis=0, tiled=True)
+                    qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+                    intra = jnp.zeros((n_mby, n_mbx), bool)
+                    fy, fu, fv = dbf.deblock_frame(
+                        fy, fu, fv, qp_mb, intra, nzf, mvf,
+                        tf.CHROMA_QP_FULL)
+                return (fy, fu, fv), packed
 
-        return jax.vmap(per_frame)(y_band, ref_full)
+            (fy, fu, fv), packed = jax.lax.scan(
+                step, (ry1, ru1, rv1), (y1, u1, v1))
+            return packed, fy, fu, fv
 
-    sharding = NamedSharding(mesh, spec_frames)
-    y = jax.device_put(y, sharding)
-    ref_y = jax.device_put(ref_y, sharding)
-    return jax.jit(step)(y, ref_y)
+        return jax.vmap(one_stream)(y_b, u_b, v_b, ry, ru, rv)
+
+    put = lambda a, s: jax.device_put(      # noqa: E731
+        jnp.asarray(a, jnp.int32), NamedSharding(mesh, s))
+    packed, ry, ru, rv = jax.jit(run)(
+        put(ys, spec_in), put(us, spec_in), put(vs, spec_in),
+        put(ref_y, spec_ref), put(ref_u, spec_ref), put(ref_v, spec_ref))
+    return packed.reshape(b, n, n_mby * n_mbx * MB_WORDS), ry, ru, rv
 
 
 def encode_iframe_batch_sharded(mesh: Mesh, y, u, v, qp: int, qpc: int):
