@@ -97,3 +97,84 @@ def test_slice_header_signals_filtering():
         out = dec.decode_annexb(enc.headers_annexb() + au)
         ry, _, _ = (np.asarray(p) for p in enc.recon_planes)
         np.testing.assert_array_equal(out[0].y, ry)
+
+
+def _grids(intra, nz, mv, qp_mb, cqp):
+    import jax.numpy as jnp
+
+    def grid_v(bs_e, qp_e, rep):
+        pad = jnp.zeros((1, bs_e.shape[1]), jnp.int32)
+        bs = jnp.concatenate([pad, bs_e], axis=0).T
+        qp = jnp.concatenate([pad, qp_e], axis=0).T
+        return dbf._thr_stack(dbf._repeat_rows(bs.T, rep).T,
+                              dbf._repeat_rows(qp.T, rep).T)
+
+    n_mby, n_mbx = qp_mb.shape
+    hc, wc = 8 * n_mby, 8 * n_mbx
+    bs_v = dbf.compute_bs_luma(intra, nz, mv, True)
+    bs_h = dbf.compute_bs_luma(intra, nz, mv, False)
+    vthr = grid_v(bs_v, dbf.compute_qp_edges(qp_mb, True, False), 4)
+    hthr = jnp.swapaxes(
+        grid_v(bs_h, dbf.compute_qp_edges(qp_mb, False, False), 4), 1, 2)
+    cvthr = grid_v(
+        dbf._repeat_rows(bs_v[1::2], 2).reshape(wc // 4 - 1, hc),
+        dbf._repeat_rows(dbf.compute_qp_edges(qp_mb, True, True, cqp), 4),
+        1)
+    chthr = jnp.swapaxes(grid_v(
+        dbf._repeat_rows(bs_h[1::2], 2).reshape(hc // 4 - 1, wc),
+        dbf._repeat_rows(dbf.compute_qp_edges(qp_mb, False, True, cqp), 4),
+        1), 1, 2)
+    return vthr, hthr, cvthr, chthr
+
+
+def test_pallas_wavefront_matches_xla():
+    """The Pallas wavefront kernel (interpret mode) must be bit-identical
+    to the XLA wavefront on random inter/intra content."""
+    import jax.numpy as jnp
+    from vcp_tpu.ops import transform as tf
+
+    rng = np.random.default_rng(11)
+    for (h, w), intra_all in (((64, 80), False), ((48, 64), True)):
+        n_mby, n_mbx = h // 16, w // 16
+        y = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+        u = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+        v = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+        qp_mb = jnp.full((n_mby, n_mbx), 30, jnp.int32)
+        intra = jnp.full((n_mby, n_mbx), intra_all, bool)
+        nz = jnp.asarray(rng.random((h // 4, w // 4)) < 0.5)
+        mv = jnp.asarray(rng.integers(-8, 9, (n_mby, n_mbx, 2)), jnp.int32)
+        ref = dbf.deblock_frame(y, u, v, qp_mb, intra, nz, mv,
+                                tf.CHROMA_QP_FULL)
+        grids = _grids(intra, nz, mv, qp_mb, tf.CHROMA_QP_FULL)
+        out = dbf._deblock_pallas(y, u, v, *grids, n_mby, n_mbx,
+                                  interpret=True)
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_host_numpy_deblock_matches_device():
+    """deblock_frame_host (pure NumPy, decoder path) must be bit-identical
+    to the jnp wavefront."""
+    import jax.numpy as jnp
+    from vcp_tpu.ops import transform as tf
+
+    rng = np.random.default_rng(13)
+    for (h, w), intra_all in (((64, 80), False), ((48, 64), True)):
+        n_mby, n_mbx = h // 16, w // 16
+        y = rng.integers(0, 256, (h, w)).astype(np.int64)
+        u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.int64)
+        v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.int64)
+        qp_mb = np.full((n_mby, n_mbx), 30, np.int32)
+        intra = np.full((n_mby, n_mbx), intra_all, bool)
+        nz = np.asarray(rng.random((h // 4, w // 4)) < 0.5)
+        mv = rng.integers(-8, 9, (n_mby, n_mbx, 2)).astype(np.int32)
+        ref = dbf.deblock_frame(jnp.asarray(y, jnp.int32),
+                                jnp.asarray(u, jnp.int32),
+                                jnp.asarray(v, jnp.int32),
+                                jnp.asarray(qp_mb), jnp.asarray(intra),
+                                jnp.asarray(nz), jnp.asarray(mv),
+                                tf.CHROMA_QP_FULL)
+        host = dbf.deblock_frame_host(y, u, v, qp_mb, intra, nz, mv,
+                                      np.asarray(tf.CHROMA_QP_FULL))
+        for a, b in zip(host, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -140,7 +140,25 @@ def _enable_jit_cache() -> None:
     val = os.environ.get("VCP_JIT_CACHE", "")
     if val == "0":
         return
-    cache_dir = val or os.path.expanduser("~/.cache/vcp_tpu/jit")
+    if val:
+        cache_dir = val
+    else:
+        # key the default cache by a host-CPU fingerprint: XLA:CPU AOT
+        # entries compiled on a host with different ISA extensions load
+        # but can SIGILL/segfault at run time (observed across container
+        # reschedules onto different machine types)
+        import hashlib
+        try:
+            flags = ""
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        flags = line
+                        break
+            fp = hashlib.sha256(flags.encode()).hexdigest()[:12]
+        except OSError:
+            fp = "nohost"
+        cache_dir = os.path.expanduser(f"~/.cache/vcp_tpu/jit-{fp}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax

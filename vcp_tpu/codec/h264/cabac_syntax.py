@@ -37,36 +37,56 @@ CAT_LUMA4 = 2       # LumaLevel4x4, 16
 CAT_CHROMA_DC = 3   # ChromaDCLevel, 4
 CAT_CHROMA_AC = 4   # ChromaACLevel, 15
 
-_CTX_SETS = {
-    "mbt_i": 3,        # I mb_type bin 0 (neighbor-based)
-    "mbt_i_tail": 5,   # cbp_luma, cbp_chroma(2), pred mode (2) fixed bins
-    "mbt_p": 3,        # P mb_type prefix bins
-    "skip": 3,
-    "chroma_mode": 4,  # b0: 0..2 neighbor, b1+: 3
-    "qp_delta": 1,
-    "cbp_l": 4,
-    "cbp_c": 8,
-    "mvd_x": 7,        # b0: 0..2 neighbor, bins 1-4: 3..6
-    "mvd_y": 7,
-}
-for _cat in range(5):
-    _CTX_SETS[f"cbf{_cat}"] = 4
-    _CTX_SETS[f"sig{_cat}"] = 15
-    _CTX_SETS[f"last{_cat}"] = 15
-    _CTX_SETS[f"abs{_cat}"] = 10
+# Named slot → global ctxIdx (spec Table 9-11 ctxIdxOffsets + the
+# binIdx-dependent ctxIdxInc sharing of 9.3.3.1). Slots that the spec
+# maps to one context (e.g. both Intra16x16 pred-mode bins) alias the
+# same global index, so sharing falls out of the mapping.
+_SIG_OFF = (0, 15, 29, 44, 47)      # ctxBlockCat offsets, frame-coded
+_ABS_OFF = (0, 10, 20, 30, 39)
+
+
+def _ctx_index_map(pslice: bool) -> dict:
+    m = {
+        # I slice: mb_type ctxIdxOffset 3; b0 inc 0..2, tail bins 6..9
+        # (both pred bins share 9). P slice: the intra suffix re-uses
+        # base 17 with NO neighbor inc and tail 18,19,19,20,20.
+        "mbt_i": (17, 17, 17) if pslice else (3, 4, 5),
+        "mbt_i_tail": (18, 19, 19, 20, 20) if pslice
+        else (6, 7, 8, 9, 10),
+        "mbt_p": (14, 15, 16),
+        "skip": (11, 12, 13),
+        "chroma_mode": (64, 65, 66, 67),
+        "qp_delta": (60,),
+        "cbp_l": tuple(range(73, 77)),
+        "cbp_c": tuple(range(77, 85)),
+        "mvd_x": tuple(range(40, 47)),
+        "mvd_y": tuple(range(47, 54)),
+    }
+    for cat in range(5):
+        m[f"cbf{cat}"] = tuple(85 + 4 * cat + i for i in range(4))
+        m[f"sig{cat}"] = tuple(105 + _SIG_OFF[cat] + i for i in range(15))
+        m[f"last{cat}"] = tuple(166 + _SIG_OFF[cat] + i for i in range(15))
+        m[f"abs{cat}"] = tuple(227 + _ABS_OFF[cat] + i for i in range(10))
+    return m
+
+
+_CTX_MAP = {False: _ctx_index_map(False), True: _ctx_index_map(True)}
 
 
 class H264CabacContexts:
-    """All adaptive contexts for one slice (neutral init)."""
+    """All adaptive contexts for one slice, spec-initialized (9.3.1.1,
+    Tables 9-12..9-33; cabac_init_idc=0 for P slices) and addressed by
+    (named-slot, index) through the global ctxIdx map above."""
 
-    def __init__(self, slice_qp: int):
-        self.c = {name: [Context.from_init(0, 64, slice_qp)
-                         for _ in range(n)]
-                  for name, n in _CTX_SETS.items()}
+    def __init__(self, slice_qp: int, pslice: bool = False):
+        from .cabac_tables import CTX_INIT_I, CTX_INIT_PB
+        tab = CTX_INIT_PB[0] if pslice else CTX_INIT_I
+        self.g = [Context.from_init(m, n, slice_qp) for (m, n) in tab]
+        self.map = _CTX_MAP[pslice]
 
     def __getitem__(self, key):
         name, idx = key
-        return self.c[name][idx]
+        return self.g[self.map[name][idx]]
 
 
 class MbState:
@@ -495,7 +515,7 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     bw.byte_align(1)
 
     enc = CabacEncoder()
-    cx = H264CabacContexts(qp)
+    cx = H264CabacContexts(qp, pslice=True)
     st = MbState(n_mby, n_mbx)
 
     mv = data["mv"]
@@ -650,7 +670,7 @@ def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
     MBs and on_inter(mbx, mby, mvd_xy, luma, cdc, cac) for coded MBs, in
     raster order (so callbacks can maintain mv prediction state)."""
     dec = CabacDecoder(payload)
-    cx = H264CabacContexts(qp)
+    cx = H264CabacContexts(qp, pslice=True)
     st = MbState(n_mby, n_mbx)
     for mby in range(n_mby):
         for mbx in range(n_mbx):

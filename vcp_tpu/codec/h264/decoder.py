@@ -251,7 +251,7 @@ class H264Decoder:
             from ...ops import deblock as dbf
             from ...ops.transform import CHROMA_QP_FULL
             nz = (nz_y.nz > 0)
-            yf, uf, vf = dbf.deblock_frame(
+            yf, uf, vf = dbf.deblock_frame_host(
                 y, u, v, qp_mb, intra_mb, nz, mvs, CHROMA_QP_FULL)
             y = np.asarray(yf)
             u = np.asarray(uf)

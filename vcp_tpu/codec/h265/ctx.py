@@ -5,12 +5,10 @@ entropy layer the reference delegated to libx265/hevc_nvenc via ffmpeg
 (ref cmd/consumer.go:370-394). The arithmetic core is shared with H.264
 (vcp_tpu.codec.cabac).
 
-Context initialization note: all contexts initialize from initValue 154
-(the spec's "neutral" 50/50 state, which Table 9-x uses for a large
-share of contexts). Per-context spec init values are a pure compression
-refinement (contexts adapt within a few bins); the in-repo encoder and
-decoder share this table, keeping the closed loop bit-exact. Swapping in
-conformance init values later only requires editing INIT_VALUES.
+Contexts initialize from the NORMATIVE per-context initValues of spec
+Tables 9-5..9-42 (round-2 conformance upgrade; round 1 used neutral 154
+for every context). ``init_type`` selects the spec's initType column:
+0 for I slices, 1 for P slices with cabac_init_flag=0.
 """
 
 from __future__ import annotations
@@ -49,20 +47,83 @@ CTX_SETS = {
     "gr2_chroma": 2,
 }
 
-# initValue per set; a scalar applies to every context in the set.
-INIT_VALUES = {name: 154 for name in CTX_SETS}
+# Normative initValue per set and initType (spec 9.3.2.2, Tables
+# 9-5..9-42; initType 0 = I slices, 1/2 = P/B with cabac_init_flag 0/1).
+INIT_VALUES = {
+    "split_cu": ((139, 141, 157), (107, 139, 126), (107, 139, 126)),
+    "cu_skip": ((154, 154, 154), (197, 185, 201), (197, 185, 201)),
+    "pred_mode": ((154,), (149,), (134,)),
+    "part_mode": ((184, 154, 154, 154), (154, 139, 154, 154),
+                  (154, 139, 154, 154)),
+    "prev_intra": ((184,), (154,), (183,)),
+    "intra_chroma": ((63,), (152,), (152,)),
+    "rqt_root_cbf": ((79,), (79,), (79,)),
+    "merge_flag": ((154,), (110,), (154,)),
+    "merge_idx": ((154,), (122,), (137,)),
+    "inter_pred_idc": ((95, 79, 63, 31, 31), (95, 79, 63, 31, 31),
+                       (95, 79, 63, 31, 31)),
+    "ref_idx": ((153, 153), (153, 153), (153, 153)),
+    "mvp_flag": ((168,), (168,), (168,)),
+    "mvd_gr0": ((140,), (140,), (169,)),
+    "mvd_gr1": ((198,), (198,), (198,)),
+    "split_tr": ((153, 138, 138), (124, 138, 94), (224, 167, 122)),
+    "cbf_luma": ((111, 141), (153, 111), (153, 111)),
+    "cbf_chroma": ((94, 138, 182, 154, 154), (149, 107, 167, 154, 154),
+                   (149, 92, 167, 154, 154)),
+    "last_x": ((110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111,
+                143, 127, 111, 79, 108, 123, 63),
+               (125, 110, 94, 110, 95, 79, 125, 111, 110, 78, 110, 111,
+                111, 95, 94, 108, 123, 108),
+               (125, 110, 124, 110, 95, 94, 125, 111, 111, 79, 125, 126,
+                111, 111, 79, 108, 123, 93)),
+    "last_y": ((110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111,
+                143, 127, 111, 79, 108, 123, 63),
+               (125, 110, 94, 110, 95, 79, 125, 111, 110, 78, 110, 111,
+                111, 95, 94, 108, 123, 108),
+               (125, 110, 124, 110, 95, 94, 125, 111, 111, 79, 125, 126,
+                111, 111, 79, 108, 123, 93)),
+    "csbf": ((91, 171, 134, 141), (121, 140, 61, 154),
+             (121, 140, 61, 154)),
+    "sig_luma": ((111, 111, 125, 110, 110, 94, 124, 108, 124, 107, 125,
+                  141, 179, 153, 125, 107, 125, 141, 179, 153, 125, 107,
+                  125, 141, 179, 153, 125),
+                 (155, 154, 139, 153, 139, 123, 123, 63, 153, 166, 183,
+                  140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 166,
+                  183, 140, 136, 153, 154),
+                 (170, 154, 139, 153, 139, 123, 123, 63, 124, 166, 183,
+                  140, 136, 153, 154, 166, 183, 140, 136, 153, 154, 166,
+                  183, 140, 136, 153, 154)),
+    "sig_chroma": ((140, 139, 182, 182, 152, 136, 152, 136, 153, 136,
+                    139, 111, 136, 139, 111),
+                   (170, 153, 123, 123, 107, 121, 107, 121, 167, 151,
+                    183, 140, 151, 183, 140),
+                   (170, 153, 138, 138, 122, 121, 122, 121, 167, 151,
+                    183, 140, 151, 183, 140)),
+    "gr1_luma": ((140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149,
+                  92, 139, 107, 122, 152),
+                 (154, 196, 196, 167, 154, 152, 167, 182, 182, 134, 149,
+                  136, 153, 121, 136, 137),
+                 (154, 196, 167, 167, 154, 152, 167, 182, 182, 134, 149,
+                  136, 153, 121, 136, 122)),
+    "gr1_chroma": ((140, 179, 166, 182, 140, 227, 122, 197),
+                   (169, 194, 166, 167, 154, 167, 137, 182),
+                   (169, 208, 166, 167, 154, 152, 167, 182)),
+    "gr2_luma": ((138, 153, 136, 167), (107, 167, 91, 122),
+                 (107, 167, 91, 107)),
+    "gr2_chroma": ((152, 152), (107, 167), (107, 167)),
+}
 
 
 class HevcContexts:
-    """All adaptive contexts for one slice."""
+    """All adaptive contexts for one slice, spec-initialized."""
 
     def __init__(self, slice_qp: int, init_type: int = 0):
         self.qp = slice_qp
         self.init_type = init_type
         self.c = {}
         for name, n in CTX_SETS.items():
-            iv = INIT_VALUES[name]
-            ivs = [iv] * n if isinstance(iv, int) else iv
+            ivs = INIT_VALUES[name][init_type]
+            assert len(ivs) == n, name
             self.c[name] = [Context.from_init_hevc(v, slice_qp)
                             for v in ivs]
 

@@ -78,6 +78,19 @@ def generate_tables_header() -> str:
                  + ",".join(inter) + "};")
     lines.append("static const uint8_t CBP_INTRA_CODE[48] = {"
                  + ",".join(intra) + "};")
+
+    # CABAC context init (m, n) pairs — single source of truth with the
+    # Python syntax layer (codec.h264.cabac_tables, spec 9.3.1.1)
+    from ..codec.h264.cabac_tables import CTX_INIT_I, CTX_INIT_PB, N_CTX
+    lines.append(f"#define VCP_N_CTX {N_CTX}")
+
+    def ctab(name, tab):
+        cells = ",".join("{%d,%d}" % (m, n) for m, n in tab)
+        lines.append(
+            f"static const int8_t {name}[{len(tab)}][2] = {{{cells}}};")
+
+    ctab("CTX_INIT_I", CTX_INIT_I)
+    ctab("CTX_INIT_P0", CTX_INIT_PB[0])
     return "\n".join(lines) + "\n"
 
 

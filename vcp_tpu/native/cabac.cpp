@@ -15,6 +15,8 @@
 #include <cstring>
 #include <vector>
 
+#include "tables_gen.h"   // VLC tables + CABAC context init (m, n) pairs
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -50,7 +52,7 @@ const uint8_t RANGE_TAB_LPS[64][4] = {
 // Table 9-45: transIdxLPS.
 const uint8_t TRANS_IDX_LPS[64] = {
     0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
-    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 23, 23, 24,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
 };
@@ -59,10 +61,6 @@ struct Ctx {
     uint8_t state;  // 6-bit probability state
     uint8_t mps;
 };
-
-// Neutral init (m=0, n=64): preCtxState = 64 -> state 0, MPS 1 — matches
-// cabac_syntax.py's Context.from_init(0, 64, qp) for every qp.
-inline Ctx neutral() { return Ctx{0, 1}; }
 
 struct CabacEnc {
     uint32_t low = 0;
@@ -207,23 +205,55 @@ void cabac_slice_header(HdrWriter& bw, bool is_idr, int frame_num_bits,
 // Residual block categories (ctxBlockCat).
 enum { CAT_I16_DC = 0, CAT_I16_AC, CAT_LUMA4, CAT_CHROMA_DC, CAT_CHROMA_AC };
 
+// All slice contexts, spec-initialized (9.3.1.1, Tables 9-12..9-33 via
+// tables_gen.h; cabac_init_idc=0 for P slices) in a global ctxIdx pool.
+// Named slots are POINTERS into the pool so spec context sharing (e.g.
+// both Intra16x16 pred-mode bins -> one ctxIdx) aliases naturally —
+// mirrors cabac_syntax._ctx_index_map exactly.
 struct H264Ctxs {
-    Ctx mbt_i[3], mbt_i_tail[5], mbt_p[3], skip[3], chroma_mode[4];
-    Ctx qp_delta[1], cbp_l[4], cbp_c[8];
-    Ctx mvd[2][7];                      // [comp][ctx]
-    Ctx cbf[5][4], sig[5][15], last[5][15], absl[5][10];
-    H264Ctxs() { memset_neutral(); }
-    void memset_neutral() {
-        Ctx* all[] = {mbt_i, mbt_i_tail, mbt_p, skip, chroma_mode, qp_delta,
-                      cbp_l, cbp_c, mvd[0], mvd[1]};
-        int ns[] = {3, 5, 3, 3, 4, 1, 4, 8, 7, 7};
-        for (int i = 0; i < 10; i++)
-            for (int j = 0; j < ns[i]; j++) all[i][j] = neutral();
+    Ctx g[VCP_N_CTX];
+    Ctx *mbt_i[3], *mbt_i_tail[5], *mbt_p[3], *skip[3], *chroma_mode[4];
+    Ctx *qp_delta[1], *cbp_l[4], *cbp_c[8];
+    Ctx *mvd[2][7];                      // [comp][ctx]
+    Ctx *cbf[5][4], *sig[5][15], *last[5][15], *absl[5][10];
+
+    H264Ctxs(int slice_qp, bool pslice) {
+        const int8_t (*tab)[2] = pslice ? CTX_INIT_P0 : CTX_INIT_I;
+        int qp = slice_qp < 0 ? 0 : (slice_qp > 51 ? 51 : slice_qp);
+        for (int i = 0; i < VCP_N_CTX; i++) {
+            int pre = ((tab[i][0] * qp) >> 4) + tab[i][1];
+            pre = pre < 1 ? 1 : (pre > 126 ? 126 : pre);
+            if (pre <= 63) g[i] = Ctx{(uint8_t)(63 - pre), 0};
+            else g[i] = Ctx{(uint8_t)(pre - 64), 1};
+        }
+        const int mbti_p[3] = {17, 17, 17}, mbti_i[3] = {3, 4, 5};
+        const int tail_p[5] = {18, 19, 19, 20, 20};
+        const int tail_i[5] = {6, 7, 8, 9, 10};
+        for (int i = 0; i < 3; i++) {
+            mbt_i[i] = &g[(pslice ? mbti_p : mbti_i)[i]];
+            mbt_p[i] = &g[14 + i];
+            skip[i] = &g[11 + i];
+        }
+        for (int i = 0; i < 5; i++)
+            mbt_i_tail[i] = &g[(pslice ? tail_p : tail_i)[i]];
+        for (int i = 0; i < 4; i++) chroma_mode[i] = &g[64 + i];
+        qp_delta[0] = &g[60];
+        for (int i = 0; i < 4; i++) cbp_l[i] = &g[73 + i];
+        for (int i = 0; i < 8; i++) cbp_c[i] = &g[77 + i];
+        for (int i = 0; i < 7; i++) {
+            mvd[0][i] = &g[40 + i];
+            mvd[1][i] = &g[47 + i];
+        }
+        const int SIG_OFF[5] = {0, 15, 29, 44, 47};
+        const int ABS_OFF[5] = {0, 10, 20, 30, 39};
         for (int c = 0; c < 5; c++) {
-            for (int j = 0; j < 4; j++) cbf[c][j] = neutral();
-            for (int j = 0; j < 15; j++) sig[c][j] = neutral();
-            for (int j = 0; j < 15; j++) last[c][j] = neutral();
-            for (int j = 0; j < 10; j++) absl[c][j] = neutral();
+            for (int j = 0; j < 4; j++) cbf[c][j] = &g[85 + 4 * c + j];
+            for (int j = 0; j < 15; j++) {
+                sig[c][j] = &g[105 + SIG_OFF[c] + j];
+                last[c][j] = &g[166 + SIG_OFF[c] + j];
+            }
+            for (int j = 0; j < 10; j++)
+                absl[c][j] = &g[227 + ABS_OFF[c] + j];
         }
     }
 };
@@ -366,15 +396,15 @@ void encode_block(CabacEnc& e, H264Ctxs& cx, MbState& st,
     for (int i = 0; i < n; i++)
         if (coeffs[i]) nz[total++] = i;
     int cbf = total ? 1 : 0;
-    e.encode(cx.cbf[cat][st.cbf_ctx(cat, mbx, mby, blk, cur_intra, c)], cbf);
+    e.encode(*cx.cbf[cat][st.cbf_ctx(cat, mbx, mby, blk, cur_intra, c)], cbf);
     st.set_cbf(cat, mbx, mby, blk, cbf, c);
     if (!cbf) return;
     int last = nz[total - 1];
     for (int i = 0; i < n - 1; i++) {
         int sig = coeffs[i] ? 1 : 0;
-        e.encode(cx.sig[cat][i], sig);
+        e.encode(*cx.sig[cat][i], sig);
         if (sig) {
-            e.encode(cx.last[cat][i], i == last ? 1 : 0);
+            e.encode(*cx.last[cat][i], i == last ? 1 : 0);
             if (i == last) break;
         }
     }
@@ -387,9 +417,9 @@ void encode_block(CabacEnc& e, H264Ctxs& cx, MbState& st,
         int ctx1 = 5 + (ngt1 < 4 ? ngt1 : 4);
         int prefix = v < 14 ? v : 14;
         for (int b = 0; b < prefix; b++)
-            e.encode(cx.absl[cat][b == 0 ? ctx0 : ctx1], 1);
+            e.encode(*cx.absl[cat][b == 0 ? ctx0 : ctx1], 1);
         if (prefix < 14)
-            e.encode(cx.absl[cat][prefix == 0 ? ctx0 : ctx1], 0);
+            e.encode(*cx.absl[cat][prefix == 0 ? ctx0 : ctx1], 0);
         else
             write_egk(e, (uint32_t)(v - 14), 0);
         e.bypass(cv < 0 ? 1 : 0);
@@ -406,22 +436,22 @@ void encode_mb_i16(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx, int mby,
                    int pred_mode, int chroma_mode, bool cbp_luma15,
                    int cbp_chroma) {
     int b0 = st.mbt_i_ctx(mbx, mby);
-    e.encode(cx.mbt_i[b0], 1);              // not I_4x4
+    e.encode(*cx.mbt_i[b0], 1);              // not I_4x4
     e.terminate(0);                          // not I_PCM
-    e.encode(cx.mbt_i_tail[0], cbp_luma15 ? 1 : 0);
-    e.encode(cx.mbt_i_tail[1], cbp_chroma > 0 ? 1 : 0);
+    e.encode(*cx.mbt_i_tail[0], cbp_luma15 ? 1 : 0);
+    e.encode(*cx.mbt_i_tail[1], cbp_chroma > 0 ? 1 : 0);
     if (cbp_chroma > 0)
-        e.encode(cx.mbt_i_tail[2], cbp_chroma == 2 ? 1 : 0);
-    e.encode(cx.mbt_i_tail[3], (pred_mode >> 1) & 1);
-    e.encode(cx.mbt_i_tail[4], pred_mode & 1);
+        e.encode(*cx.mbt_i_tail[2], cbp_chroma == 2 ? 1 : 0);
+    e.encode(*cx.mbt_i_tail[3], (pred_mode >> 1) & 1);
+    e.encode(*cx.mbt_i_tail[4], pred_mode & 1);
     int cm_ctx = st.chroma_mode_ctx(mbx, mby);
     if (chroma_mode == 0) {
-        e.encode(cx.chroma_mode[cm_ctx], 0);
+        e.encode(*cx.chroma_mode[cm_ctx], 0);
     } else {
-        e.encode(cx.chroma_mode[cm_ctx], 1);
+        e.encode(*cx.chroma_mode[cm_ctx], 1);
         for (int b = 1; b < 3; b++) {
-            if (chroma_mode == b) { e.encode(cx.chroma_mode[3], 0); break; }
-            e.encode(cx.chroma_mode[3], 1);
+            if (chroma_mode == b) { e.encode(*cx.chroma_mode[3], 0); break; }
+            e.encode(*cx.chroma_mode[3], 1);
         }
     }
     st.intra[st.mb(mbx, mby)] = 1;
@@ -434,11 +464,11 @@ void encode_mvd_comp(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx,
                      int mby, int comp, int mvd) {
     int v = mvd < 0 ? -mvd : mvd;
     int b0 = st.mvd_ctx(mbx, mby, comp);
-    Ctx* row = cx.mvd[comp];
+    Ctx** row = cx.mvd[comp];
     auto ctx_of = [&](int b) { return b == 0 ? b0 : (2 + b < 6 ? 2 + b : 6); };
     int prefix = v < 9 ? v : 9;
-    for (int b = 0; b < prefix; b++) e.encode(row[ctx_of(b)], 1);
-    if (prefix < 9) e.encode(row[ctx_of(prefix)], 0);
+    for (int b = 0; b < prefix; b++) e.encode(*row[ctx_of(b)], 1);
+    if (prefix < 9) e.encode(*row[ctx_of(prefix)], 0);
     else write_egk(e, (uint32_t)(v - 9), 3);
     if (v) e.bypass(mvd < 0 ? 1 : 0);
 }
@@ -580,7 +610,7 @@ int64_t vcp_write_islice_cabac(
 
     CabacEnc e;
     e.bits.reserve((size_t)n_mby * n_mbx * 256);
-    H264Ctxs cx;
+    H264Ctxs cx(qp, false);
     MbState st(n_mby, n_mbx);
 
     for (int mby = 0; mby < n_mby; mby++) {
@@ -608,7 +638,7 @@ int64_t vcp_write_islice_cabac(
 
             encode_mb_i16(e, cx, st, mbx, mby, pred_mode, chroma_mode,
                           cbp_luma15, cbp_chroma);
-            e.encode(cx.qp_delta[0], 0);      // mb_qp_delta == 0
+            e.encode(*cx.qp_delta[0], 0);      // mb_qp_delta == 0
             mb_i16_residual(e, cx, st, mbx, mby, cbp_luma15, cbp_chroma,
                             zdc, zac, cdc, cac);
             st.avail[mb] = 1;
@@ -639,7 +669,7 @@ int64_t vcp_write_pslice_cabac(
 
     CabacEnc e;
     e.bits.reserve((size_t)n_mby * n_mbx * 128);
-    H264Ctxs cx;
+    H264Ctxs cx(qp, true);
     MbState st(n_mby, n_mbx);
     std::vector<uint8_t> valid((size_t)n_mby * n_mbx, 1);
 
@@ -669,7 +699,7 @@ int64_t vcp_write_pslice_cabac(
             skip_mv2(mv_xy, valid.data(), n_mbx, mbx, mby, smv);
             bool is_skip = (cbp_l == 0 && cbp_c == 0 &&
                             m[0] == smv[0] && m[1] == smv[1]);
-            e.encode(cx.skip[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
+            e.encode(*cx.skip[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
             st.avail[mb] = 1;
             st.skip[mb] = is_skip ? 1 : 0;
             bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
@@ -680,9 +710,9 @@ int64_t vcp_write_pslice_cabac(
                 continue;
             }
             // mb_type P_L0_16x16 -> "000"
-            e.encode(cx.mbt_p[0], 0);
-            e.encode(cx.mbt_p[1], 0);
-            e.encode(cx.mbt_p[2], 0);
+            e.encode(*cx.mbt_p[0], 0);
+            e.encode(*cx.mbt_p[1], 0);
+            e.encode(*cx.mbt_p[2], 0);
             int pred[2];
             mv_pred2(mv_xy, valid.data(), n_mbx, mbx, mby, pred);
             int mvd[2] = {m[0] - pred[0], m[1] - pred[1]};
@@ -692,16 +722,16 @@ int64_t vcp_write_pslice_cabac(
             st.absmvd[2 * mb + 1] = mvd[1] < 0 ? -mvd[1] : mvd[1];
             for (int b8 = 0; b8 < 4; b8++) {
                 int bit = (cbp_l >> b8) & 1;
-                e.encode(cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
+                e.encode(*cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
                 st.set_cbp_luma8(mbx, mby, b8, bit);
             }
-            e.encode(cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)],
+            e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)],
                      cbp_c > 0 ? 1 : 0);
             if (cbp_c > 0)
-                e.encode(cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
+                e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
                          cbp_c == 2 ? 1 : 0);
             st.cbp_chroma[mb] = cbp_c;
-            if (cbp_l || cbp_c) e.encode(cx.qp_delta[0], 0);
+            if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
             p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac);
             e.terminate(last ? 1 : 0);
         }

@@ -37,25 +37,29 @@ BETA = np.array([
     9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14,
     15, 15, 16, 16, 17, 17, 18, 18], dtype=np.int32)
 
-# Table 8-17: tc0 per (bS-1, index).
+# Table 8-17: tc0 per (bS-1, index). Round-2 conformance fix: the bS=2
+# and bS=3 rows of the round-1 transcription were shifted by one/four
+# index positions; the system-ffmpeg oracle (tests/test_conformance.py)
+# caught the divergence and these now match the spec exactly.
 TC0 = np.array([
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
      0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2,
      2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-     0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+     0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
      2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17],
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-     0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
-     3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20],
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3,
+     4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25],
 ], dtype=np.int32)
 
 
-def _clip1(x):
-    return jnp.clip(x, 0, 255)
+def _clip1(x, xp=jnp):
+    return xp.clip(x, 0, 255)
 
 
-def filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+def filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta,
+                     tc0, xp=jnp):
     """Elementwise luma edge filter (spec 8.7.2.3-4), shape-polymorphic.
 
     All inputs same-shape int32 (bs/alpha/beta/tc0 pre-looked-up per
@@ -63,86 +67,86 @@ def filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
     Shared by the XLA edge loop below and the Pallas edge-scan kernel
     (ops.deblock_pallas)."""
     filt = ((bs > 0)
-            & (jnp.abs(p0 - q0) < alpha)
-            & (jnp.abs(p1 - p0) < beta)
-            & (jnp.abs(q1 - q0) < beta))
-    ap = jnp.abs(p2 - p0) < beta
-    aq = jnp.abs(q2 - q0) < beta
+            & (xp.abs(p0 - q0) < alpha)
+            & (xp.abs(p1 - p0) < beta)
+            & (xp.abs(q1 - q0) < beta))
+    ap = xp.abs(p2 - p0) < beta
+    aq = xp.abs(q2 - q0) < beta
 
     # --- normal filter (bS 1..3)
-    tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
-    delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
-    np0 = _clip1(p0 + delta)
-    nq0 = _clip1(q0 - delta)
-    dp1 = jnp.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
-    dq1 = jnp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
-    np1 = jnp.where(ap, p1 + dp1, p1)
-    nq1 = jnp.where(aq, q1 + dq1, q1)
+    tc = tc0 + ap.astype(xp.int32) + aq.astype(xp.int32)
+    delta = xp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = _clip1(p0 + delta, xp)
+    nq0 = _clip1(q0 - delta, xp)
+    dp1 = xp.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+    dq1 = xp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+    np1 = xp.where(ap, p1 + dp1, p1)
+    nq1 = xp.where(aq, q1 + dq1, q1)
 
     # --- strong filter (bS == 4)
-    strong_cond = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
-    sp0 = jnp.where(ap & strong_cond,
+    strong_cond = xp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp0 = xp.where(ap & strong_cond,
                     (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
                     (2 * p1 + p0 + q1 + 2) >> 2)
-    sp1 = jnp.where(ap & strong_cond, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-    sp2 = jnp.where(ap & strong_cond,
+    sp1 = xp.where(ap & strong_cond, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = xp.where(ap & strong_cond,
                     (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
-    sq0 = jnp.where(aq & strong_cond,
+    sq0 = xp.where(aq & strong_cond,
                     (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
                     (2 * q1 + q0 + p1 + 2) >> 2)
-    sq1 = jnp.where(aq & strong_cond, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-    sq2 = jnp.where(aq & strong_cond,
+    sq1 = xp.where(aq & strong_cond, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    sq2 = xp.where(aq & strong_cond,
                     (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
 
     is4 = bs == 4
-    out_p2 = jnp.where(filt & is4, sp2, p2)
-    out_p1 = jnp.where(filt, jnp.where(is4, sp1, np1), p1)
-    out_p0 = jnp.where(filt, jnp.where(is4, sp0, np0), p0)
-    out_q0 = jnp.where(filt, jnp.where(is4, sq0, nq0), q0)
-    out_q1 = jnp.where(filt, jnp.where(is4, sq1, nq1), q1)
-    out_q2 = jnp.where(filt & is4, sq2, q2)
+    out_p2 = xp.where(filt & is4, sp2, p2)
+    out_p1 = xp.where(filt, xp.where(is4, sp1, np1), p1)
+    out_p0 = xp.where(filt, xp.where(is4, sp0, np0), p0)
+    out_q0 = xp.where(filt, xp.where(is4, sq0, nq0), q0)
+    out_q1 = xp.where(filt, xp.where(is4, sq1, nq1), q1)
+    out_q2 = xp.where(filt & is4, sq2, q2)
     return out_p2, out_p1, out_p0, out_q0, out_q1, out_q2
 
 
-def filter_core_chroma(p1, p0, q0, q1, bs, alpha, beta, tc0):
+def filter_core_chroma(p1, p0, q0, q1, bs, alpha, beta, tc0, xp=jnp):
     """Elementwise chroma edge filter (spec 8.7.2.3-4); see
     filter_core_luma. Returns (out_p0, out_q0)."""
     filt = ((bs > 0)
-            & (jnp.abs(p0 - q0) < alpha)
-            & (jnp.abs(p1 - p0) < beta)
-            & (jnp.abs(q1 - q0) < beta))
+            & (xp.abs(p0 - q0) < alpha)
+            & (xp.abs(p1 - p0) < beta)
+            & (xp.abs(q1 - q0) < beta))
     tc = tc0 + 1
-    delta = jnp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
-    np0 = _clip1(p0 + delta)
-    nq0 = _clip1(q0 - delta)
+    delta = xp.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = _clip1(p0 + delta, xp)
+    nq0 = _clip1(q0 - delta, xp)
     sp0 = (2 * p1 + p0 + q1 + 2) >> 2
     sq0 = (2 * q1 + q0 + p1 + 2) >> 2
     is4 = bs == 4
-    out_p0 = jnp.where(filt, jnp.where(is4, sp0, np0), p0)
-    out_q0 = jnp.where(filt, jnp.where(is4, sq0, nq0), q0)
+    out_p0 = xp.where(filt, xp.where(is4, sp0, np0), p0)
+    out_q0 = xp.where(filt, xp.where(is4, sq0, nq0), q0)
     return out_p0, out_q0
 
 
-def lookup_tables(bs, qp_av):
+def lookup_tables(bs, qp_av, xp=jnp):
     """(alpha, beta, tc0) per sample from the spec tables.
 
     Gather-free: per-sample indexing of a 52-entry table lowers to a slow
     generic gather on TPU (~6 ms per 479x1088 pass); instead unroll a
     52-way select-sum — dense VPU compares XLA fuses into one pass.
     Call at block-row resolution where possible (4x fewer samples)."""
-    idx = jnp.clip(qp_av, 0, 51)
-    bsc = jnp.clip(bs, 1, 3)
-    alpha = jnp.zeros_like(idx)
-    beta = jnp.zeros_like(idx)
-    tc0 = jnp.zeros_like(idx)
+    idx = xp.clip(qp_av, 0, 51)
+    bsc = xp.clip(bs, 1, 3)
+    alpha = xp.zeros_like(idx)
+    beta = xp.zeros_like(idx)
+    tc0 = xp.zeros_like(idx)
     for k in range(16, 52):         # all tables are 0 below index 16
         m = idx == k
-        alpha = jnp.where(m, int(ALPHA[k]), alpha)
-        beta = jnp.where(m, int(BETA[k]), beta)
-        tc0 = jnp.where(
+        alpha = xp.where(m, int(ALPHA[k]), alpha)
+        beta = xp.where(m, int(BETA[k]), beta)
+        tc0 = xp.where(
             m,
-            jnp.where(bsc == 1, int(TC0[0, k]),
-                      jnp.where(bsc == 2, int(TC0[1, k]), int(TC0[2, k]))),
+            xp.where(bsc == 1, int(TC0[0, k]),
+                      xp.where(bsc == 2, int(TC0[1, k]), int(TC0[2, k]))),
             tc0)
     return alpha, beta, tc0
 
@@ -264,7 +268,7 @@ def _scan_pass(plane, bs_px, alpha_px, beta_px, tc0_px, luma: bool,
     return out.T if transpose else out
 
 
-def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool):
+def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp):
     """Boundary strengths for all internal luma edges in one direction.
 
     intra_mb: (nMBy, nMBx) bool; nz_blk: (H/4, W/4) bool (block has
@@ -275,26 +279,26 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool):
     if not vertical:
         intra_mb = intra_mb.T
         nz_blk = nz_blk.T
-        mvq = jnp.swapaxes(mvq, 0, 1)
+        mvq = xp.swapaxes(mvq, 0, 1)
     bh, bw = nz_blk.shape
     # per-block expansions are repeat+shift (gather-free; edge j sits
     # between block cols j and j+1, j = 0..bw-2)
-    intra_e4 = jnp.repeat(jnp.repeat(intra_mb, 4, 0), 4, 1)   # (bh, bw)
+    intra_e4 = xp.repeat(xp.repeat(intra_mb, 4, 0), 4, 1)   # (bh, bw)
     intra_e = intra_e4[:, :-1] | intra_e4[:, 1:]
     j = np.arange(bw - 1)
-    is_mb_edge = jnp.asarray(((j + 1) % 4 == 0)[None, :])
+    is_mb_edge = xp.asarray(((j + 1) % 4 == 0)[None, :])
     nz_e = nz_blk[:, :-1] | nz_blk[:, 1:]
-    mv_e = jnp.repeat(jnp.repeat(mvq, 4, 0), 4, 1)            # (bh, bw, 2)
-    mv_diff = jnp.any(jnp.abs(mv_e[:, :-1] - mv_e[:, 1:]) >= 4, axis=-1)
-    bs = jnp.where(
+    mv_e = xp.repeat(xp.repeat(mvq, 4, 0), 4, 1)            # (bh, bw, 2)
+    mv_diff = xp.any(xp.abs(mv_e[:, :-1] - mv_e[:, 1:]) >= 4, axis=-1)
+    bs = xp.where(
         intra_e,
-        jnp.where(is_mb_edge, 4, 3),
-        jnp.where(nz_e, 2, jnp.where(mv_diff, 1, 0)))
-    return bs.T.astype(jnp.int32)          # (n_edges, bh)
+        xp.where(is_mb_edge, 4, 3),
+        xp.where(nz_e, 2, xp.where(mv_diff, 1, 0)))
+    return bs.T.astype(xp.int32)          # (n_edges, bh)
 
 
 def compute_qp_edges(qp_mb, vertical: bool, chroma: bool,
-                     chroma_qp_table=None):
+                     chroma_qp_table=None, xp=jnp):
     """Per-edge averaged QP, expanded per block row: (n_edges, Hb)."""
     if not vertical:
         qp_mb = qp_mb.T
@@ -302,72 +306,408 @@ def compute_qp_edges(qp_mb, vertical: bool, chroma: bool,
         # gather-free 52-way select (tiny per-MB array, but generic
         # gathers are disproportionately slow on TPU)
         tbl = np.asarray(chroma_qp_table)
-        qpc = jnp.zeros_like(qp_mb)
-        idx = jnp.clip(qp_mb, 0, 51)
+        qpc = xp.zeros_like(qp_mb)
+        idx = xp.clip(qp_mb, 0, 51)
         for k in range(52):
-            qpc = jnp.where(idx == k, int(tbl[k]), qpc)
+            qpc = xp.where(idx == k, int(tbl[k]), qpc)
         qp_mb = qpc
     blocks_per_mb = 2 if chroma else 4
-    qp_e = jnp.repeat(jnp.repeat(qp_mb, blocks_per_mb, 0),
+    qp_e = xp.repeat(xp.repeat(qp_mb, blocks_per_mb, 0),
                       blocks_per_mb, 1)
     qp_p = qp_e[:, :-1]
     qp_q = qp_e[:, 1:]
-    return (((qp_p + qp_q + 1) >> 1).T).astype(jnp.int32)
+    return (((qp_p + qp_q + 1) >> 1).T).astype(xp.int32)
+
+
+def _skew(a, band: int, shift: int, extra: int = 0):
+    """Systolic skew: shift row band b right by ``b*shift`` columns.
+
+    Turns the deblocking wavefront's diagonals d = mbx + 2*mby into
+    contiguous column strips so every wavefront step is ONE static-shape
+    dynamic_slice (no per-MB gathers). ``extra`` adds right padding for
+    the final window slices.
+    """
+    h, w = a.shape
+    nb = h // band
+    out = jnp.zeros((h, w + shift * (nb - 1) + extra), a.dtype)
+    for b in range(nb):
+        out = jax.lax.dynamic_update_slice(
+            out, a[b * band:(b + 1) * band], (b * band, b * shift))
+    return out
+
+
+def _unskew(a, band: int, shift: int, w: int):
+    h = a.shape[0]
+    return jnp.concatenate(
+        [a[b * band:(b + 1) * band, b * shift:b * shift + w]
+         for b in range(h // band)], axis=0)
+
+
+def _thr_stack(bs_grid, qp_grid):
+    """(bs, alpha, beta, tc0) stacked (4, ...) from per-edge grids."""
+    al, be, tc = lookup_tables(bs_grid, qp_grid)
+    return jnp.stack([bs_grid, al, be, tc]).astype(jnp.int32)
+
+
+def _wavefront_luma(y, vthr, hthr, n_mby, n_mbx):
+    """Spec-order luma filtering as a wavefront over diagonals d=x+2y.
+
+    Every MB's eight edges (Vb, Vi1-3 then Hb, Hi1-3) run in spec
+    sequence; MBs on one diagonal are independent (their neighbor sets
+    are disjoint), so each step is fully vectorized over the diagonal.
+    vthr: (4, H, W/4) thresholds for the vertical edge AT column 4m;
+    hthr: (4, H/4, W) for the horizontal edge AT row 4m (m=0 → bS 0).
+    """
+    h, w = y.shape
+    d_steps = n_mbx + 2 * (n_mby - 1)
+    ys = jnp.pad(_skew(y, 16, 32, extra=16), ((0, 0), (32, 0)))
+    vs = jnp.stack([_skew(vthr[i], 16, 8, extra=8) for i in range(4)])
+    hs = jnp.stack([_skew(hthr[i], 4, 32, extra=16) for i in range(4)])
+
+    def step(d, ys):
+        win = jax.lax.dynamic_slice(ys, (0, 16 * d), (h, 48))
+        vt = jax.lax.dynamic_slice(vs, (0, 0, 4 * d), (4, h, 4))
+        ht = jax.lax.dynamic_slice(hs, (0, 0, 16 * d), (4, h // 4, 16))
+        # vertical edges of the diagonal's MBs, left to right (window
+        # cols 32+4k); bS=0 padding makes out-of-range MBs no-ops
+        for k in range(4):
+            c = 32 + 4 * k
+            cols = [win[:, c - 4 + i] for i in range(8)]
+            out = filter_core_luma(*cols, vt[0, :, k], vt[1, :, k],
+                                   vt[2, :, k], vt[3, :, k])
+            win = jax.lax.dynamic_update_slice(
+                win, jnp.stack(out, axis=1), (0, c - 3))
+        # horizontal edges; p-rows of the MB-top edge live in the TOP
+        # NEIGHBOR's band, which sits at window cols 0:16 (skew offset)
+        r = win.reshape(n_mby, 16, 48)
+        ht = ht.reshape(4, n_mby, 4, 16)
+        p = r[:-1, 12:16, 0:16]
+        q = r[1:, 0:4, 32:48]
+        out = filter_core_luma(
+            p[:, 0], p[:, 1], p[:, 2], p[:, 3],
+            q[:, 0], q[:, 1], q[:, 2], q[:, 3],
+            ht[0, 1:, 0], ht[1, 1:, 0], ht[2, 1:, 0], ht[3, 1:, 0])
+        r = r.at[:-1, 13:16, 0:16].set(jnp.stack(out[:3], axis=1))
+        r = r.at[1:, 0:3, 32:48].set(jnp.stack(out[3:], axis=1))
+        for k in range(1, 4):
+            seg = r[:, 4 * k - 4:4 * k + 4, 32:48]
+            out = filter_core_luma(
+                seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
+                seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7],
+                ht[0, :, k], ht[1, :, k], ht[2, :, k], ht[3, :, k])
+            r = r.at[:, 4 * k - 3:4 * k + 3, 32:48].set(
+                jnp.stack(out, axis=1))
+        return jax.lax.dynamic_update_slice(ys, r.reshape(h, 48),
+                                            (0, 16 * d))
+
+    ys = jax.lax.fori_loop(0, d_steps, step, ys)
+    return _unskew(ys[:, 32:], 16, 32, w)
+
+
+def _wavefront_chroma(u, v, vthr, hthr, n_mby, n_mbx):
+    """Chroma wavefront (8-px MBs, 2 edges per direction); u and v ride
+    the same steps stacked along rows (bands aligned per plane)."""
+    hc, wc = u.shape
+    d_steps = n_mbx + 2 * (n_mby - 1)
+
+    ys = jnp.concatenate([_skew(u, 8, 16, extra=8),
+                          _skew(v, 8, 16, extra=8)], axis=0)
+    ys = jnp.pad(ys, ((0, 0), (16, 0)))
+    vs = jnp.stack([jnp.concatenate([_skew(vthr[i], 8, 4, extra=4)] * 2,
+                                    axis=0) for i in range(4)])
+    hs = jnp.stack([jnp.concatenate([_skew(hthr[i], 2, 16, extra=8)] * 2,
+                                    axis=0) for i in range(4)])
+    h2 = 2 * hc
+
+    def step(d, ys):
+        win = jax.lax.dynamic_slice(ys, (0, 8 * d), (h2, 24))
+        vt = jax.lax.dynamic_slice(vs, (0, 0, 2 * d), (4, h2, 2))
+        ht = jax.lax.dynamic_slice(hs, (0, 0, 8 * d), (4, h2 // 4, 8))
+        for k in range(2):
+            c = 16 + 4 * k
+            p1, p0, q0, q1 = (win[:, c - 2 + i] for i in range(4))
+            op0, oq0 = filter_core_chroma(p1, p0, q0, q1, vt[0, :, k],
+                                          vt[1, :, k], vt[2, :, k],
+                                          vt[3, :, k])
+            win = jax.lax.dynamic_update_slice(
+                win, jnp.stack([op0, oq0], axis=1), (0, c - 1))
+        r = win.reshape(2 * n_mby, 8, 24)
+        ht = ht.reshape(4, 2 * n_mby, 2, 8)
+        # MB-top edge: p-rows from the neighbor band at window cols 0:8;
+        # the v-plane's first band has bS=0, so the cross-plane pairing
+        # at band index n_mby is a guaranteed no-op
+        p = r[:-1, 6:8, 0:8]
+        q = r[1:, 0:2, 16:24]
+        op0, oq0 = filter_core_chroma(
+            p[:, 0], p[:, 1], q[:, 0], q[:, 1],
+            ht[0, 1:, 0], ht[1, 1:, 0], ht[2, 1:, 0], ht[3, 1:, 0])
+        r = r.at[:-1, 7, 0:8].set(op0)
+        r = r.at[1:, 0, 16:24].set(oq0)
+        seg = r[:, 2:6, 16:24]
+        op0, oq0 = filter_core_chroma(
+            seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
+            ht[0, :, 1], ht[1, :, 1], ht[2, :, 1], ht[3, :, 1])
+        r = r.at[:, 3, 16:24].set(op0)
+        r = r.at[:, 4, 16:24].set(oq0)
+        return jax.lax.dynamic_update_slice(ys, r.reshape(h2, 24),
+                                            (0, 8 * d))
+
+    ys = jax.lax.fori_loop(0, d_steps, step, ys)
+    ys = ys[:, 16:]
+    u = _unskew(ys[:hc], 8, 16, wc)
+    v = _unskew(ys[hc:], 8, 16, wc)
+    return u, v
+
+
+def _skew_np(a, band: int, shift: int, extra: int = 0):
+    h, w = a.shape
+    nb = h // band
+    out = np.zeros((h, w + shift * (nb - 1) + extra), a.dtype)
+    for b in range(nb):
+        out[b * band:(b + 1) * band, b * shift:b * shift + w] = \
+            a[b * band:(b + 1) * band]
+    return out
+
+
+def _unskew_np(a, band: int, shift: int, w: int):
+    h = a.shape[0]
+    return np.concatenate(
+        [a[b * band:(b + 1) * band, b * shift:b * shift + w]
+         for b in range(h // band)], axis=0)
+
+
+def _wavefront_luma_np(y, vthr, hthr, n_mby, n_mbx):
+    """NumPy twin of _wavefront_luma for the HOST decoder path (the
+    validation decoder must not run XLA eagerly — long-lived processes
+    accumulate XLA:CPU state that has produced compiler crashes — and
+    plain ndarray slicing beats per-op dispatch here anyway).
+    Bit-identical (asserted by tests/test_deblock.py)."""
+    h, w = y.shape
+    d_steps = n_mbx + 2 * (n_mby - 1)
+    ys = np.pad(_skew_np(y, 16, 32, extra=16), ((0, 0), (32, 0)))
+    vs = np.stack([_skew_np(vthr[i], 16, 8, extra=8) for i in range(4)])
+    hs = np.stack([_skew_np(hthr[i], 4, 32, extra=16) for i in range(4)])
+    for d in range(d_steps):
+        win = ys[:, 16 * d:16 * d + 48]
+        vt = vs[:, :, 4 * d:4 * d + 4]
+        ht = hs[:, :, 16 * d:16 * d + 16].reshape(4, n_mby, 4, 16)
+        for k in range(4):
+            c = 32 + 4 * k
+            out = filter_core_luma(
+                *(win[:, c - 4 + i] for i in range(8)),
+                vt[0, :, k], vt[1, :, k], vt[2, :, k], vt[3, :, k], xp=np)
+            win[:, c - 3:c + 3] = np.stack(out, axis=1)
+        r = win.reshape(n_mby, 16, 48)
+        p = r[:-1, 12:16, 0:16]
+        q = r[1:, 0:4, 32:48]
+        out = filter_core_luma(
+            p[:, 0], p[:, 1], p[:, 2], p[:, 3],
+            q[:, 0], q[:, 1], q[:, 2], q[:, 3],
+            ht[0, 1:, 0], ht[1, 1:, 0], ht[2, 1:, 0], ht[3, 1:, 0], xp=np)
+        r[:-1, 13:16, 0:16] = np.stack(out[:3], axis=1)
+        r[1:, 0:3, 32:48] = np.stack(out[3:], axis=1)
+        for k in range(1, 4):
+            seg = r[:, 4 * k - 4:4 * k + 4, 32:48]
+            out = filter_core_luma(
+                seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
+                seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7],
+                ht[0, :, k], ht[1, :, k], ht[2, :, k], ht[3, :, k], xp=np)
+            r[:, 4 * k - 3:4 * k + 3, 32:48] = np.stack(out, axis=1)
+    return _unskew_np(ys[:, 32:], 16, 32, w)
+
+
+def _wavefront_chroma_np(u, v, vthr, hthr, n_mby, n_mbx):
+    hc, wc = u.shape
+    d_steps = n_mbx + 2 * (n_mby - 1)
+    ys = np.concatenate([_skew_np(u, 8, 16, extra=8),
+                         _skew_np(v, 8, 16, extra=8)], axis=0)
+    ys = np.pad(ys, ((0, 0), (16, 0)))
+    vs = np.stack([
+        np.concatenate([_skew_np(vthr[i], 8, 4, extra=4)] * 2, axis=0)
+        for i in range(4)])
+    hs = np.stack([
+        np.concatenate([_skew_np(hthr[i], 2, 16, extra=8)] * 2, axis=0)
+        for i in range(4)])
+    for d in range(d_steps):
+        win = ys[:, 8 * d:8 * d + 24]
+        vt = vs[:, :, 2 * d:2 * d + 2]
+        ht = hs[:, :, 8 * d:8 * d + 8].reshape(4, 2 * n_mby, 2, 8)
+        for k in range(2):
+            c = 16 + 4 * k
+            op0, oq0 = filter_core_chroma(
+                win[:, c - 2], win[:, c - 1], win[:, c], win[:, c + 1],
+                vt[0, :, k], vt[1, :, k], vt[2, :, k], vt[3, :, k], xp=np)
+            win[:, c - 1] = op0
+            win[:, c] = oq0
+        r = win.reshape(2 * n_mby, 8, 24)
+        p = r[:-1, 6:8, 0:8]
+        q = r[1:, 0:2, 16:24]
+        op0, oq0 = filter_core_chroma(
+            p[:, 0], p[:, 1], q[:, 0], q[:, 1],
+            ht[0, 1:, 0], ht[1, 1:, 0], ht[2, 1:, 0], ht[3, 1:, 0], xp=np)
+        r[:-1, 7, 0:8] = op0
+        r[1:, 0, 16:24] = oq0
+        seg = r[:, 2:6, 16:24]
+        op0, oq0 = filter_core_chroma(
+            seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
+            ht[0, :, 1], ht[1, :, 1], ht[2, :, 1], ht[3, :, 1], xp=np)
+        r[:, 3, 16:24] = op0
+        r[:, 4, 16:24] = oq0
+    ys = ys[:, 16:]
+    return (_unskew_np(ys[:hc], 8, 16, wc), _unskew_np(ys[hc:], 8, 16, wc))
+
+
+def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
+                       chroma_qp_table):
+    """Pure-NumPy deblock for the host validation decoder — same spec
+    order as deblock_frame, zero XLA involvement."""
+    y = np.asarray(y, np.int64)
+    u = np.asarray(u, np.int64)
+    v = np.asarray(v, np.int64)
+    qp_mb = np.asarray(qp_mb)
+    intra_mb = np.asarray(intra_mb)
+    nz_y = np.asarray(nz_y)
+    mvq = np.asarray(mvq)
+    hc, wc = u.shape
+    n_mby, n_mbx = qp_mb.shape
+
+    def grid_v(bs_e, qp_e, rep):
+        pad = np.zeros((1, bs_e.shape[1]), np.int64)
+        bs = np.concatenate([pad, bs_e], axis=0).T
+        qp = np.concatenate([pad, qp_e], axis=0).T
+        bs = np.repeat(bs.T, rep, axis=1).T
+        qp = np.repeat(qp.T, rep, axis=1).T
+        al, be, tc = lookup_tables(bs, qp, xp=np)
+        return np.stack([bs, al, be, tc]).astype(np.int64)
+
+    bs_v = compute_bs_luma(intra_mb, nz_y, mvq, True, xp=np)
+    qp_v = compute_qp_edges(qp_mb, True, False, xp=np)
+    vthr = grid_v(bs_v, qp_v, 4)
+    bs_h = compute_bs_luma(intra_mb, nz_y, mvq, False, xp=np)
+    qp_h = compute_qp_edges(qp_mb, False, False, xp=np)
+    hthr = np.swapaxes(grid_v(bs_h, qp_h, 4), 1, 2)
+    y = _wavefront_luma_np(y, vthr, hthr, n_mby, n_mbx)
+
+    bs_cv = np.repeat(bs_v[1::2], 2, axis=1).reshape(wc // 4 - 1, hc)
+    qp_cv = np.repeat(compute_qp_edges(qp_mb, True, True,
+                                       chroma_qp_table, xp=np), 4, axis=1)
+    cvthr = grid_v(bs_cv, qp_cv, 1)
+    bs_ch = np.repeat(bs_h[1::2], 2, axis=1).reshape(hc // 4 - 1, wc)
+    qp_ch = np.repeat(compute_qp_edges(qp_mb, False, True,
+                                       chroma_qp_table, xp=np), 4, axis=1)
+    chthr = np.swapaxes(grid_v(bs_ch, qp_ch, 1), 1, 2)
+    u, v = _wavefront_chroma_np(u, v, cvthr, chthr, n_mby, n_mbx)
+    return y, u, v
 
 
 def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table):
-    """Apply the full in-loop filter to one reconstructed frame.
+    """Apply the full in-loop filter to one reconstructed frame in SPEC
+    ORDER (8.7: per-MB raster, vertical edges then horizontal, each edge
+    reading previously filtered samples) — realized as a skewed-diagonal
+    wavefront so every step is dense VPU work. Conformance asserted
+    against the system-ffmpeg h264 decoder (tests/test_conformance.py).
 
     y: (H, W) int32 recon; u, v: (H/2, W/2); qp_mb (nMBy, nMBx) int32
     (PCM MBs carry 0); intra_mb bool; nz_y (H/4, W/4) bool; mvq
     (nMBy, nMBx, 2) quarter-pel (zeros for intra frames).
-    Vertical edges first (full pass), then horizontal (spec 8.7).
     """
     y = jnp.asarray(y, jnp.int32)
     u = jnp.asarray(u, jnp.int32)
     v = jnp.asarray(v, jnp.int32)
+    hp, wp = y.shape
     hc, wc = u.shape
+    n_mby, n_mbx = qp_mb.shape
 
-    def expand(bs, qp, factor):
-        """Threshold lookup at block-row resolution, then pixel expand."""
-        al, be, tc = lookup_tables(bs, qp)
-        return tuple(_repeat_rows(a, factor) for a in (bs, al, be, tc))
+    def grid_v(bs_e, qp_e, rep):
+        """(n_edges, blkrows) per-edge arrays → (4, rows*rep, n_edges+1)
+        grids keyed by the edge's own block column (col 0 = frame edge,
+        bS 0)."""
+        pad = jnp.zeros((1, bs_e.shape[1]), jnp.int32)
+        bs = jnp.concatenate([pad, bs_e], axis=0).T       # (rows, Wblk)
+        qp = jnp.concatenate([pad, qp_e], axis=0).T
+        return _thr_stack(_repeat_rows(bs.T, rep).T,
+                          _repeat_rows(qp.T, rep).T)
 
-    # --- luma
+    # --- luma thresholds, keyed by edge position
     bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True)
     qp_v = compute_qp_edges(qp_mb, True, False)
-    y = _scan_pass(y, *expand(bs_v, qp_v, 4), luma=True, transpose=True)
+    vthr = grid_v(bs_v, qp_v, 4)             # (4, H, W/4)
 
     bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False)
     qp_h = compute_qp_edges(qp_mb, False, False)
-    y = _scan_pass(y, *expand(bs_h, qp_h, 4), luma=True, transpose=False)
+    # horizontal: same construction, then transpose to (4, H/4, W)
+    hthr = jnp.swapaxes(grid_v(bs_h, qp_h, 4), 1, 2)
 
-    # --- chroma: only edges on the 8-px luma grid (every other luma
-    # edge); u and v share bS/QP, so both planes ride one scan stacked
-    # along the (along-edge) lane dimension
-    def two(args):
-        return tuple(jnp.concatenate([a, a], axis=1) for a in args)
-
-    # chroma row yc maps to luma rows 2yc → luma block row yc//2, so
-    # each luma-block-row bS value covers 2 chroma rows
-    bs_cv_blk = bs_v[1::2]                # (n_ce, n_mby*4)
+    # --- chroma: edges on the 8-px luma grid (every other luma edge);
+    # luma block-row bS covers 2 chroma rows
+    bs_cv = _repeat_rows(bs_v[1::2], 2).reshape(wc // 4 - 1, hc)
     qp_cv = _repeat_rows(compute_qp_edges(qp_mb, True, True,
-                                          chroma_qp_table), 2)
-    al, be, tc = lookup_tables(bs_cv_blk, qp_cv)
-    cv_args = two((_repeat_rows(bs_cv_blk, 2), _repeat_rows(al, 2),
-                   _repeat_rows(be, 2), _repeat_rows(tc, 2)))
-    cv = jnp.concatenate([u.T, v.T], axis=1)          # (wc, 2*hc)
-    cv = _edge_scan(cv.reshape(wc // 4, 4, 2 * hc), *cv_args,
-                    luma=False).reshape(wc, 2 * hc)
-    u, v = cv[:, :hc].T, cv[:, hc:].T
-
-    bs_ch_blk = bs_h[1::2]
+                                          chroma_qp_table), 4)
+    cvthr = grid_v(bs_cv, qp_cv, 1)
+    bs_ch = _repeat_rows(bs_h[1::2], 2).reshape(hc // 4 - 1, wc)
     qp_ch = _repeat_rows(compute_qp_edges(qp_mb, False, True,
-                                          chroma_qp_table), 2)
-    al, be, tc = lookup_tables(bs_ch_blk, qp_ch)
-    ch_args = two((_repeat_rows(bs_ch_blk, 2), _repeat_rows(al, 2),
-                   _repeat_rows(be, 2), _repeat_rows(tc, 2)))
-    ch = jnp.concatenate([u, v], axis=1)              # (hc, 2*wc)
-    ch = _edge_scan(ch.reshape(hc // 4, 4, 2 * wc), *ch_args,
-                    luma=False).reshape(hc, 2 * wc)
-    return y, ch[:, :wc], ch[:, wc:]
+                                          chroma_qp_table), 4)
+    chthr = jnp.swapaxes(grid_v(bs_ch, qp_ch, 1), 1, 2)
+
+    import os
+    if (jax.default_backend() not in ("cpu",)
+            and os.environ.get("VCP_PALLAS_DEBLOCK", "1") != "0"):
+        return _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr,
+                               n_mby, n_mbx)
+    y = _wavefront_luma(y, vthr, hthr, n_mby, n_mbx)
+    u, v = _wavefront_chroma(u, v, cvthr, chthr, n_mby, n_mbx)
+    return y, u, v
+
+
+def _lane_pad(a, mult: int = 128):
+    pad = (-a.shape[-1]) % mult
+    if pad:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    return a
+
+
+def _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr, n_mby, n_mbx,
+                    interpret: bool = False):
+    """Pre-skew + transpose the planes/thresholds and run the Pallas
+    wavefront kernel (ops.deblock_pallas); bit-identical to the XLA
+    wavefront above."""
+    from .deblock_pallas import wavefront_pallas
+
+    hp, wp = y.shape
+    hc, wc = u.shape
+    d_steps = n_mbx + 2 * (n_mby - 1)
+
+    def skew_t(a, band, shift, lead):
+        s = _skew(a, band, shift)
+        if lead:
+            s = jnp.pad(s, ((0, 0), (lead, 0)))
+        return _lane_pad(s.T)
+
+    ys = skew_t(y, 16, 32, 32).astype(jnp.int32)
+    # vertical-edge thresholds (already at pixel-lane resolution)
+    vts = jnp.stack([skew_t(vthr[t], 16, 8, 0) for t in range(4)]
+                    ).astype(jnp.int32)
+    # horizontal-edge thresholds at anchor-lane resolution
+    hthr_px = jnp.repeat(hthr, 4, axis=1)           # edge rows -> anchors
+    hts = jnp.stack([skew_t(hthr_px[t], 16, 32, 0) for t in range(4)]
+                    ).astype(jnp.int32)
+
+    cs = jnp.concatenate(
+        [skew_t(u, 8, 16, 16), skew_t(v, 8, 16, 16)],
+        axis=1).astype(jnp.int32)
+    cvs = jnp.stack([
+        jnp.concatenate([skew_t(cvthr[t], 8, 4, 0)] * 2, axis=1)
+        for t in range(4)]).astype(jnp.int32)
+    chthr_px = jnp.repeat(chthr, 4, axis=1)
+    chs = jnp.stack([
+        jnp.concatenate([skew_t(chthr_px[t], 8, 16, 0)] * 2, axis=1)
+        for t in range(4)]).astype(jnp.int32)
+
+    ys_o, cs_o = wavefront_pallas(ys, vts, hts, cs, cvs, chs, d_steps,
+                                  interpret=interpret)
+    # drop the lead pad rows and lane padding, transpose, unskew
+    y_out = _unskew(ys_o[32:, :hp].T, 16, 32, wp)
+    half = -(-hc // 128) * 128
+    u_out = _unskew(cs_o[16:, :hc].T, 8, 16, wc)
+    v_out = _unskew(cs_o[16:, half:half + hc].T, 8, 16, wc)
+    return y_out, u_out, v_out

@@ -1,25 +1,22 @@
-"""Pallas TPU kernel: deblocking edge-chain scan.
+"""Pallas TPU kernel: spec-order H.264 deblocking wavefront.
 
-The in-loop filter's edge chain (ops.deblock._edge_scan) is inherently
-sequential — edge k's output feeds edge k+1's input 4 samples away — and
-each step touches only a (4, L) block. As an XLA scan that costs ~30 µs
-per step in loop/op dispatch (~35 ms/frame at 1080p, ~1100 steps); inside
-one Pallas kernel the same chain is ~0.3 µs/step of pure VPU work:
+Hand-scheduled counterpart of ops.deblock's XLA wavefront (bit-identical,
+asserted by tests). The filter is a serial chain of ~8*(nMBx + 2*nMBy)
+dependent edge-group applications (spec 8.7 mandates per-MB raster
+order); as an XLA ``fori_loop`` each tiny group pays ~0.2 ms of dispatch
+(~50 ms/frame at 1080p). This kernel runs one wavefront diagonal per
+grid step entirely in VMEM:
 
-* grid = blocks of 4 samples across the chain direction; the carried
-  block lives in a VMEM scratch that persists across grid steps (the TPU
-  grid is sequential),
-* per step the next block arrives via the normal blocked pipeline
-  (Pallas double-buffers the HBM loads automatically), the shared
-  filter cores (ops.deblock.filter_core_*) run on (1, L) rows, the
-  filtered left block streams out, and the right block replaces the
-  carry,
-* bS/alpha/beta/tc0 are pre-looked-up per edge OUTSIDE the kernel
-  (gathers from the 52-entry spec tables are XLA-friendly but not
-  Mosaic-friendly).
-
-Bit-identical to the XLA scan path (asserted by tests, incl. interpret
-mode); dispatched from ops.deblock._edge_scan on TPU backends.
+* planes and threshold grids are pre-skewed (diagonal d = mbx + 2*mby →
+  contiguous strip) and TRANSPOSED so the along-edge dimension H lands on
+  vector lanes,
+* per step, a (48, H) luma window + (24, H) chroma window and their
+  per-edge thresholds are DMA'd HBM→VMEM, all eight luma and four chroma
+  edge groups run as dense VPU work (vertical edges are row-slices;
+  horizontal edges use lane rolls + anchor masks), and the windows are
+  DMA'd back before the next (dependent) step begins,
+* out-of-range diagonals and frame/slice boundaries carry bS=0 in the
+  threshold padding, making their filters identity — no masks needed.
 """
 
 from __future__ import annotations
@@ -31,73 +28,176 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import deblock as dbf
+from .deblock import filter_core_chroma, filter_core_luma
 
 
-def _kernel(nxt_ref, first_ref, edge_ref, out_ref,
-            carry_ref, *, n_edges: int, luma: bool):
-    k = pl.program_id(0)
+def _luma_v_edges(win, vthr):
+    """Four cascaded vertical luma edges of the diagonal's MBs.
 
-    @pl.when(k == 0)
-    def _init():
-        carry_ref[...] = first_ref[0]
+    win: (48, HL) VMEM ref — rows 0:16 top-neighbor cols, 16:32 left-MB
+    cols, 32:48 self cols; vthr: (4, 4, HL) VMEM ref [thr, edge_k, H].
+    """
+    for k in range(4):
+        r0 = 28 + 4 * k                      # p3 row
+        seg = win[r0:r0 + 8, :]
+        out = filter_core_luma(
+            seg[0], seg[1], seg[2], seg[3], seg[4], seg[5], seg[6], seg[7],
+            vthr[0, k, :].astype(jnp.int32), vthr[1, k, :].astype(jnp.int32),
+            vthr[2, k, :].astype(jnp.int32), vthr[3, k, :].astype(jnp.int32))
+        win[r0 + 1:r0 + 7, :] = jnp.stack(out)
 
-    @pl.when(k < n_edges)
-    def _filter():
-        carry = carry_ref[...]                     # (4, L)
-        nxt = nxt_ref[0]                           # (4, L)
-        e = edge_ref[0]                            # (4, L): bs/al/be/tc0
-        bs = e[0:1]
-        al, be, tc = e[1:2], e[2:3], e[3:4]
-        if luma:
-            p3, p2, p1, p0 = (carry[i:i + 1] for i in range(4))
-            q0, q1, q2, q3 = (nxt[i:i + 1] for i in range(4))
-            op2, op1, op0, oq0, oq1, oq2 = dbf.filter_core_luma(
-                p3, p2, p1, p0, q0, q1, q2, q3, bs, al, be, tc)
-            out_ref[0] = jnp.concatenate([p3, op2, op1, op0], axis=0)
-            carry_ref[...] = jnp.concatenate([oq0, oq1, oq2, q3], axis=0)
+
+def _roll(x, sh, n):
+    """Roll lanes so value at lane l becomes x[(l + sh) mod n]."""
+    return pltpu.roll(x, (n - sh) % n, axis=1)
+
+
+def _luma_h_edges(win, hthr, hl: int):
+    """Four horizontal luma edge groups, lane-rolled + anchor-masked.
+
+    Anchors (edge rows) are lanes h ≡ 4k (mod 16); p-samples of the
+    MB-top edge (k=0) live in the top neighbor's columns (rows 0:16).
+    hthr: (4, 16, HL) VMEM ref — thresholds at anchor lanes for the self
+    MB's 16 columns.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, hl), 1)
+    for k in range(4):
+        x_self = win[32:48, :]
+        psrc = win[0:16, :] if k == 0 else x_self
+        p = [_roll(psrc, -i - 1, hl) for i in range(4)]       # p0..p3
+        q = [_roll(x_self, i, hl) for i in range(4)]          # q0..q3
+        thr = [hthr[t, :, :].astype(jnp.int32) for t in range(4)]
+        op2, op1, op0, oq0, oq1, oq2 = filter_core_luma(
+            p[3], p[2], p[1], p[0], q[0], q[1], q[2], q[3], *thr)
+        # scatter back: sample at lane a-j takes the anchor-a value
+        for j, val in ((1, op0), (2, op1), (3, op2)):
+            m = lane % 16 == (4 * k - j) % 16
+            psrc = jnp.where(m, _roll(val, j, hl), psrc)
+        if k == 0:
+            win[0:16, :] = psrc
         else:
-            p1, p0 = carry[2:3], carry[3:4]
-            q0, q1 = nxt[0:1], nxt[1:2]
-            op0, oq0 = dbf.filter_core_chroma(p1, p0, q0, q1, bs, al, be, tc)
-            out_ref[0] = jnp.concatenate([carry[0:2], p1, op0], axis=0)
-            carry_ref[...] = jnp.concatenate([oq0, nxt[1:4]], axis=0)
-
-    @pl.when(k == n_edges)
-    def _flush():
-        out_ref[0] = carry_ref[...]
+            x_self = psrc
+        for j, val in ((0, oq0), (1, oq1), (2, oq2)):
+            m = lane % 16 == (4 * k + j) % 16
+            x_self = jnp.where(m, _roll(val, -j, hl), x_self)
+        win[32:48, :] = x_self
 
 
-def edge_scan_pallas(blocks, bs_edges, alpha, beta, tc0, luma: bool,
+def _chroma_edges(cwin, cvthr, chthr, hl: int):
+    """Two vertical + two horizontal chroma edge groups (8-px MBs,
+    u and v stacked along lanes)."""
+    for k in range(2):
+        r0 = 14 + 4 * k
+        seg = cwin[r0:r0 + 4, :]
+        op0, oq0 = filter_core_chroma(
+            seg[0], seg[1], seg[2], seg[3],
+            cvthr[0, k, :].astype(jnp.int32),
+            cvthr[1, k, :].astype(jnp.int32),
+            cvthr[2, k, :].astype(jnp.int32),
+            cvthr[3, k, :].astype(jnp.int32))
+        cwin[r0 + 1:r0 + 3, :] = jnp.stack([op0, oq0])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, hl), 1)
+    for k in range(2):
+        x_self = cwin[16:24, :]
+        psrc = cwin[0:8, :] if k == 0 else x_self
+        p1 = _roll(psrc, -2, hl)
+        p0 = _roll(psrc, -1, hl)
+        q0 = x_self
+        q1 = _roll(x_self, 1, hl)
+        thr = [chthr[t, :, :].astype(jnp.int32) for t in range(4)]
+        op0, oq0 = filter_core_chroma(p1, p0, q0, q1, *thr)
+        m = lane % 8 == (4 * k - 1) % 8
+        psrc = jnp.where(m, _roll(op0, 1, hl), psrc)
+        if k == 0:
+            cwin[0:8, :] = psrc
+        else:
+            x_self = psrc
+        x_self = jnp.where(lane % 8 == 4 * k, oq0, x_self)
+        cwin[16:24, :] = x_self
+
+
+def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
+            ys_out, cs_out, win, vthr_s, hthr_s, cwin, cvthr_s, chthr_s,
+            sems, *, hl: int, hlc: int):
+    d = pl.program_id(0)
+    # whole-plane copy-in on the first step; afterwards windows are read
+    # back from the OUTPUT refs so each (dependent) step sees its
+    # predecessors' writes regardless of how input/output aliasing is
+    # realized (on hardware they are the same HBM buffer)
+    @pl.when(d == 0)
+    def _():
+        for src, dst, s in ((ys_ref, ys_out, 0), (cs_ref, cs_out, 3)):
+            c = pltpu.make_async_copy(src, dst, sems.at[s])
+            c.start()
+            c.wait()
+
+    cp = [
+        pltpu.make_async_copy(ys_out.at[pl.ds(16 * d, 48), :], win,
+                              sems.at[0]),
+        pltpu.make_async_copy(vthr_ref.at[:, d], vthr_s, sems.at[1]),
+        pltpu.make_async_copy(hthr_ref.at[:, d], hthr_s, sems.at[2]),
+        pltpu.make_async_copy(cs_out.at[pl.ds(8 * d, 24), :], cwin,
+                              sems.at[3]),
+        pltpu.make_async_copy(cvthr_ref.at[:, d], cvthr_s, sems.at[4]),
+        pltpu.make_async_copy(chthr_ref.at[:, d], chthr_s, sems.at[5]),
+    ]
+    for c in cp:
+        c.start()
+    for c in cp:
+        c.wait()
+
+    _luma_v_edges(win, vthr_s)
+    _luma_h_edges(win, hthr_s, hl)
+    _chroma_edges(cwin, cvthr_s, chthr_s, hlc)
+
+    wr = [
+        pltpu.make_async_copy(win, ys_out.at[pl.ds(16 * d, 48), :],
+                              sems.at[0]),
+        pltpu.make_async_copy(cwin, cs_out.at[pl.ds(8 * d, 24), :],
+                              sems.at[3]),
+    ]
+    for c in wr:
+        c.start()
+    for c in wr:
+        c.wait()
+
+
+def wavefront_pallas(ys, vthr, hthr, cs, cvthr, chthr, d_steps: int,
                      interpret: bool = False):
-    """Drop-in replacement for ops.deblock._edge_scan (same contract:
-    blocks (n_blocks, 4, L) int32, bs/alpha/beta/tc0 (n_blocks-1, L);
-    returns the filtered blocks, bit-identical)."""
-    n_blocks, _, l = blocks.shape
-    n_edges = n_blocks - 1
-    # one (n_edges, 4, L) array = one DMA per step for all thresholds
-    edges = jnp.stack([jnp.asarray(a, jnp.int32)
-                       for a in (bs_edges, alpha, beta, tc0)], axis=1)
+    """Run the wavefront over pre-skewed TRANSPOSED arrays.
 
-    edge_spec = pl.BlockSpec((1, 4, l),
-                             lambda k: (jnp.minimum(k, n_edges - 1), 0, 0),
-                             memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, n_edges=n_edges, luma=luma)
-    bi = jnp.asarray(blocks, jnp.int32)
+    ys: (Wsk, HL) int32 skewed luma, rows 16d.. hold diagonal d's strip
+    (32 lead rows + 16 tail rows of padding included); vthr (4, Wsk//4,
+    HL) uint8; hthr (4, Wsk, HL) uint8 anchor-lane thresholds;
+    cs/cvthr/chthr: chroma equivalents ((4, 2, ...) for chthr's two
+    sub-edges). Returns filtered (ys, cs).
+    """
+    hl = ys.shape[1]
+    hlc = cs.shape[1]
+    # per-step leading dim: sublane slices must be 8-aligned, so the
+    # threshold arrays are pre-grouped as (4, D, rows_per_step, lanes)
+    vthr = vthr.reshape(4, d_steps, 4, hl)
+    hthr = hthr.reshape(4, d_steps, 16, hl)
+    cvthr = cvthr.reshape(4, d_steps, 2, hlc)
+    chthr = chthr.reshape(4, d_steps, 8, hlc)
+    kernel = functools.partial(_kernel, hl=hl, hlc=hlc)
     return pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 4, l),
-                         lambda k: (jnp.minimum(k + 1, n_blocks - 1), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, l), lambda k: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            edge_spec,
+        grid=(d_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(ys.shape, jnp.int32),
+            jax.ShapeDtypeStruct(cs.shape, jnp.int32),
         ],
-        out_specs=pl.BlockSpec((1, 4, l), lambda k: (k, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 4, l), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((4, l), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((48, hl), jnp.int32),
+            pltpu.VMEM((4, 4, hl), jnp.int32),
+            pltpu.VMEM((4, 16, hl), jnp.int32),
+            pltpu.VMEM((24, hlc), jnp.int32),
+            pltpu.VMEM((4, 2, hlc), jnp.int32),
+            pltpu.VMEM((4, 8, hlc), jnp.int32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
         interpret=interpret,
-    )(bi, bi, edges)
+    )(ys, vthr, hthr, cs, cvthr, chthr)
