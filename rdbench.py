@@ -1,0 +1,116 @@
+"""Rate-distortion harness: this encoder vs libx264 *medium*.
+
+The reference's quality north star is parity with its `h264-cpu` preset
+(`-c:v libx264 -preset medium -crf 23`, ref internal/config/config.go:49).
+This harness measures the real gap: the committed golden clips
+(tests/golden/*.npz) are encoded by our encoder over a QP sweep and
+compared against committed libx264-medium encodes of the same clips
+(generated once via the system-ffmpeg oracle and checked in, so the
+comparison runs without ffmpeg). Reports bitrate/PSNR points per clip
+and the Bjontegaard-delta rate (BD-rate) of ours vs libx264 medium.
+
+Usage: python rdbench.py [--qps 22,26,30,34,38] [--out RD.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(ROOT, "tests", "golden")
+
+
+def load_clip(name: str):
+    z = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    n = len([k for k in z.files if k.endswith("_y")])
+    return [(z[f"f{i}_y"], z[f"f{i}_u"], z[f"f{i}_v"]) for i in range(n)]
+
+
+def encode_ours(frames, qp: int, cabac: bool = True):
+    from vcp_tpu.codec.h264.decoder import H264Decoder
+    from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
+
+    h, w = frames[0][0].shape
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
+                                    gop_size=len(frames), cabac=cabac,
+                                    deblock=True, effort=6))
+    aus = [au for au, _ in enc.encode_gop(frames)]
+    size = sum(len(a) for a in aus) + len(enc.headers_annexb())
+    dec = H264Decoder().decode_annexb(
+        enc.headers_annexb() + b"".join(aus))
+    mse = np.mean([np.mean((np.asarray(d.y, float) - f[0].astype(float)) ** 2)
+                   for d, f in zip(dec, frames)])
+    return size, 10 * np.log10(255.0 ** 2 / mse)
+
+
+def bd_rate(r1, p1, r2, p2):
+    """Bjontegaard delta-rate of curve 2 vs curve 1 (negative = curve 2
+    needs fewer bits at equal quality). r*: bitrates, p*: PSNRs."""
+    lr1, lr2 = np.log(np.asarray(r1, float)), np.log(np.asarray(r2, float))
+    p1, p2 = np.asarray(p1, float), np.asarray(p2, float)
+    f1 = np.polyfit(p1, lr1, min(3, len(p1) - 1))
+    f2 = np.polyfit(p2, lr2, min(3, len(p2) - 1))
+    lo = max(p1.min(), p2.min())
+    hi = min(p1.max(), p2.max())
+    if hi <= lo:
+        return float("nan")
+    xs = np.linspace(lo, hi, 64)
+    d = np.mean(np.polyval(f2, xs) - np.polyval(f1, xs))
+    return (np.exp(d) - 1.0) * 100.0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qps", default="22,26,30,34,38")
+    ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))
+    args = ap.parse_args(argv)
+    qps = [int(q) for q in args.qps.split(",")]
+
+    meta = json.load(open(os.path.join(GOLDEN, "meta.json")))
+    fps = 30.0
+    report = {}
+    lines = ["# Rate-distortion: vcp-tpu vs libx264 medium",
+             "",
+             "Committed golden clips; libx264-medium numbers from the "
+             "checked-in encodes (tests/golden/meta.json). Luma PSNR.",
+             ""]
+    for name, m in meta.items():
+        frames = load_clip(name)
+        n = m["n"]
+        ours = []
+        for qp in qps:
+            size, ps = encode_ours(frames, qp)
+            kbps = size * 8 * fps / n / 1000.0
+            ours.append((kbps, ps))
+            print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB",
+                  flush=True)
+        x264 = [(v["bytes"] * 8 * fps / n / 1000.0, v["luma_psnr"])
+                for v in m["x264"].values()]
+        bd = bd_rate([r for r, _ in x264], [p for _, p in x264],
+                     [r for r, _ in ours], [p for _, p in ours])
+        report[name] = {"ours": ours, "x264_medium": x264,
+                        "bd_rate_vs_x264_pct": round(bd, 1)}
+        lines += [f"## {name}", "",
+                  "| encoder | kbps | luma PSNR (dB) |", "|---|---|---|"]
+        for (r, p), qp in zip(ours, qps):
+            lines.append(f"| ours qp{qp} | {r:.1f} | {p:.2f} |")
+        for (r, p), crf in zip(x264, m["x264"].keys()):
+            lines.append(f"| x264-medium crf{crf} | {r:.1f} | {p:.2f} |")
+        lines += ["",
+                  f"**BD-rate vs libx264 medium: {bd:+.1f}%** "
+                  "(positive = ours needs that many % more bits at equal "
+                  "PSNR)", ""]
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps({k: v["bd_rate_vs_x264_pct"]
+                      for k, v in report.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,7 +103,7 @@ def encode_video(codec: str, frames, preset: str = "medium",
         np.concatenate([f[0].reshape(-1), f[1].reshape(-1),
                         f[2].reshape(-1)])
         for f in frames]).astype(np.uint8)
-    cap = stack.size * 2 + 1 << 20
+    cap = stack.size * 2 + (1 << 20)
     out = np.empty(cap, np.uint8)
     n = lib.av_oracle_encode_video(codec.encode(), preset.encode(),
                                    crf, gop, w, h, fps, opts.encode(),
