@@ -3,12 +3,11 @@
 The reference's presets carry ``-c:a aac`` and the 4K config calls for
 "AAC audio passthrough" (BASELINE.json configs[3]); its ``audio-only``
 custom preset is ``-vn -c:a aac`` (ref config.yaml:24). This module
-implements the passthrough half natively: AAC tracks are demuxed from
-MP4/MKV inputs (AudioSpecificConfig + raw AAC access units) and remuxed
-into the output MP4 untouched. AAC *re-encoding* (for raw/PCM sources)
-requires the normative AAC Huffman codebooks and is tracked for a later
-round; sources without an AAC track fail with a precise reason
-(consumer ack-and-drop).
+implements both halves natively: AAC tracks are demuxed from MP4/MKV
+inputs (AudioSpecificConfig + raw AAC access units) and remuxed into the
+output MP4 untouched, and raw PCM sources (WAV) are re-encoded with the
+in-repo AAC-LC encoder (codec.aac, round 2). Sources with neither fail
+with a precise reason (consumer ack-and-drop).
 """
 
 from __future__ import annotations
@@ -59,15 +58,50 @@ def extract_aac_track(input_path: str) -> m.AudioTrack | None:
     return None
 
 
+def encode_pcm_track(pcm, rate: int, bitrate: int = 128000) -> m.AudioTrack:
+    """Encode raw PCM with the in-repo AAC-LC encoder (codec.aac) into an
+    MP4 AudioTrack."""
+    import numpy as np
+
+    from .aac import AacEncoder
+
+    pcm = np.asarray(pcm)
+    channels = 1 if pcm.ndim == 1 else pcm.shape[1]
+    enc = AacEncoder(rate=rate, channels=channels, bitrate=bitrate)
+    track = m.AudioTrack(codec="aac", sample_rate=rate, channels=channels,
+                         timescale=rate,
+                         decoder_config=enc.audio_specific_config(),
+                         avg_bitrate=bitrate)
+    for au in enc.encode(pcm):
+        track.samples.append(m.Sample(data=au, duration=1024,
+                                      is_sync=True))
+    return track
+
+
+def audio_track_for(input_path: str, params) -> m.AudioTrack | None:
+    """Best audio track for the output: AAC passthrough when the input
+    already carries AAC, else AAC-LC re-encode of raw PCM (WAV)."""
+    track = extract_aac_track(input_path)
+    if track is not None:
+        return track
+    from .wav import is_wav, read_wav
+    if is_wav(input_path):
+        pcm, rate = read_wav(input_path)
+        br = getattr(params, "audio_bitrate", 0) or 128000
+        return encode_pcm_track(pcm, rate, br)
+    return None
+
+
 def extract_audio(input_path: str, output_path: str, params,
                   deadline=None) -> int:
-    """``-vn -c:a aac``: audio-only MP4 via AAC passthrough."""
-    track = extract_aac_track(input_path)
+    """``-vn -c:a aac``: audio-only MP4 — AAC passthrough for AAC
+    sources, in-repo AAC-LC encode for raw PCM (WAV) sources."""
+    track = audio_track_for(input_path, params)
     if track is None:
         raise AudioError(
-            "audio-only output requires an AAC track in the input "
-            "(AAC re-encode of raw sources lands in a later round)")
+            "audio-only output requires an AAC track or raw PCM (WAV) "
+            "input")
     w = m.Mp4Writer()
     w.add_track(track)
-    w.write(output_path, faststart=params.faststart or True)
+    w.write(output_path, faststart=params.faststart)
     return os.path.getsize(output_path)

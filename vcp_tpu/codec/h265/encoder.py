@@ -233,9 +233,9 @@ def encode_file(input_path: str, output_path: str, params: EncodeParams,
 
     audio_track = None
     if params.audio_codec in ("aac", "copy") and not params.audio_disabled:
-        from ..audio import extract_aac_track
+        from ..audio import audio_track_for
         try:
-            audio_track = extract_aac_track(input_path)
+            audio_track = audio_track_for(input_path, params)
         except Exception as e:
             log.warn("audio passthrough failed", error=str(e))
     mux_mp4(output_path, vps, sps, pps, samples, cfg.width, cfg.height,
