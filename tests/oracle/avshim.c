@@ -128,14 +128,14 @@ int64_t av_oracle_encode_video(const char *codec_name, const char *preset,
     if (crf >= 0)
         av_opt_set_double(ctx->priv_data, "crf", crf, 0);
     if (opts && opts[0]) {
-        /* "key=value:key=value" applied to the encoder's private opts
-         * (e.g. libx264's x264-params passthrough) */
+        /* "key=value;key=value" applied to the encoder's private opts
+         * (';' outer separator so x264-params may contain ':') */
         char buf[1024];
         strncpy(buf, opts, sizeof(buf) - 1);
         buf[sizeof(buf) - 1] = 0;
         char *save = NULL;
-        for (char *kv = strtok_r(buf, ":", &save); kv;
-             kv = strtok_r(NULL, ":", &save)) {
+        for (char *kv = strtok_r(buf, ";", &save); kv;
+             kv = strtok_r(NULL, ";", &save)) {
             char *eq = strchr(kv, '=');
             if (!eq) continue;
             *eq = 0;

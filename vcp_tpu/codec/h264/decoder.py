@@ -1,14 +1,19 @@
 """H.264 validation decoder (host, numpy).
 
-Decodes the baseline streams this framework emits (CAVLC; I_PCM,
-Intra_16x16 all pred modes, P_L0_16x16 + P_Skip) and reconstructs frames
-via the spec 8.5 integer math (shared with vcp_tpu.ops.transform). Used
-to close the loop in tests: decode(encode(x)).recon must equal the
-encoder's own reconstruction exactly, and PSNR vs the source must be
-sane. Also doubles as the in-repo probe for "is this H.264 stream sane"
-(the role ffprobe played in the reference, cmd/consumer.go:396-419).
+Decodes this framework's own streams (CAVLC and CABAC; I_PCM,
+Intra_16x16 all pred modes, P_L0_16x16 + P_Skip) and — round 2 —
+foreign BASELINE-profile streams such as libx264 output: I_4x4 with all
+nine prediction modes, Intra_16x16 incl. Plane, chroma Plane, per-MB
+mb_qp_delta, deblocking in spec order. Reconstruction uses the spec 8.5
+integer math (shared with vcp_tpu.ops.transform). Used to close the
+loop in tests (decode(encode(x)).recon must equal the encoder's own
+reconstruction exactly) and validated against the system-ffmpeg decoder
+on real libx264 streams (tests/test_foreign_decode.py). Also doubles as
+the in-repo probe for "is this H.264 stream sane" (the role ffprobe
+played in the reference, cmd/consumer.go:396-419).
 
-Not a general-purpose decoder: no CABAC, no B-frames, no MBAFF, no FMO.
+Not general-purpose yet: no High profile (8x8 transform), no B-frames,
+no multi-ref, no MBAFF/FMO.
 """
 
 from __future__ import annotations
@@ -24,9 +29,12 @@ from . import headers as H
 from .cavlc import decode_residual_block
 from .entropy import CHROMA_BLK_ORDER, MB_TYPE_I_PCM
 from .frame_ops import LUMA_BLK_ORDER
-from .tables import ZIGZAG_4x4
+from .tables import CBP_INTRA_TO_CODE, ZIGZAG_4x4
 
 _ZZ = np.array(ZIGZAG_4x4)
+# inverse of the intra coded_block_pattern me(v) mapping
+_CBP_INTRA_FROM_CODE = {code: cbp
+                        for cbp, code in CBP_INTRA_TO_CODE.items()}
 
 
 def unzigzag(levels16) -> np.ndarray:
@@ -127,9 +135,14 @@ class H264Decoder:
         br.u(sp.log2_max_frame_num)               # frame_num
         if is_idr:
             br.ue()                               # idr_pic_id
+        if sp.poc_type == 0:
+            br.u(sp.log2_max_poc_lsb)             # pic_order_cnt_lsb
         if is_p:
+            num_ref = pp.num_ref_l0
             if br.u(1):                           # num_ref_idx_override
-                br.ue()
+                num_ref = br.ue() + 1
+            if num_ref != 1:
+                raise DecodeError("multiple reference frames unsupported")
             if br.u(1):                           # ref_pic_list_modification
                 raise DecodeError("ref list modification unsupported")
         if is_idr:
@@ -163,7 +176,9 @@ class H264Decoder:
         ctx = dict(br=br, sp=sp, pp=pp, qp=qp, y=y, u=u, v=v,
                    nz_y=nz_y, nz_cb=nz_cb, nz_cr=nz_cr,
                    mvs=mvs, mv_valid=mv_valid, intra_mb=intra_mb,
-                   qp_mb=qp_mb)
+                   qp_mb=qp_mb, cur_qp=qp,
+                   i4_modes=np.full((sp.mb_height * 4, sp.mb_width * 4),
+                                    -1, np.int8))
         if is_p:
             # P slices defer recon: parse fills these level arrays, then
             # one vectorized pass reconstructs every inter MB at once
@@ -200,7 +215,7 @@ class H264Decoder:
                     self._decode_pskip(ctx, mbx, mby)
 
                 def on_inter(mbx, mby, mvd, luma, cdc, cac):
-                    pred = pf.mv_pred(mvs, mv_valid, mbx, mby,
+                    pred = pf.mv_pred_dec(mvs, mv_valid, mbx, mby,
                                       sp.mb_width)
                     mvs[mby, mbx] = (pred[0] + mvd[0], pred[1] + mvd[1])
                     mv_valid[mby, mbx] = True
@@ -239,8 +254,9 @@ class H264Decoder:
             # raster order.
             for mby, row in enumerate(i_rows):
                 if mby > 0 and all(
-                        isinstance(e, dict) and e["pred_mode"] == 0
-                        and e["chroma_mode"] == 2 for e in row):
+                        isinstance(e, dict)
+                        and e.get("pred_mode") == 0
+                        and e.get("chroma_mode") == 2 for e in row):
                     self._recon_intra_row_v(ctx, mby, row)
                 else:
                     for mbx, e in enumerate(row):
@@ -251,8 +267,11 @@ class H264Decoder:
             from ...ops import deblock as dbf
             from ...ops.transform import CHROMA_QP_FULL
             nz = (nz_y.nz > 0)
+            # fold the PPS chroma_qp_index_offset into the lookup table
+            cq = np.asarray(CHROMA_QP_FULL)[
+                np.clip(np.arange(52) + pp.chroma_qp_index_offset, 0, 51)]
             yf, uf, vf = dbf.deblock_frame_host(
-                y, u, v, qp_mb, intra_mb, nz, mvs, CHROMA_QP_FULL)
+                y, u, v, qp_mb, intra_mb, nz, mvs, cq)
             y = np.asarray(yf)
             u = np.asarray(uf)
             v = np.asarray(vf)
@@ -313,7 +332,7 @@ class H264Decoder:
     def _parse_intra_mb(self, ctx, mbx, mby, mb_type):
         br = ctx["br"]
         if mb_type == 0:
-            raise DecodeError("I_4x4 unsupported")
+            return self._parse_i4x4_mb(ctx, mbx, mby)
         if not 1 <= mb_type <= 24:
             raise DecodeError(f"mb_type {mb_type} unsupported")
         t = mb_type - 1
@@ -321,7 +340,9 @@ class H264Decoder:
         cbp_chroma = (t // 4) % 3
         cbp_luma = 15 if t >= 12 else 0
         chroma_mode = br.ue()
-        br.se()                                   # mb_qp_delta (always 0 here)
+        delta = br.se()                           # mb_qp_delta
+        ctx["cur_qp"] = (ctx["cur_qp"] + delta + 52) % 52
+        ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
         ctx["intra_mb"][mby, mbx] = True
         ctx["mv_valid"][mby, mbx] = False
 
@@ -358,14 +379,87 @@ class H264Decoder:
                     total = int(np.count_nonzero(coeffs))
                 nzc.nz[by, bx] = total
         return dict(pred_mode=pred_mode, chroma_mode=chroma_mode,
-                    dc_zz=dc_zz, ac=ac, cdc=cdc, cac=cac)
+                    dc_zz=dc_zz, ac=ac, cdc=cdc, cac=cac,
+                    qp=ctx["cur_qp"])
+
+    # -- I_4x4 (I_NxN) macroblocks (foreign baseline streams) -------------
+    def _parse_i4x4_mb(self, ctx, mbx, mby):
+        """Parse an I_4x4 MB: per-block predicted pred modes, CBP with
+        the intra me(v) mapping, optional mb_qp_delta, 16-coeff luma
+        blocks for coded 8x8 groups."""
+        br = ctx["br"]
+        i4g = ctx["i4_modes"]
+        modes = np.zeros(16, np.int8)
+        for blk in range(16):
+            oy = int(LUMA_BLK_ORDER[blk, 0])
+            ox = int(LUMA_BLK_ORDER[blk, 1])
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            if bx == 0 or by == 0:
+                # spec 8.3.1.1 dcPredModePredictedFlag: an unavailable
+                # neighbor block forces the DC prediction for the mode
+                pred = 2
+            else:
+                a = i4g[by, bx - 1]     # -1 = decoded but not I_4x4 -> DC
+                b = i4g[by - 1, bx]
+                pred = min(a if a >= 0 else 2, b if b >= 0 else 2)
+            if br.u(1):                           # prev_intra4x4_pred_mode
+                mode = pred
+            else:
+                rem = br.u(3)
+                mode = rem if rem < pred else rem + 1
+            modes[blk] = mode
+            i4g[by, bx] = mode
+        chroma_mode = br.ue()
+        cbp = _CBP_INTRA_FROM_CODE[br.ue()]
+        if cbp:
+            delta = br.se()
+            ctx["cur_qp"] = (ctx["cur_qp"] + delta + 52) % 52
+        ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
+        ctx["intra_mb"][mby, mbx] = True
+        ctx["mv_valid"][mby, mbx] = False
+
+        nz_y = ctx["nz_y"]
+        luma = np.zeros((16, 16), np.int32)
+        for blk in range(16):
+            oy = int(LUMA_BLK_ORDER[blk, 0])
+            ox = int(LUMA_BLK_ORDER[blk, 1])
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            total = 0
+            if cbp & (1 << (blk // 4)):
+                coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
+                luma[blk] = coeffs
+                total = int(np.count_nonzero(coeffs))
+            nz_y.nz[by, bx] = total
+
+        cbp_chroma = cbp >> 4
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 16), np.int32)
+        if cbp_chroma:
+            for c in range(2):
+                cdc[c] = decode_residual_block(br, -1, 4)
+        for c, nzc in ((0, ctx["nz_cb"]), (1, ctx["nz_cr"])):
+            for blk in range(4):
+                oy = int(CHROMA_BLK_ORDER[blk, 0])
+                ox = int(CHROMA_BLK_ORDER[blk, 1])
+                by, bx = 2 * mby + oy, 2 * mbx + ox
+                total = 0
+                if cbp_chroma == 2:
+                    coeffs = decode_residual_block(br, nzc.nc(by, bx), 15)
+                    cac[c, blk, 1:] = coeffs
+                    total = int(np.count_nonzero(coeffs))
+                nzc.nz[by, bx] = total
+        return dict(kind="i4", modes=modes, luma=luma,
+                    chroma_mode=chroma_mode, cdc=cdc, cac=cac,
+                    qp=ctx["cur_qp"])
 
     def _recon_intra_mb(self, ctx, mbx, mby, parsed):
+        if parsed.get("kind") == "i4":
+            return self._recon_i4x4_mb(ctx, mbx, mby, parsed)
         pred_mode = parsed["pred_mode"]
         chroma_mode = parsed["chroma_mode"]
         dc_zz, ac = parsed["dc_zz"], parsed["ac"]
         cdc, cac = parsed["cdc"], parsed["cac"]
-        qp = ctx["qp"]
+        qp = parsed.get("qp", ctx["qp"])
         qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
 
         # ---- luma recon
@@ -388,7 +482,10 @@ class H264Decoder:
             mb_rec[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += res[blk]
         y[y0:y0 + 16, x0:x0 + 16] = np.clip(mb_rec, 0, 255)
 
-        # ---- chroma recon
+        self._recon_intra_chroma(ctx, mbx, mby, chroma_mode, cdc, cac, qpc)
+
+    def _recon_intra_chroma(self, ctx, mbx, mby, chroma_mode, cdc, cac,
+                            qpc):
         for c, plane in ((0, ctx["u"]), (1, ctx["v"])):
             c0y, c0x = 8 * mby, 8 * mbx
             predc = self._chroma_pred(plane, c0y, c0x, chroma_mode)
@@ -407,6 +504,180 @@ class H264Decoder:
                 oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
                 rec[4 * oy:4 * oy + 4, 4 * ox:4 * ox + 4] += resc[blk]
             plane[c0y:c0y + 8, c0x:c0x + 8] = np.clip(rec, 0, 255)
+
+    def _recon_i4x4_mb(self, ctx, mbx, mby, parsed):
+        """Reconstruct an I_4x4 MB block-by-block in coding order (each
+        block predicts from already-reconstructed neighbors)."""
+        y = ctx["y"]
+        sp = ctx["sp"]
+        qp = parsed["qp"]
+        qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
+        luma = parsed["luma"]
+        for blk in range(16):
+            oy = int(LUMA_BLK_ORDER[blk, 0])
+            ox = int(LUMA_BLK_ORDER[blk, 1])
+            r0, c0 = 16 * mby + 4 * oy, 16 * mbx + 4 * ox
+            pred = self._intra4_pred(y, r0, c0, int(parsed["modes"][blk]),
+                                     16 * sp.mb_width, blk)
+            wq = unzigzag(luma[blk])
+            res = tf.idct4_np(tf.dequant4_np(wq[None], qp))[0]
+            y[r0:r0 + 4, c0:c0 + 4] = np.clip(
+                pred.astype(np.int64) + res, 0, 255)
+        self._recon_intra_chroma(ctx, mbx, mby, parsed["chroma_mode"],
+                                 parsed["cdc"], parsed["cac"], qpc)
+
+    # within-MB decode order of 4x4 blocks, by (row, col) offsets
+    _BLK_DECODE_ORDER = None
+
+    @classmethod
+    def _blk_order_map(cls):
+        if cls._BLK_DECODE_ORDER is None:
+            m = np.zeros((4, 4), np.int32)
+            for blk in range(16):
+                m[int(LUMA_BLK_ORDER[blk, 0]),
+                  int(LUMA_BLK_ORDER[blk, 1])] = blk
+            cls._BLK_DECODE_ORDER = m
+        return cls._BLK_DECODE_ORDER
+
+    def _intra4_pred(self, y, r0, c0, mode, frame_w, blk):
+        """Spec 8.3.1.2: the nine 4x4 luma prediction modes."""
+        top_ok = r0 > 0
+        left_ok = c0 > 0
+        tl_ok = top_ok and left_ok
+        t = y[r0 - 1, c0:c0 + 4].astype(np.int64) if top_ok else None
+        le = y[r0:r0 + 4, c0 - 1].astype(np.int64) if left_ok else None
+        m = int(y[r0 - 1, c0 - 1]) if tl_ok else 0
+        # top-right: available only when those samples are inside the
+        # frame AND decoded before this block (decode order: MB raster,
+        # LUMA_BLK_ORDER within the MB)
+        tr = None
+        if top_ok and c0 + 4 < frame_w:
+            omap = self._blk_order_map()
+            cur = (r0 // 16 * 10000 + c0 // 16,
+                   int(omap[(r0 % 16) // 4, (c0 % 16) // 4]))
+            nbr_r, nbr_c = r0 - 4, c0 + 4
+            nbr = (nbr_r // 16 * 10000 + nbr_c // 16,
+                   int(omap[(nbr_r % 16) // 4, (nbr_c % 16) // 4]))
+            if nbr < cur:
+                tr = y[r0 - 1, c0 + 4:c0 + 8].astype(np.int64)
+        if tr is None and top_ok:
+            tr = np.full(4, int(t[3]), np.int64)
+
+        out = np.zeros((4, 4), np.int64)
+        if mode == 0:                                  # Vertical
+            if not top_ok:
+                raise DecodeError("i4 V without top")
+            return np.broadcast_to(t, (4, 4)).copy()
+        if mode == 1:                                  # Horizontal
+            if not left_ok:
+                raise DecodeError("i4 H without left")
+            return np.broadcast_to(le[:, None], (4, 4)).copy()
+        if mode == 2:                                  # DC
+            if top_ok and left_ok:
+                dc = (int(t.sum()) + int(le.sum()) + 4) >> 3
+            elif top_ok:
+                dc = (int(t.sum()) + 2) >> 2
+            elif left_ok:
+                dc = (int(le.sum()) + 2) >> 2
+            else:
+                dc = 128
+            out[:] = dc
+            return out
+        if mode == 3:                                  # Diagonal down-left
+            tt = np.concatenate([t, tr])
+            for yy in range(4):
+                for xx in range(4):
+                    if xx == 3 and yy == 3:
+                        out[yy, xx] = (tt[6] + 3 * tt[7] + 2) >> 2
+                    else:
+                        i = xx + yy
+                        out[yy, xx] = (tt[i] + 2 * tt[i + 1]
+                                       + tt[i + 2] + 2) >> 2
+            return out
+        if mode == 4:                                  # Diagonal down-right
+            for yy in range(4):
+                for xx in range(4):
+                    if xx > yy:
+                        i = xx - yy
+                        a = m if i == 1 else t[i - 2]
+                        out[yy, xx] = (a + 2 * (t[i - 1] if i >= 1 else m)
+                                       + t[i] + 2) >> 2
+                    elif xx < yy:
+                        i = yy - xx
+                        a = m if i == 1 else le[i - 2]
+                        out[yy, xx] = (a + 2 * (le[i - 1] if i >= 1 else m)
+                                       + le[i] + 2) >> 2
+                    else:
+                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
+            return out
+        if mode == 5:                                  # Vertical-right
+            for yy in range(4):
+                for xx in range(4):
+                    z = 2 * xx - yy
+                    if z >= 0 and z % 2 == 0:
+                        i = xx - (yy >> 1)
+                        a = m if i == 0 else t[i - 1]
+                        out[yy, xx] = (a + t[i] + 1) >> 1
+                    elif z >= 0:
+                        i = xx - (yy >> 1)
+                        a = m if i == 1 else t[i - 2]
+                        b = m if i == 0 else t[i - 1]
+                        out[yy, xx] = (a + 2 * b + t[i] + 2) >> 2
+                    elif z == -1:
+                        out[yy, xx] = (le[0] + 2 * m + t[0] + 2) >> 2
+                    else:
+                        out[yy, xx] = (le[yy - 1] + 2 * le[yy - 2]
+                                       + le[yy - 3] + 2) >> 2 if yy >= 3 \
+                            else (le[yy - 1] + 2 * le[yy - 2] + m + 2) >> 2
+            return out
+        if mode == 6:                                  # Horizontal-down
+            for yy in range(4):
+                for xx in range(4):
+                    z = 2 * yy - xx
+                    if z >= 0 and z % 2 == 0:
+                        i = yy - (xx >> 1)
+                        a = m if i == 0 else le[i - 1]
+                        out[yy, xx] = (a + le[i] + 1) >> 1
+                    elif z >= 0:
+                        i = yy - (xx >> 1)
+                        a = m if i == 1 else le[i - 2]
+                        b = m if i == 0 else le[i - 1]
+                        out[yy, xx] = (a + 2 * b + le[i] + 2) >> 2
+                    elif z == -1:
+                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
+                    else:
+                        out[yy, xx] = (t[xx - 1] + 2 * t[xx - 2]
+                                       + t[xx - 3] + 2) >> 2 if xx >= 3 \
+                            else (t[xx - 1] + 2 * t[xx - 2] + m + 2) >> 2
+            return out
+        if mode == 7:                                  # Vertical-left
+            tt = np.concatenate([t, tr])
+            for yy in range(4):
+                for xx in range(4):
+                    i = xx + (yy >> 1)
+                    if yy % 2 == 0:
+                        out[yy, xx] = (tt[i] + tt[i + 1] + 1) >> 1
+                    else:
+                        out[yy, xx] = (tt[i] + 2 * tt[i + 1]
+                                       + tt[i + 2] + 2) >> 2
+            return out
+        if mode == 8:                                  # Horizontal-up
+            for yy in range(4):
+                for xx in range(4):
+                    z = xx + 2 * yy
+                    if z > 5:
+                        out[yy, xx] = le[3]
+                    elif z == 5:
+                        out[yy, xx] = (le[2] + 3 * le[3] + 2) >> 2
+                    elif z % 2 == 0:
+                        i = yy + (xx >> 1)
+                        out[yy, xx] = (le[i] + le[i + 1] + 1) >> 1
+                    else:
+                        i = yy + (xx >> 1)
+                        out[yy, xx] = (le[i] + 2 * le[i + 1]
+                                       + le[i + 2] + 2) >> 2
+            return out
+        raise DecodeError(f"i4 mode {mode} unsupported")
 
     def _recon_intra_row_v(self, ctx, mby, row):
         """Batched recon of one all-Vertical I16x16 MB row (luma V +
@@ -474,7 +745,22 @@ class H264Decoder:
             else:
                 dc = 128
             return np.full((16, 16), dc, np.int64)
-        raise DecodeError("Plane pred unsupported")
+        if mode == 3:                              # Plane (spec 8.3.3.4)
+            if not (top_ok and left_ok):
+                raise DecodeError("Plane pred without neighbors")
+            t = y[y0 - 1, x0 - 1:x0 + 16].astype(np.int64)  # t[0] = corner
+            le = y[y0 - 1:y0 + 16, x0 - 1].astype(np.int64)
+            hh = sum((x + 1) * (int(t[9 + x]) - int(t[7 - x]))
+                     for x in range(8))
+            vv = sum((yy + 1) * (int(le[9 + yy]) - int(le[7 - yy]))
+                     for yy in range(8))
+            a = 16 * (int(t[16]) + int(le[16]))
+            b = (5 * hh + 32) >> 6
+            c = (5 * vv + 32) >> 6
+            xs = np.arange(16)
+            grid = a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16
+            return np.clip(grid >> 5, 0, 255)
+        raise DecodeError(f"I16 pred mode {mode} unsupported")
 
     def _chroma_pred(self, plane, c0y, c0x, mode) -> np.ndarray:
         top_ok = c0y > 0
@@ -513,7 +799,22 @@ class H264Decoder:
                         dc = 128
                     out[4 * sy:4 * sy + 4, 4 * sx:4 * sx + 4] = dc
             return out
-        raise DecodeError("chroma Plane pred unsupported")
+        if mode == 3:                              # Plane (spec 8.3.4.4)
+            if not (top_ok and left_ok):
+                raise DecodeError("chroma Plane without neighbors")
+            t = plane[c0y - 1, c0x - 1:c0x + 8].astype(np.int64)
+            le = plane[c0y - 1:c0y + 8, c0x - 1].astype(np.int64)
+            hh = sum((x + 1) * (int(t[5 + x]) - int(t[3 - x]))
+                     for x in range(4))
+            vv = sum((yy + 1) * (int(le[5 + yy]) - int(le[3 - yy]))
+                     for yy in range(4))
+            a = 16 * (int(t[8]) + int(le[8]))
+            b = (17 * hh + 16) >> 5
+            c = (17 * vv + 16) >> 5
+            xs = np.arange(8)
+            grid = a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16
+            return np.clip(grid >> 5, 0, 255)
+        raise DecodeError(f"chroma pred mode {mode} unsupported")
 
     def _decode_pcm(self, ctx, mbx, mby):
         br = ctx["br"]

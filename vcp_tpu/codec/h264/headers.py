@@ -31,6 +31,8 @@ class SeqParams:
     log2_max_frame_num: int = 8
     num_ref_frames: int = 1
     sps_id: int = 0
+    poc_type: int = 2              # 2 = output order == decode order
+    log2_max_poc_lsb: int = 8      # used when poc_type == 0
 
     @property
     def mb_width(self) -> int:
@@ -49,6 +51,7 @@ class PicParams:
     chroma_qp_index_offset: int = 0
     deblocking_filter_control_present: bool = True
     cabac: bool = False            # entropy_coding_mode_flag
+    num_ref_l0: int = 1            # num_ref_idx_l0_default_active
 
 
 def write_sps(sp: SeqParams) -> bytes:
@@ -144,10 +147,22 @@ def parse_sps(rbsp: bytes) -> SeqParams:
     br.u(8)
     level = br.u(8)
     sps_id = br.ue()
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+                   134, 135):
+        chroma_format = br.ue()
+        if chroma_format != 1:
+            raise ValueError(f"chroma_format_idc {chroma_format} "
+                             "unsupported (4:2:0 only)")
+        if br.ue() != 0 or br.ue() != 0:   # bit depths
+            raise ValueError("high bit depth unsupported")
+        br.u(1)                            # qpprime_y_zero_transform_bypass
+        if br.u(1):
+            raise ValueError("seq scaling matrices unsupported")
     log2_mfn = br.ue() + 4
     poc_type = br.ue()
+    log2_max_poc = 8
     if poc_type == 0:
-        br.ue()
+        log2_max_poc = br.ue() + 4
     elif poc_type == 1:
         raise ValueError("poc_type 1 unsupported")
     num_ref = br.ue()
@@ -165,7 +180,8 @@ def parse_sps(rbsp: bytes) -> SeqParams:
         height -= 2 * (ct + cb)
     return SeqParams(width=width, height=height, profile_idc=profile,
                      level_idc=level, log2_max_frame_num=log2_mfn,
-                     num_ref_frames=num_ref, sps_id=sps_id)
+                     num_ref_frames=num_ref, sps_id=sps_id,
+                     poc_type=poc_type, log2_max_poc_lsb=log2_max_poc)
 
 
 def parse_pps(rbsp: bytes) -> PicParams:
@@ -176,7 +192,7 @@ def parse_pps(rbsp: bytes) -> PicParams:
     br.u(1)
     if br.ue() != 0:
         raise ValueError("slice groups unsupported")
-    br.ue()
+    num_ref_l0 = br.ue() + 1
     br.ue()
     br.u(1)
     br.u(2)
@@ -187,4 +203,4 @@ def parse_pps(rbsp: bytes) -> PicParams:
     return PicParams(pps_id=pps_id, sps_id=sps_id, init_qp=init_qp,
                      chroma_qp_index_offset=chroma_off,
                      deblocking_filter_control_present=deblock_present,
-                     cabac=cabac)
+                     cabac=cabac, num_ref_l0=num_ref_l0)

@@ -440,13 +440,61 @@ def _recon_inter_mb(dec_ctx, mbx, mby, mv, ref, z_luma=None,
         plane[c0y:c0y + 8, c0x:c0x + 8] = np.clip(predc, 0, 255)
 
 
+def _mv_neighbors_dec(mvs, inter, mbx, mby, n_mbx):
+    """Decoder-side neighbor fetch with SPEC availability semantics:
+    a neighbor is unavailable only when its position lies outside the
+    picture/slice; an INTRA-coded neighbor IS available, contributing
+    mv (0,0) with refIdx -1 (spec 8.4.1.3.2). The encoder-side
+    mv_pred/skip_mv above conflate the two — correct for this
+    framework's all-inter P slices, wrong for foreign streams with
+    intra MBs inside P slices."""
+    def get(x, y):
+        if x < 0 or y < 0 or x >= n_mbx:
+            return None
+        if not inter[y, x]:
+            return ((0, 0), -1)
+        return ((int(mvs[y, x, 0]), int(mvs[y, x, 1])), 0)
+
+    a = get(mbx - 1, mby)
+    b = get(mbx, mby - 1)
+    c = get(mbx + 1, mby - 1) if mby > 0 and mbx + 1 < n_mbx else None
+    if c is None:
+        c = get(mbx - 1, mby - 1)
+    return a, b, c
+
+
+def mv_pred_dec(mvs, inter, mbx, mby, n_mbx):
+    """Spec 8.4.1.3 median MV prediction (decoder semantics)."""
+    a, b, c = _mv_neighbors_dec(mvs, inter, mbx, mby, n_mbx)
+    if b is None and c is None and a is not None:
+        return a[0]
+    matches = [n for n in (a, b, c) if n is not None and n[1] == 0]
+    if len(matches) == 1:
+        return matches[0][0]
+    vals = [(n[0] if n is not None else (0, 0)) for n in (a, b, c)]
+    med = tuple(sorted(v[k] for v in vals)[1] for k in range(2))
+    return med
+
+
+def skip_mv_dec(mvs, inter, mbx, mby, n_mbx):
+    """Spec 8.4.1.1 P_Skip MV (decoder semantics)."""
+    a, b, c = _mv_neighbors_dec(mvs, inter, mbx, mby, n_mbx)
+    if a is None or b is None:
+        return (0, 0)
+    if a[1] == 0 and a[0] == (0, 0):
+        return (0, 0)
+    if b[1] == 0 and b[0] == (0, 0):
+        return (0, 0)
+    return mv_pred_dec(mvs, inter, mbx, mby, n_mbx)
+
+
 def decode_pskip(dec, ctx, mbx, mby, ref):
     """Parse-time half of a skipped MB: derive the skip MV and zero the
     nC context. Reconstruction is deferred to recon_p_frame (inter recon
     reads only the reference frame, so it is order-independent)."""
     sp = ctx["sp"]
     mvs, valid = ctx["mvs"], ctx["mv_valid"]
-    mv = skip_mv(mvs, valid, mbx, mby, sp.mb_width)
+    mv = skip_mv_dec(mvs, valid, mbx, mby, sp.mb_width)
     mvs[mby, mbx] = mv
     valid[mby, mbx] = True
     ctx["nz_y"].nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
@@ -464,12 +512,16 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
     sp = ctx["sp"]
     mvs, valid = ctx["mvs"], ctx["mv_valid"]
     mvd_x, mvd_y = br.se(), br.se()
-    pred = mv_pred(mvs, valid, mbx, mby, sp.mb_width)
+    pred = mv_pred_dec(mvs, valid, mbx, mby, sp.mb_width)
     mv = (pred[0] + mvd_x, pred[1] + mvd_y)   # quarter-pel units
     code = br.ue()
     cbp = CBP_TABLE[code][1]
     if cbp:
-        br.se()                          # mb_qp_delta (0 in our streams)
+        delta = br.se()
+        if delta:
+            # inter recon is one vectorized pass at slice QP; per-MB
+            # inter QP (adaptive-quant streams) is a decode gap
+            raise DecodeError("per-MB qp_delta in P slices unsupported")
 
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     z_luma = ctx["p_z_luma"][mby, mbx]
