@@ -5,12 +5,16 @@ the jitted GOP step (the filtered picture is the next frame's reference),
 and the validation decoder calls the same functions eagerly on CPU — so
 closed-loop bit-exactness is structural.
 
-Parallelization: filtering is sequential across edges 4 px apart (a later
-edge reads samples an earlier edge may have written), but each edge
-filters all H rows at once. Vertical edges run as a ``lax.scan`` over
-edge columns; horizontal edges reuse the same pass on the transposed
-plane (the spec's filter is symmetric under transpose, and the full
-vertical pass completes before the horizontal one, per 8.7).
+Parallelization: H.264's filter order is normatively SEQUENTIAL across
+macroblocks (per-MB raster, vertical then horizontal edges, each edge
+reading previously filtered samples — spec 8.7; HEVC relaxed this, not
+H.264). deblock_frame realizes the exact order as a skewed-diagonal
+wavefront over d = mbx + 2*mby: MBs on one diagonal have disjoint
+neighbor sets, so each step is dense vector work. Three bit-identical
+engines: an XLA fori_loop, a Pallas TPU kernel (deblock_pallas, default
+on TPU, VCP_PALLAS_DEBLOCK=0 opts out), and a pure-NumPy twin for the
+host validation decoder (deblock_frame_host). Conformance asserted
+against the system-ffmpeg decoder (tests/test_conformance.py).
 
 Boundary strengths: bS=4 on intra MB edges, 3 on intra internal edges,
 2 where either adjacent 4x4 block has residual, 1 on >=1-pel MV
@@ -203,69 +207,6 @@ def _edge_pass(plane, bs_edges, qp_edges, luma: bool):
 def _repeat_rows(block_vals, factor):
     """(n_edges, Hb) block-row values → (n_edges, Hb*factor) pixel rows."""
     return jnp.repeat(block_vals, factor, axis=1)
-
-
-def _edge_scan(blocks, bs_edges, alpha, beta, tc0, luma: bool):
-    """Filter all edges of one direction as a ``lax.scan`` over 4-sample
-    blocks — the TPU-shaped formulation of the edge chain.
-
-    The naive per-edge loop does a tiny (L, 8) dynamic slice + update of
-    the whole plane per edge (~19 µs/edge on v5e ≈ 33 ms/frame at 1080p).
-    Here the plane is pre-blocked to (n_blocks, 4, L) with the along-edge
-    dimension LAST (vector lanes); the scan carries the current block —
-    exactly the filter's data dependency (edge k modifies block k's tail
-    and block k+1's head) — so each step is pure elementwise VPU work on
-    static shapes. Bit-identical to _edge_pass (asserted by tests).
-
-    blocks: (n_blocks, 4, L) int32; bs/alpha/beta/tc0: (n_blocks-1, L)
-    (thresholds pre-looked-up via lookup_tables, ideally at block-row
-    resolution). Returns filtered blocks, same shape.
-
-    On TPU backends the chain runs as a single Pallas kernel
-    (ops.deblock_pallas, bit-identical) — the XLA scan pays ~30 µs/step
-    of op dispatch on tiny (4, L) blocks; VCP_PALLAS_DEBLOCK=0 opts out.
-    """
-    import os
-    if (jax.default_backend() not in ("cpu",)
-            and os.environ.get("VCP_PALLAS_DEBLOCK", "1") != "0"):
-        from .deblock_pallas import edge_scan_pallas
-        return edge_scan_pallas(blocks, bs_edges, alpha, beta, tc0, luma)
-    bs_edges = jnp.asarray(bs_edges, jnp.int32)
-
-    if luma:
-        def step(carry, xs):
-            nxt, bs, al, be, tc = xs
-            p3, p2, p1, p0 = carry[0], carry[1], carry[2], carry[3]
-            q0, q1, q2, q3 = nxt[0], nxt[1], nxt[2], nxt[3]
-            op2, op1, op0, oq0, oq1, oq2 = filter_core_luma(
-                p3, p2, p1, p0, q0, q1, q2, q3, bs, al, be, tc)
-            return (jnp.stack([oq0, oq1, oq2, q3]),
-                    jnp.stack([p3, op2, op1, op0]))
-    else:
-        def step(carry, xs):
-            nxt, bs, al, be, tc = xs
-            p1, p0 = carry[2], carry[3]
-            q0, q1 = nxt[0], nxt[1]
-            op0, oq0 = filter_core_chroma(p1, p0, q0, q1, bs, al, be, tc)
-            return (jnp.stack([oq0, nxt[1], nxt[2], nxt[3]]),
-                    jnp.stack([carry[0], carry[1], p1, op0]))
-
-    carry, outs = jax.lax.scan(
-        step, blocks[0], (blocks[1:], bs_edges, alpha, beta, tc0))
-    return jnp.concatenate([outs, carry[None]], axis=0)
-
-
-def _scan_pass(plane, bs_px, alpha_px, beta_px, tc0_px, luma: bool,
-               transpose: bool):
-    """One direction's full edge pass via _edge_scan. ``transpose=True``
-    filters vertical edges (chain along x): the plane is transposed so
-    the along-edge dim lands on vector lanes."""
-    p = plane.T if transpose else plane
-    n, l = p.shape
-    out = _edge_scan(p.reshape(n // 4, 4, l), bs_px, alpha_px, beta_px,
-                     tc0_px, luma)
-    out = out.reshape(n, l)
-    return out.T if transpose else out
 
 
 def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp):
