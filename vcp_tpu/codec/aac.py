@@ -12,13 +12,12 @@ below the video path), uniform-scalefactor quantization with a
 per-frame bit-budget bisection (CBR-ish), per-band Huffman codebook
 selection over the normative books 1-11, and ADTS framing. Mono SCE or
 stereo CPE (common window, MS off). Validated against the system-ffmpeg
-AAC decoder (tests/test_aac_encode.py): decoded PCM must match the
+AAC decoder (tests/test_aac.py): decoded PCM must match the
 input within the quantization budget.
 """
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
