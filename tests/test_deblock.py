@@ -153,8 +153,11 @@ def test_pallas_wavefront_matches_xla():
 
 
 def test_host_numpy_deblock_matches_device():
-    """deblock_frame_host (pure NumPy, decoder path) must be bit-identical
-    to the jnp wavefront."""
+    """deblock_frame_host (native C++ raster filter when available, pure
+    NumPy otherwise) must be bit-identical to the jnp wavefront — both
+    engines are exercised."""
+    import os
+
     import jax.numpy as jnp
     from vcp_tpu.ops import transform as tf
 
@@ -176,5 +179,13 @@ def test_host_numpy_deblock_matches_device():
                                 tf.CHROMA_QP_FULL)
         host = dbf.deblock_frame_host(y, u, v, qp_mb, intra, nz, mv,
                                       np.asarray(tf.CHROMA_QP_FULL))
-        for a, b in zip(host, ref):
+        os.environ["VCP_NO_NATIVE"] = "1"
+        try:
+            hostnp = dbf.deblock_frame_host(
+                y, u, v, qp_mb, intra, nz, mv,
+                np.asarray(tf.CHROMA_QP_FULL))
+        finally:
+            del os.environ["VCP_NO_NATIVE"]
+        for a, b, c in zip(host, ref, hostnp):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(c), np.asarray(b))

@@ -38,6 +38,9 @@ def _configure(lib) -> None:
     lib.vcp_write_pslice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32,
         i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+    lib.vcp_deblock_frame.restype = None
+    lib.vcp_deblock_frame.argtypes = [
+        i32p, i32p, i32p, i32, i32, i32p, i32p, i32p, i32p]
 
 
 def get_lib():

@@ -134,12 +134,15 @@ def filter_core_chroma(p1, p0, q0, q1, bs, alpha, beta, tc0, xp=jnp):
 def lookup_tables(bs, qp_av, xp=jnp):
     """(alpha, beta, tc0) per sample from the spec tables.
 
-    Gather-free: per-sample indexing of a 52-entry table lowers to a slow
-    generic gather on TPU (~6 ms per 479x1088 pass); instead unroll a
-    52-way select-sum — dense VPU compares XLA fuses into one pass.
-    Call at block-row resolution where possible (4x fewer samples)."""
+    Gather-free on device: per-sample indexing of a 52-entry table lowers
+    to a slow generic gather on TPU (~6 ms per 479x1088 pass); instead
+    unroll a 52-way select-sum — dense VPU compares XLA fuses into one
+    pass. On HOST (xp is numpy) fancy indexing is the fast path."""
     idx = xp.clip(qp_av, 0, 51)
     bsc = xp.clip(bs, 1, 3)
+    if xp is np:
+        return (ALPHA[idx], BETA[idx],
+                TC0[np.asarray(bsc) - 1, idx].astype(np.int64))
     alpha = xp.zeros_like(idx)
     beta = xp.zeros_like(idx)
     tc0 = xp.zeros_like(idx)
@@ -527,7 +530,6 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
     bs_h = compute_bs_luma(intra_mb, nz_y, mvq, False, xp=np)
     qp_h = compute_qp_edges(qp_mb, False, False, xp=np)
     hthr = np.swapaxes(grid_v(bs_h, qp_h, 4), 1, 2)
-    y = _wavefront_luma_np(y, vthr, hthr, n_mby, n_mbx)
 
     bs_cv = np.repeat(bs_v[1::2], 2, axis=1).reshape(wc // 4 - 1, hc)
     qp_cv = np.repeat(compute_qp_edges(qp_mb, True, True,
@@ -537,6 +539,20 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
     qp_ch = np.repeat(compute_qp_edges(qp_mb, False, True,
                                        chroma_qp_table, xp=np), 4, axis=1)
     chthr = np.swapaxes(grid_v(bs_ch, qp_ch, 1), 1, 2)
+
+    from .. import native
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "vcp_deblock_frame"):
+        import ctypes
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        arrs = [np.ascontiguousarray(a, np.int32)
+                for a in (y, u, v, vthr, hthr, cvthr, chthr)]
+        lib.vcp_deblock_frame(
+            *[a.ctypes.data_as(i32p) for a in arrs[:3]],
+            y.shape[0], y.shape[1],
+            *[a.ctypes.data_as(i32p) for a in arrs[3:]])
+        return tuple(arrs[:3])
+    y = _wavefront_luma_np(y, vthr, hthr, n_mby, n_mbx)
     u, v = _wavefront_chroma_np(u, v, cvthr, chthr, n_mby, n_mbx)
     return y, u, v
 
