@@ -31,15 +31,16 @@ def load_clip(name: str):
     return [(z[f"f{i}_y"], z[f"f{i}_u"], z[f"f{i}_v"]) for i in range(n)]
 
 
-def encode_ours(frames, qp: int, cabac: bool = True):
+def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0):
     from vcp_tpu.codec.h264.decoder import H264Decoder
     from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
 
     h, w = frames[0][0].shape
     enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
                                     gop_size=len(frames), cabac=cabac,
-                                    deblock=True, effort=6))
-    aus = [au for au, _ in enc.encode_gop(frames)]
+                                    deblock=True, effort=6,
+                                    bframes=bframes))
+    aus = [s[0] for s in enc.encode_gop(frames)]
     size = sum(len(a) for a in aus) + len(enc.headers_annexb())
     dec = H264Decoder().decode_annexb(
         enc.headers_annexb() + b"".join(aus))
@@ -67,6 +68,7 @@ def bd_rate(r1, p1, r2, p2):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--qps", default="22,26,30,34,38")
+    ap.add_argument("--bframes", type=int, default=0)
     ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))
     args = ap.parse_args(argv)
     qps = [int(q) for q in args.qps.split(",")]
@@ -84,7 +86,7 @@ def main(argv=None):
         n = m["n"]
         ours = []
         for qp in qps:
-            size, ps = encode_ours(frames, qp)
+            size, ps = encode_ours(frames, qp, bframes=args.bframes)
             kbps = size * 8 * fps / n / 1000.0
             ours.append((kbps, ps))
             print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB",

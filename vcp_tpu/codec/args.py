@@ -68,6 +68,7 @@ class EncodeParams:
     bufsize: int = 0
     crf: float = -1.0                   # -crf (negative = unset)
     gop_size: int = 0                   # -g (0 = encoder default)
+    bframes: int = -1                   # -bf (-1 = encoder default)
     # audio
     audio_codec: str | None = None      # "aac" | "copy" | None
     audio_disabled: bool = False        # -an
@@ -154,6 +155,9 @@ def parse_encode_args(args: str) -> EncodeParams:
             i += 2
         elif t == "-g":
             p.gop_size = int(need())
+            i += 2
+        elif t == "-bf":
+            p.bframes = int(need())
             i += 2
         elif t == "-b:a":
             p.audio_bitrate = parse_size(need())

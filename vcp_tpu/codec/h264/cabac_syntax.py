@@ -8,16 +8,13 @@ defaults to CABAC; CAVLC leaves ~10% bitrate on the table at equal QP.
 
 Both directions live here and share every context-increment derivation
 (neighbor cbf, |mvd| sums, cbp bits, skip flags), so the encoder and
-decoder cannot drift. Context initialization uses the neutral state
-(m=0, n=64 — initValue 154 in HEVC terms) for every context rather than
-the spec's Tables 9-12..9-33, exactly like the HEVC engine
-(codec.h265.ctx): inits are a pure compression refinement and the
-closed loop is what tests assert. Two documented simplifications of
-unavailable-neighbor handling (cbf: unavailable -> intra flag;
-mb_type b0: unavailable -> 0) are likewise symmetric.
+decoder cannot drift. Context initialization follows the normative
+Tables 9-12..9-33 (cabac_init_idc=0 for P/B) — conformance vs the
+system-ffmpeg decoder is asserted by tests/test_conformance.py.
 
 Stream shape: the frames this framework emits — I16x16-only I slices,
-P slices with P_L0_16x16 + P_Skip (single reference).
+P slices with P_L0_16x16 + P_Skip (single reference), B slices with
+B_L0/B_L1/B_Bi_16x16 (one reference per list, explicit MVs).
 """
 
 from __future__ import annotations
@@ -45,16 +42,23 @@ _SIG_OFF = (0, 15, 29, 44, 47)      # ctxBlockCat offsets, frame-coded
 _ABS_OFF = (0, 10, 20, 30, 39)
 
 
-def _ctx_index_map(pslice: bool) -> dict:
+def _ctx_index_map(slice_type: str) -> dict:
     m = {
         # I slice: mb_type ctxIdxOffset 3; b0 inc 0..2, tail bins 6..9
         # (both pred bins share 9). P slice: the intra suffix re-uses
-        # base 17 with NO neighbor inc and tail 18,19,19,20,20.
-        "mbt_i": (17, 17, 17) if pslice else (3, 4, 5),
-        "mbt_i_tail": (18, 19, 19, 20, 20) if pslice
-        else (6, 7, 8, 9, 10),
+        # base 17 with NO neighbor inc and tail 18,19,19,20,20. B slice:
+        # intra suffix base 32 (shared with the mb_type '11xxxx' bins),
+        # tail 33,34,34,35,35.
+        "mbt_i": {"I": (3, 4, 5), "P": (17, 17, 17),
+                  "B": (32, 32, 32)}[slice_type],
+        "mbt_i_tail": {"I": (6, 7, 8, 9, 10), "P": (18, 19, 19, 20, 20),
+                       "B": (33, 34, 34, 35, 35)}[slice_type],
         "mbt_p": (14, 15, 16),
-        "skip": (11, 12, 13),
+        # B mb_type (9.3.3.1.1.3): bin0 ctx 27+inc(0..2), bin1 ctx 30,
+        # then 31 for the first '11'-suffix bin and 32 for the rest
+        "mbt_b": (27, 28, 29),
+        "mbt_b_fix": (30, 31, 32),
+        "skip": (24, 25, 26) if slice_type == "B" else (11, 12, 13),
         "chroma_mode": (64, 65, 66, 67),
         "qp_delta": (60,),
         "cbp_l": tuple(range(73, 77)),
@@ -70,19 +74,21 @@ def _ctx_index_map(pslice: bool) -> dict:
     return m
 
 
-_CTX_MAP = {False: _ctx_index_map(False), True: _ctx_index_map(True)}
+_CTX_MAP = {t: _ctx_index_map(t) for t in ("I", "P", "B")}
 
 
 class H264CabacContexts:
     """All adaptive contexts for one slice, spec-initialized (9.3.1.1,
-    Tables 9-12..9-33; cabac_init_idc=0 for P slices) and addressed by
+    Tables 9-12..9-33; cabac_init_idc=0 for P/B slices) and addressed by
     (named-slot, index) through the global ctxIdx map above."""
 
-    def __init__(self, slice_qp: int, pslice: bool = False):
+    def __init__(self, slice_qp: int, pslice: bool = False,
+                 slice_type: str | None = None):
         from .cabac_tables import CTX_INIT_I, CTX_INIT_PB
-        tab = CTX_INIT_PB[0] if pslice else CTX_INIT_I
+        st = slice_type or ("P" if pslice else "I")
+        tab = CTX_INIT_I if st == "I" else CTX_INIT_PB[0]
         self.g = [Context.from_init(m, n, slice_qp) for (m, n) in tab]
-        self.map = _CTX_MAP[pslice]
+        self.map = _CTX_MAP[st]
 
     def __getitem__(self, key):
         name, idx = key
@@ -101,7 +107,9 @@ class MbState:
         self.chroma_mode = np.zeros((n_mby, n_mbx), np.int32)
         self.cbp_luma8 = np.zeros((2 * n_mby, 2 * n_mbx), np.int32)
         self.cbp_chroma = np.zeros((n_mby, n_mbx), np.int32)
-        self.absmvd = np.zeros((n_mby, n_mbx, 2), np.int32)
+        # per-list |mvd| for the mvd ctxIdxInc (9.3.3.1.1.7); P uses
+        # list 0 only
+        self.absmvd = np.zeros((n_mby, n_mbx, 2, 2), np.int32)
         # coded_block_flag grids
         self.cbf_l4 = np.zeros((4 * n_mby, 4 * n_mbx), np.int8)
         self.cbf_i16dc = np.zeros((n_mby, n_mbx), np.int8)
@@ -161,13 +169,13 @@ class MbState:
         cb = 1 if (b and self.cbp_chroma[b[1], b[0]] == 2) else 0
         return 4 + ca + 2 * cb
 
-    def mvd_ctx(self, mbx, mby, comp: int):
+    def mvd_ctx(self, mbx, mby, comp: int, lst: int = 0):
         a, b = self._nb(mbx, mby)
         s = 0
         if a and self.avail[a[1], a[0]]:
-            s += int(self.absmvd[a[1], a[0], comp])
+            s += int(self.absmvd[a[1], a[0], lst, comp])
         if b and self.avail[b[1], b[0]]:
-            s += int(self.absmvd[b[1], b[0], comp])
+            s += int(self.absmvd[b[1], b[0], lst, comp])
         return 0 if s < 3 else (1 if s <= 32 else 2)
 
     def cbf_ctx(self, cat: int, mbx, mby, blk: int, cur_intra: bool,
@@ -378,10 +386,10 @@ def _decode_mb_i16(dec, cx, st, mbx, mby):
     return pred_mode, chroma_mode, bool(cbp_luma15), int(cbp_chroma)
 
 
-def _encode_mvd_comp(enc, cx, st, mbx, mby, comp, mvd):
+def _encode_mvd_comp(enc, cx, st, mbx, mby, comp, mvd, lst=0):
     name = "mvd_x" if comp == 0 else "mvd_y"
     v = abs(mvd)
-    b0 = st.mvd_ctx(mbx, mby, comp)
+    b0 = st.mvd_ctx(mbx, mby, comp, lst)
     prefix = min(v, 9)
     ctx_of = lambda b: b0 if b == 0 else min(6, 2 + b)  # noqa: E731
     for b in range(prefix):
@@ -394,9 +402,9 @@ def _encode_mvd_comp(enc, cx, st, mbx, mby, comp, mvd):
         enc.encode_bypass(1 if mvd < 0 else 0)
 
 
-def _decode_mvd_comp(dec, cx, st, mbx, mby, comp):
+def _decode_mvd_comp(dec, cx, st, mbx, mby, comp, lst=0):
     name = "mvd_x" if comp == 0 else "mvd_y"
-    b0 = st.mvd_ctx(mbx, mby, comp)
+    b0 = st.mvd_ctx(mbx, mby, comp, lst)
     ctx_of = lambda b: b0 if b == 0 else min(6, 2 + b)  # noqa: E731
     v = 0
     while v < 9 and dec.decode(cx[name, ctx_of(v)]):
@@ -466,12 +474,12 @@ def _mb_i16_residual(enc_or_dec, cx, st, mbx, mby, *, encode,
 
 def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                        idr_pic_id: int, qp: int, data: dict,
-                       deblock: bool = False) -> bytes:
+                       deblock: bool = False, poc_lsb: int = 0) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=True, frame_num=frame_num,
                          slice_qp=qp, idr_pic_id=idr_pic_id,
-                         disable_deblocking=not deblock)
+                         disable_deblocking=not deblock, poc_lsb=poc_lsb)
     bw.byte_align(1)                     # cabac_alignment_one_bit
 
     enc = CabacEncoder()
@@ -506,12 +514,14 @@ def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 
 
 def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
-                       qp: int, data: dict, deblock: bool = False) -> bytes:
+                       qp: int, data: dict, deblock: bool = False,
+                       poc_lsb: int = 0) -> bytes:
     from .pframe import mv_pred, skip_mv
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
-                         slice_qp=qp, disable_deblocking=not deblock)
+                         slice_qp=qp, disable_deblocking=not deblock,
+                         poc_lsb=poc_lsb)
     bw.byte_align(1)
 
     enc = CabacEncoder()
@@ -561,7 +571,7 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
             mvd = (m[0] - pred[0], m[1] - pred[1])
             _encode_mvd_comp(enc, cx, st, mbx, mby, 0, mvd[0])
             _encode_mvd_comp(enc, cx, st, mbx, mby, 1, mvd[1])
-            st.absmvd[mby, mbx] = (abs(mvd[0]), abs(mvd[1]))
+            st.absmvd[mby, mbx, 0] = (abs(mvd[0]), abs(mvd[1]))
             # coded_block_pattern: 4 luma bins + up to 2 chroma bins
             for b8 in range(4):
                 enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
@@ -689,7 +699,7 @@ def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
                     raise ValueError("P mb_type != P_L0_16x16 unsupported")
                 mvd_x = _decode_mvd_comp(dec, cx, st, mbx, mby, 0)
                 mvd_y = _decode_mvd_comp(dec, cx, st, mbx, mby, 1)
-                st.absmvd[mby, mbx] = (abs(mvd_x), abs(mvd_y))
+                st.absmvd[mby, mbx, 0] = (abs(mvd_x), abs(mvd_y))
                 cbp_l = 0
                 for b8 in range(4):
                     bit = dec.decode(cx["cbp_l",
@@ -713,4 +723,186 @@ def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
             term = dec.decode_terminate()
             if term != (1 if last else 0):
                 raise ValueError("CABAC P-slice MB count mismatch")
+    return st
+
+
+# ---------------------------------------------------------------------------
+# B slices (B_L0_16x16 / B_L1_16x16 / B_Bi_16x16; no direct/skip MBs)
+# ---------------------------------------------------------------------------
+
+def _encode_mb_type_b(enc, cx, st, mbx, mby, mode: int) -> None:
+    """B mb_type binarization (Table 9-37): bin0=1 (not B_Direct), then
+    '0'+list bin for L0/L1, or '1'+4 fixed bins 0000 for B_Bi_16x16."""
+    b0 = st.skip_ctx(mbx, mby)   # same condTerm as skip: avail && !skip
+    enc.encode(cx["mbt_b", b0], 1)
+    if mode < 2:
+        enc.encode(cx["mbt_b_fix", 0], 0)
+        enc.encode(cx["mbt_b_fix", 2], mode)
+    else:
+        enc.encode(cx["mbt_b_fix", 0], 1)
+        enc.encode(cx["mbt_b_fix", 1], 0)
+        enc.encode(cx["mbt_b_fix", 2], 0)
+        enc.encode(cx["mbt_b_fix", 2], 0)
+        enc.encode(cx["mbt_b_fix", 2], 0)
+
+
+def _decode_mb_type_b(dec, cx, st, mbx, mby) -> int:
+    b0 = st.skip_ctx(mbx, mby)
+    if not dec.decode(cx["mbt_b", b0]):
+        raise ValueError("B_Direct_16x16 unsupported")
+    if not dec.decode(cx["mbt_b_fix", 0]):
+        return dec.decode(cx["mbt_b_fix", 2])
+    bits = dec.decode(cx["mbt_b_fix", 1]) << 3
+    bits |= dec.decode(cx["mbt_b_fix", 2]) << 2
+    bits |= dec.decode(cx["mbt_b_fix", 2]) << 1
+    bits |= dec.decode(cx["mbt_b_fix", 2])
+    if bits == 0:
+        return 2                       # B_Bi_16x16
+    raise ValueError(f"B mb_type suffix {bits} unsupported")
+
+
+def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
+                       qp: int, data: dict, deblock: bool = False,
+                       poc_lsb: int = 0) -> bytes:
+    """B slice NAL (CABAC). data: mv0/mv1 (nMBy, nMBx, 2) [dy, dx]
+    quarter-pel, mode (nMBy, nMBx) 0=L0/1=L1/2=Bi, level arrays as for P.
+    Non-reference picture: nal_ref_idc 0, no dec_ref_pic_marking."""
+    from .pframe import mv_pred_dec
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    bw = BitWriter()
+    H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
+                         slice_qp=qp, disable_deblocking=not deblock,
+                         slice_type="B", poc_lsb=poc_lsb, is_ref=False)
+    bw.byte_align(1)
+
+    enc = CabacEncoder()
+    cx = H264CabacContexts(qp, slice_type="B")
+    st = MbState(n_mby, n_mbx)
+
+    mode = np.asarray(data["mode"])
+    mvs_xy = []
+    for k in ("mv0", "mv1"):
+        mv = np.asarray(data[k])
+        mvs_xy.append(np.stack([mv[..., 1], mv[..., 0]], axis=-1))
+    use = [mode != 1, mode != 0]       # L0 used unless pure L1, and v.v.
+    luma = np.asarray(data["luma"])
+    cb_dc, cb_ac = np.asarray(data["cb_dc"]), np.asarray(data["cb_ac"])
+    cr_dc, cr_ac = np.asarray(data["cr_dc"]), np.asarray(data["cr_ac"])
+
+    luma_nz = np.any(luma != 0, axis=-1)
+    quad_nz = luma_nz.reshape(n_mby, n_mbx, 4, 4).any(axis=-1)
+    cbp_luma = (quad_nz * np.array([1, 2, 4, 8])).sum(axis=-1)
+    any_cac = np.any(cb_ac[..., 1:] != 0, axis=(-1, -2)) | \
+        np.any(cr_ac[..., 1:] != 0, axis=(-1, -2))
+    any_cdc = np.any(cb_dc != 0, axis=-1) | np.any(cr_dc != 0, axis=-1)
+    cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+    col_zero = np.asarray(data["col_zero"]) if "col_zero" in data \
+        else np.zeros((n_mby, n_mbx), bool)
+
+    from .bframe import _skippable
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            md = int(mode[mby, mbx])
+            cbp_l = int(cbp_luma[mby, mbx])
+            cbp_c = int(cbp_chroma[mby, mbx])
+            is_skip = (cbp_l == 0 and cbp_c == 0
+                       and _skippable(mvs_xy, use, mbx, mby, n_mbx,
+                                      bool(col_zero[mby, mbx]), md))
+            enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
+                       1 if is_skip else 0)
+            st.avail[mby, mbx] = True
+            st.skip[mby, mbx] = is_skip
+            if is_skip:
+                st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+                st.cbp_chroma[mby, mbx] = 0
+                last = mby == n_mby - 1 and mbx == n_mbx - 1
+                enc.encode_terminate(1 if last else 0)
+                continue
+            _encode_mb_type_b(enc, cx, st, mbx, mby, md)
+            for lst in range(2):
+                if not use[lst][mby, mbx]:
+                    continue
+                m = (int(mvs_xy[lst][mby, mbx, 0]),
+                     int(mvs_xy[lst][mby, mbx, 1]))
+                pred = mv_pred_dec(mvs_xy[lst], use[lst], mbx, mby, n_mbx)
+                mvd = (m[0] - pred[0], m[1] - pred[1])
+                _encode_mvd_comp(enc, cx, st, mbx, mby, 0, mvd[0], lst)
+                _encode_mvd_comp(enc, cx, st, mbx, mby, 1, mvd[1], lst)
+                st.absmvd[mby, mbx, lst] = (abs(mvd[0]), abs(mvd[1]))
+            for b8 in range(4):
+                enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
+                           (cbp_l >> b8) & 1)
+                st.cbp_luma8[2 * mby + b8 // 2,
+                             2 * mbx + b8 % 2] = (cbp_l >> b8) & 1
+            enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)],
+                       1 if cbp_c > 0 else 0)
+            if cbp_c > 0:
+                enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)],
+                           1 if cbp_c == 2 else 0)
+            st.cbp_chroma[mby, mbx] = cbp_c
+            if cbp_l or cbp_c:
+                enc.encode(cx["qp_delta", 0], 0)
+            _p_residual(enc, cx, st, mbx, mby, encode=True, cbp_l=cbp_l,
+                        cbp_c=cbp_c, luma=luma[mby, mbx],
+                        cdc=np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]]),
+                        cac=np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]]))
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            enc.encode_terminate(1 if last else 0)
+    return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes() + enc.flush(),
+                    nal_ref_idc=0)
+
+
+def parse_bslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
+                       on_mb, on_skip):
+    """Parse a B-slice CABAC payload. Calls
+    ``on_mb(mbx, mby, mode, mvd0, mvd1, luma, cdc, cac)`` for coded MBs
+    and ``on_skip(mbx, mby)`` for B_Skip MBs, in raster order (mvd
+    tuples are None for unused lists)."""
+    dec = CabacDecoder(payload)
+    cx = H264CabacContexts(qp, slice_type="B")
+    st = MbState(n_mby, n_mbx)
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            is_skip = dec.decode(cx["skip", st.skip_ctx(mbx, mby)])
+            st.avail[mby, mbx] = True
+            st.skip[mby, mbx] = bool(is_skip)
+            if is_skip:
+                st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
+                st.cbp_chroma[mby, mbx] = 0
+                on_skip(mbx, mby)
+                last = mby == n_mby - 1 and mbx == n_mbx - 1
+                term = dec.decode_terminate()
+                if term != (1 if last else 0):
+                    raise ValueError("CABAC B-slice MB count mismatch")
+                continue
+            mode = _decode_mb_type_b(dec, cx, st, mbx, mby)
+            mvds = [None, None]
+            for lst in range(2):
+                if (mode == 1 and lst == 0) or (mode == 0 and lst == 1):
+                    continue
+                mvd_x = _decode_mvd_comp(dec, cx, st, mbx, mby, 0, lst)
+                mvd_y = _decode_mvd_comp(dec, cx, st, mbx, mby, 1, lst)
+                st.absmvd[mby, mbx, lst] = (abs(mvd_x), abs(mvd_y))
+                mvds[lst] = (mvd_x, mvd_y)
+            cbp_l = 0
+            for b8 in range(4):
+                bit = dec.decode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)])
+                cbp_l |= bit << b8
+                st.cbp_luma8[2 * mby + b8 // 2, 2 * mbx + b8 % 2] = bit
+            cbp_c = 0
+            if dec.decode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)]):
+                cbp_c = 2 if dec.decode(
+                    cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
+            st.cbp_chroma[mby, mbx] = cbp_c
+            if cbp_l or cbp_c:
+                if dec.decode(cx["qp_delta", 0]):
+                    raise ValueError("mb_qp_delta != 0 unsupported")
+            luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
+                                         encode=False, cbp_l=cbp_l,
+                                         cbp_c=cbp_c)
+            on_mb(mbx, mby, mode, mvds[0], mvds[1], luma, cdc, cac)
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            term = dec.decode_terminate()
+            if term != (1 if last else 0):
+                raise ValueError("CABAC B-slice MB count mismatch")
     return st

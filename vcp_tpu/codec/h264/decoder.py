@@ -1,19 +1,22 @@
 """H.264 validation decoder (host, numpy).
 
 Decodes this framework's own streams (CAVLC and CABAC; I_PCM,
-Intra_16x16 all pred modes, P_L0_16x16 + P_Skip) and — round 2 —
-foreign BASELINE-profile streams such as libx264 output: I_4x4 with all
-nine prediction modes, Intra_16x16 incl. Plane, chroma Plane, per-MB
-mb_qp_delta, deblocking in spec order. Reconstruction uses the spec 8.5
-integer math (shared with vcp_tpu.ops.transform). Used to close the
-loop in tests (decode(encode(x)).recon must equal the encoder's own
-reconstruction exactly) and validated against the system-ffmpeg decoder
-on real libx264 streams (tests/test_foreign_decode.py). Also doubles as
-the in-repo probe for "is this H.264 stream sane" (the role ffprobe
-played in the reference, cmd/consumer.go:396-419).
+Intra_16x16 all pred modes, P_L0_16x16 + P_Skip, and B slices —
+B_L0/L1/Bi_16x16 + spatial-direct B_Skip with POC output reordering and
+a two-reference DPB) and foreign BASELINE-profile streams such as
+libx264 output: I_4x4 with all nine prediction modes, Intra_16x16 incl.
+Plane, chroma Plane, per-MB mb_qp_delta, deblocking in spec order.
+Reconstruction uses the spec 8.5 integer math (shared with
+vcp_tpu.ops.transform). Used to close the loop in tests
+(decode(encode(x)).recon must equal the encoder's own reconstruction
+exactly) and validated against the system-ffmpeg decoder on real
+libx264 streams (tests/test_foreign_decode.py). Also doubles as the
+in-repo probe for "is this H.264 stream sane" (the role ffprobe played
+in the reference, cmd/consumer.go:396-419).
 
-Not general-purpose yet: no High profile (8x8 transform), no B-frames,
-no multi-ref, no MBAFF/FMO.
+Not general-purpose yet: no High profile (8x8 transform), no multi-ref
+beyond the 2-picture B DPB, no direct/8x8-partition foreign B MBs, no
+MBAFF/FMO.
 """
 
 from __future__ import annotations
@@ -78,17 +81,48 @@ class H264Decoder:
         self.pp: H.PicParams | None = None
         self.ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self.frames: list[DecodedFrame] = []
+        # DPB for B streams: [(poc, planes)] reference pictures of the
+        # current coded video sequence (cleared at IDR)
+        self.dpb: list[tuple[int, tuple]] = []
+        self._group = -1                 # IDR counter (POC resets there)
+        self._order: list[tuple] = []    # (group, poc) per decoded frame
+        self._prev_poc_msb = 0
+        self._prev_poc_lsb = 0
 
     # -- top level ------------------------------------------------------
     def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
         for nal in split_annexb(data):
             self._decode_nal(nal)
-        return self.frames
+        return self._output_order()
 
     def decode_nals(self, nals: list[bytes]) -> list[DecodedFrame]:
         for nal in nals:
             self._decode_nal(nal)
+        return self._output_order()
+
+    def _output_order(self) -> list[DecodedFrame]:
+        """Frames in display order: decode order re-sorted by (IDR group,
+        POC). A no-op for streams without B pictures."""
+        paired = sorted(zip(self._order, self.frames), key=lambda t: t[0])
+        self.frames = [f for _, f in paired]
+        self._order = [k for k, _ in paired]
         return self.frames
+
+    def drain(self, flush: bool = False) -> list[DecodedFrame]:
+        """Streaming output: pop the frames that are safe to display.
+
+        B streams decode out of display order; a one-picture reorder
+        buffer (our streams' max reorder depth: anchors precede their B
+        pictures by at most one emission) holds the newest frame back
+        until the next arrives. ``flush=True`` empties the buffer at
+        end of stream."""
+        hold = 1 if (self.sp is not None and self.sp.poc_type == 0) else 0
+        out: list[DecodedFrame] = []
+        while len(self.frames) > (0 if flush else hold):
+            i = min(range(len(self.frames)), key=lambda j: self._order[j])
+            out.append(self.frames.pop(i))
+            self._order.pop(i)
+        return out
 
     @staticmethod
     def _cpu_device():
@@ -110,15 +144,19 @@ class H264Decoder:
             self.pp = H.parse_pps(rbsp)
         elif nal_type in (H.NAL_SLICE_IDR, H.NAL_SLICE_NONIDR):
             import jax
+            ref_idc = (nal[0] >> 5) & 3
             cpu = self._cpu_device()
             if cpu is not None:
                 with jax.default_device(cpu):
-                    self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR)
+                    self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR,
+                                       ref_idc)
             else:
-                self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR)
+                self._decode_slice(rbsp, nal_type == H.NAL_SLICE_IDR,
+                                   ref_idc)
 
     # -- slice ----------------------------------------------------------
-    def _decode_slice(self, rbsp: bytes, is_idr: bool) -> None:
+    def _decode_slice(self, rbsp: bytes, is_idr: bool,
+                      ref_idc: int = 3) -> None:
         if self.sp is None or self.pp is None:
             raise DecodeError("slice before SPS/PPS")
         sp, pp = self.sp, self.pp
@@ -128,30 +166,55 @@ class H264Decoder:
             raise DecodeError("multi-slice pictures unsupported")
         slice_type = br.ue()
         is_p = slice_type % 5 == 0
+        is_b = slice_type % 5 == 1
         is_i = slice_type % 5 == 2
-        if not (is_p or is_i):
+        if not (is_p or is_i or is_b):
             raise DecodeError(f"slice_type {slice_type} unsupported")
         br.ue()                                   # pps id
         br.u(sp.log2_max_frame_num)               # frame_num
         if is_idr:
             br.ue()                               # idr_pic_id
+            self.dpb.clear()
+            self._group += 1
+            self._prev_poc_msb = self._prev_poc_lsb = 0
+        poc = 2 * len(self.frames)                # poc_type 2: decode order
         if sp.poc_type == 0:
-            br.u(sp.log2_max_poc_lsb)             # pic_order_cnt_lsb
-        if is_p:
+            lsb = br.u(sp.log2_max_poc_lsb)       # pic_order_cnt_lsb
+            max_lsb = 1 << sp.log2_max_poc_lsb
+            # 8.2.1.1 POC msb wrap
+            if (lsb < self._prev_poc_lsb
+                    and self._prev_poc_lsb - lsb >= max_lsb // 2):
+                msb = self._prev_poc_msb + max_lsb
+            elif (lsb > self._prev_poc_lsb
+                    and lsb - self._prev_poc_lsb > max_lsb // 2):
+                msb = self._prev_poc_msb - max_lsb
+            else:
+                msb = self._prev_poc_msb
+            poc = msb + lsb
+            if ref_idc:
+                self._prev_poc_msb, self._prev_poc_lsb = msb, lsb
+        if is_b:
+            br.u(1)                               # direct_spatial_mv_pred
+        if is_p or is_b:
             num_ref = pp.num_ref_l0
+            num_ref_l1 = 1
             if br.u(1):                           # num_ref_idx_override
                 num_ref = br.ue() + 1
-            if num_ref != 1:
+                if is_b:
+                    num_ref_l1 = br.ue() + 1
+            if num_ref != 1 or num_ref_l1 != 1:
                 raise DecodeError("multiple reference frames unsupported")
             if br.u(1):                           # ref_pic_list_modification
+                raise DecodeError("ref list modification unsupported")
+            if is_b and br.u(1):                  # ..._flag_l1
                 raise DecodeError("ref list modification unsupported")
         if is_idr:
             br.u(1)
             br.u(1)
-        else:
+        elif ref_idc:
             if br.u(1):
                 raise DecodeError("adaptive ref marking unsupported")
-        if pp.cabac and is_p:
+        if pp.cabac and not is_i:
             br.ue()                               # cabac_init_idc
         qp = pp.init_qp + br.se()
         deblock_idc = 1
@@ -179,12 +242,12 @@ class H264Decoder:
                    qp_mb=qp_mb, cur_qp=qp,
                    i4_modes=np.full((sp.mb_height * 4, sp.mb_width * 4),
                                     -1, np.int8))
-        if is_p:
-            # P slices defer recon: parse fills these level arrays, then
-            # one vectorized pass reconstructs every inter MB at once
-            # (inter prediction reads only the reference frame, so order
-            # is irrelevant); queued intra MBs recon after, in raster
-            # order, once their inter neighbors are final.
+        if is_p or is_b:
+            # P/B slices defer recon: parse fills these level arrays,
+            # then one vectorized pass reconstructs every inter MB at
+            # once (inter prediction reads only the reference frames, so
+            # order is irrelevant); queued intra MBs recon after, in
+            # raster order, once their inter neighbors are final.
             ctx["p_z_luma"] = np.zeros(
                 (sp.mb_height, sp.mb_width, 16, 16), np.int32)
             ctx["p_cdc"] = np.zeros(
@@ -192,7 +255,14 @@ class H264Decoder:
             ctx["p_cac"] = np.zeros(
                 (sp.mb_height, sp.mb_width, 2, 4, 16), np.int32)
             intra_queue: list = []
-        else:
+        if is_b:
+            ctx["b_mode"] = np.zeros((sp.mb_height, sp.mb_width), np.int32)
+            ctx["mvs0"] = np.zeros((sp.mb_height, sp.mb_width, 2), np.int32)
+            ctx["mvs1"] = np.zeros((sp.mb_height, sp.mb_width, 2), np.int32)
+            ctx["use0"] = np.zeros((sp.mb_height, sp.mb_width), bool)
+            ctx["use1"] = np.zeros((sp.mb_height, sp.mb_width), bool)
+            b_ref0, b_ref1, ctx["col_zero"] = self._b_refs(poc)
+        if is_i:
             i_rows: list = [[None] * sp.mb_width
                             for _ in range(sp.mb_height)]
 
@@ -210,6 +280,8 @@ class H264Decoder:
                 nz_y.nz[:, :] = st.cbf_l4
                 nz_cb.nz[:, :] = st.cbf_c4[0]
                 nz_cr.nz[:, :] = st.cbf_c4[1]
+            elif is_b:
+                self._parse_bslice_cabac(ctx, payload, qp)
             else:
                 def on_skip(mbx, mby):
                     self._decode_pskip(ctx, mbx, mby)
@@ -237,11 +309,17 @@ class H264Decoder:
                 CS.parse_pslice_cabac(payload, qp, sp.mb_height,
                                       sp.mb_width, on_skip, on_inter)
         else:
-            self._decode_mbs_cavlc(ctx, is_p, n_mbs,
-                                   intra_queue if is_p else None,
-                                   i_rows if not is_p else None)
+            if is_b:
+                self._decode_mbs_b_cavlc(ctx, n_mbs)
+            else:
+                self._decode_mbs_cavlc(ctx, is_p, n_mbs,
+                                       intra_queue if is_p else None,
+                                       i_rows if is_i else None)
 
-        if is_p:
+        if is_b:
+            from . import bframe
+            bframe.recon_b_frame(ctx, b_ref0, b_ref1)
+        elif is_p:
             from . import pframe
             pframe.recon_p_frame(ctx, self._ref_int32())
             for mbx, mby, parsed in intra_queue:
@@ -270,8 +348,11 @@ class H264Decoder:
             # fold the PPS chroma_qp_index_offset into the lookup table
             cq = np.asarray(CHROMA_QP_FULL)[
                 np.clip(np.arange(52) + pp.chroma_qp_index_offset, 0, 51)]
+            mvq = ((ctx["mvs0"], ctx["mvs1"],
+                    np.stack([ctx["use0"], ctx["use1"]], axis=-1))
+                   if is_b else mvs)
             yf, uf, vf = dbf.deblock_frame_host(
-                y, u, v, qp_mb, intra_mb, nz, mvs, cq)
+                y, u, v, qp_mb, intra_mb, nz, mvq, cq)
             y = np.asarray(yf)
             u = np.asarray(uf)
             v = np.asarray(vf)
@@ -279,9 +360,19 @@ class H264Decoder:
         crop_y = (y[: sp.height, : sp.width]).astype(np.uint8)
         crop_u = (u[: sp.height // 2, : sp.width // 2]).astype(np.uint8)
         crop_v = (v[: sp.height // 2, : sp.width // 2]).astype(np.uint8)
-        self.ref = (y.astype(np.uint8), u.astype(np.uint8),
-                    v.astype(np.uint8))
+        if ref_idc:
+            self.ref = (y.astype(np.uint8), u.astype(np.uint8),
+                        v.astype(np.uint8))
+            # colZero grid for B spatial direct when this picture serves
+            # as L1[0]: inter MB with both |mv| <= 1 quarter-pel
+            colz = (mv_valid & (np.abs(mvs) <= 1).all(-1)) if is_p \
+                else np.zeros(mv_valid.shape, bool)
+            self.dpb.append((poc, self.ref, colz))
+            if self.sp.num_ref_frames and \
+                    len(self.dpb) > max(1, self.sp.num_ref_frames):
+                self.dpb.pop(0)           # sliding window (oldest decode)
         self.frames.append(DecodedFrame(crop_y, crop_u, crop_v, is_idr))
+        self._order.append((self._group, poc))
 
     def _decode_mbs_cavlc(self, ctx, is_p, n_mbs, intra_queue, i_rows):
         br = ctx["br"]
@@ -318,6 +409,76 @@ class H264Decoder:
                     i_rows[mby][mbx] = self._parse_intra_mb(
                         ctx, mbx, mby, mb_type)
             mb += 1
+
+    # -- B slices ---------------------------------------------------------
+    def _b_refs(self, poc):
+        """(past planes, future planes, future colZero grid) for a B
+        picture at ``poc`` — the two DPB references that bracket it
+        (L0[0]/L1[0] under default B list construction, num_ref 1 each).
+        The colZero grid of L1[0] feeds spatial-direct derivation."""
+        past = [e for e in self.dpb if e[0] < poc]
+        fut = [e for e in self.dpb if e[0] > poc]
+        if not past or not fut:
+            raise DecodeError("B picture without both anchor references")
+        r0 = max(past, key=lambda e: e[0])
+        r1 = min(fut, key=lambda e: e[0])
+        return (tuple(p.astype(np.int32) for p in r0[1]),
+                tuple(p.astype(np.int32) for p in r1[1]),
+                r1[2])
+
+    def _decode_mbs_b_cavlc(self, ctx, n_mbs):
+        from . import bframe
+        br = ctx["br"]
+        sp = ctx["sp"]
+        mb = 0
+        while mb < n_mbs:
+            run = br.ue()                     # mb_skip_run
+            for _ in range(run):
+                mby, mbx = divmod(mb, sp.mb_width)
+                bframe.decode_b_skip(ctx, mbx, mby)
+                mb += 1
+            if mb >= n_mbs:
+                break
+            mby, mbx = divmod(mb, sp.mb_width)
+            bframe.decode_b_mb_cavlc(ctx, mbx, mby, br.ue())
+            mb += 1
+
+    def _parse_bslice_cabac(self, ctx, payload, qp):
+        from . import cabac_syntax as CS
+        from . import pframe as pf
+        sp = ctx["sp"]
+        nz_y, nz_cb, nz_cr = ctx["nz_y"], ctx["nz_cb"], ctx["nz_cr"]
+
+        def on_mb(mbx, mby, mode, mvd0, mvd1, luma, cdc, cac):
+            ctx["b_mode"][mby, mbx] = mode
+            for lst, mvd in ((0, mvd0), (1, mvd1)):
+                if mvd is None:
+                    continue
+                mvs, use = ctx[f"mvs{lst}"], ctx[f"use{lst}"]
+                pred = pf.mv_pred_dec(mvs, use, mbx, mby, sp.mb_width)
+                mvs[mby, mbx] = (pred[0] + mvd[0], pred[1] + mvd[1])
+                use[mby, mbx] = True
+            ctx["p_z_luma"][mby, mbx] = luma
+            ctx["p_cdc"][mby, mbx] = cdc
+            ctx["p_cac"][mby, mbx] = cac
+            for blk in range(16):
+                oy = int(LUMA_BLK_ORDER[blk, 0])
+                ox = int(LUMA_BLK_ORDER[blk, 1])
+                nz_y.nz[4 * mby + oy, 4 * mbx + ox] = \
+                    int(np.count_nonzero(luma[blk]))
+            for c, nzc in ((0, nz_cb), (1, nz_cr)):
+                for blk in range(4):
+                    oy = int(CHROMA_BLK_ORDER[blk, 0])
+                    ox = int(CHROMA_BLK_ORDER[blk, 1])
+                    nzc.nz[2 * mby + oy, 2 * mbx + ox] = \
+                        int(np.count_nonzero(cac[c, blk]))
+
+        def on_skip(mbx, mby):
+            from . import bframe
+            bframe.decode_b_skip(ctx, mbx, mby)
+
+        CS.parse_bslice_cabac(payload, qp, sp.mb_height, sp.mb_width,
+                              on_mb, on_skip)
 
     # -- intra MBs --------------------------------------------------------
     def _decode_intra_mb(self, ctx, mbx, mby, mb_type):

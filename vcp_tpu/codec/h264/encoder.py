@@ -46,6 +46,7 @@ class EncoderConfig:
     effort: int = 4
     deblock: bool = True           # in-loop filter (VCP_DEBLOCK=0 disables)
     cabac: bool = True             # CABAC entropy (VCP_CABAC=0 -> CAVLC)
+    bframes: int = 0               # B pictures between anchors (-bf)
     params: EncodeParams | None = None   # original preset args (rate control)
 
     @classmethod
@@ -58,6 +59,10 @@ class EncoderConfig:
             cfg.deblock = False
         if os.environ.get("VCP_CABAC") == "0":
             cfg.cabac = False
+        if params.bframes >= 0:
+            cfg.bframes = max(0, min(8, params.bframes))
+        if os.environ.get("VCP_BFRAMES"):
+            cfg.bframes = max(0, min(8, int(os.environ["VCP_BFRAMES"])))
         if params.gop_size:
             cfg.gop_size = params.gop_size
         else:
@@ -80,7 +85,14 @@ class H264Encoder:
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
-        self.sp = headers.SeqParams(width=cfg.width, height=cfg.height)
+        if cfg.bframes > 0:
+            # B pictures: Main profile, poc_type 0, both anchors in the
+            # DPB (libx264 conventions, see codec.h264.bframe)
+            self.sp = headers.SeqParams(
+                width=cfg.width, height=cfg.height, profile_idc=77,
+                poc_type=0, num_ref_frames=2)
+        else:
+            self.sp = headers.SeqParams(width=cfg.width, height=cfg.height)
         self.pp = headers.PicParams(init_qp=26, cabac=cfg.cabac)
         self.frame_index = 0
         self.idr_count = 0
@@ -129,6 +141,9 @@ class H264Encoder:
                      force_idr: bool = False) -> tuple[bytes, bool]:
         """Encode one frame; returns (annexb access unit, is_idr)."""
         cfg = self.cfg
+        if cfg.bframes > 0:
+            raise ValueError("per-frame encode path does not support "
+                             "B frames; use encode_gop/encode_stream")
         is_idr = force_idr or (self.frame_index % cfg.gop_size == 0) \
             or self._recon is None
         yp, up, vp = self._pad(y, u, v)
@@ -177,9 +192,14 @@ class H264Encoder:
 
     def encode_gop(self, frames: list) -> list[tuple[bytes, bool]]:
         """Encode a list of (y, u, v) frames, first as IDR, rest as P,
-        using device-resident GOP chunks (see gop_ops)."""
+        using device-resident GOP chunks (see gop_ops). With
+        cfg.bframes > 0 the GOP is coded as IDR + P anchors + B pictures
+        (decode order) and items gain a third element: the
+        composition-time offset in frames (for the MP4 ctts box)."""
         from . import gop_ops, pframe
         cfg = self.cfg
+        if cfg.bframes > 0 and len(frames) > 2:
+            return self._encode_gop_b(frames)
         qp = self.rc.gop_qp() if self.rc else cfg.qp
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
         sr = pframe.search_range_for_effort(cfg.effort)
@@ -273,7 +293,8 @@ class H264Encoder:
             self.sp, self.pp, frame_num=0,
             idr_pic_id=(self.idr_count - 1) % 65536, qp=qp, data=idata,
             src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock,
-            cabac=cfg.cabac), True))
+            cabac=cfg.cabac, poc_lsb=0), True))
+        poc_pos = 0
 
         # Then two fetches per chunk (meta+count, then the compacted
         # nonzero blocks only).
@@ -285,16 +306,101 @@ class H264Encoder:
             meta_h = np.asarray(meta)
             for data in gop_ops.unpack_sparse_chunk(
                     meta_h, blocks_h, cnt, n_mby, n_mbx):
+                poc_pos += 1
                 nal = pframe.write_pslice(self.sp, self.pp,
                                           frame_num=self._frame_num,
                                           qp=qp, data=data,
                                           deblock=cfg.deblock,
-                                          cabac=cfg.cabac)
+                                          cabac=cfg.cabac,
+                                          poc_lsb=2 * poc_pos)
                 self._frame_num += 1
                 self.frame_index += 1
                 out.append((nal, False))
         if self.rc:
             self.rc.update(len(frames), sum(len(nal) for nal, _ in out))
+        return out
+
+    def _encode_gop_b(self, frames: list):
+        """B-pyramid-less GOP coding: IDR + P anchors every (bframes+1)
+        display positions, non-reference B pictures in between (decode
+        order I, P1, B.., P2, B..; libx264 -bf N with b-adapt 0 /
+        b-pyramid none — the reference's libx264-medium preset semantics
+        minus adaptive placement). Returns (nal, is_idr, cts_offset)
+        triples; cts_offset = display - decode + 1 in frame units."""
+        from . import bframe as bfmod, gop_ops, pframe
+        cfg = self.cfg
+        qp = self.rc.gop_qp() if self.rc else cfg.qp
+        qp_b = min(51, qp + int(os.environ.get("VCP_QPB_OFFSET", "2")))
+        qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
+        qpc_b = chroma_qp(qp_b, self.pp.chroma_qp_index_offset)
+        sr = pframe.search_range_for_effort(cfg.effort)
+        # anchors span (bframes+1) display frames of motion — widen the
+        # ME window with the temporal distance (capped; search is O(sr²))
+        sr_a = min(24, sr * (cfg.bframes + 1))
+        subpel = pframe.subpel_for_effort(cfg.effort)
+        b, n = cfg.bframes, len(frames)
+        out: list = []
+
+        anchors = list(range(0, n, b + 1))
+        if anchors[-1] != n - 1:
+            anchors.append(n - 1)
+
+        def cts(disp):
+            # decode index of the sample about to be appended is len(out)
+            return disp - len(out) + 1
+
+        yp, up, vp = self._pad(*frames[0])
+        iout = frame_ops.encode_iframe(yp, up, vp, qp, qpc, cfg.deblock)
+        idata = {k: np.asarray(iout[k]) for k in
+                 ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+        out.append((entropy.write_islice(
+            self.sp, self.pp, frame_num=0,
+            idr_pic_id=self.idr_count % 65536, qp=qp, data=idata,
+            src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock,
+            cabac=cfg.cabac, poc_lsb=0), True, cts(0)))
+        self.idr_count += 1
+        prev_a = 0
+        prev_recon = (iout["recon_y"], iout["recon_u"], iout["recon_v"])
+
+        for k, a in enumerate(anchors[1:], start=1):
+            ayp, aup, avp = self._pad(*frames[a])
+            pout = pframe.encode_pframe(
+                ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
+                deblock=cfg.deblock, subpel=subpel)
+            pdata = {kk: np.asarray(pout[kk]) for kk in
+                     ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+            out.append((pframe.write_pslice(
+                self.sp, self.pp, frame_num=k, qp=qp, data=pdata,
+                deblock=cfg.deblock, cabac=cfg.cabac,
+                poc_lsb=2 * a), False, cts(a)))
+            cur_recon = (pout["recon_y"], pout["recon_u"], pout["recon_v"])
+            # colZero grid of the future anchor (L1[0]) for B_Skip
+            # spatial-direct derivation: inter MB with |mv| <= 1 qpel
+            col_zero = (np.abs(pdata["mv"]) <= 1).all(-1)
+
+            for d in range(prev_a + 1, a):
+                byp, bup, bvp = self._pad(*frames[d])
+                bout = gop_ops.encode_bframe(
+                    byp, bup, bvp, *prev_recon, *cur_recon,
+                    qp_b, qpc_b, sr, pframe.lam_for_qp(qp_b),
+                    subpel, cfg.deblock)
+                bdata = {kk: np.asarray(bout[kk]) for kk in
+                         ("mv0", "mv1", "mode", "luma",
+                          "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+                bdata["col_zero"] = col_zero
+                out.append((bfmod.write_bslice(
+                    self.sp, self.pp, frame_num=k + 1, qp=qp_b,
+                    data=bdata, deblock=cfg.deblock, cabac=cfg.cabac,
+                    poc_lsb=2 * d), False, cts(d)))
+            prev_a, prev_recon = a, cur_recon
+
+        self._recon = prev_recon
+        self._frame_num = len(anchors)
+        self.frame_index += n
+        self._prev_tiles = None         # bypasses the delta-upload carry
+        self._src_dev = None
+        if self.rc:
+            self.rc.update(n, sum(len(s[0]) for s in out))
         return out
 
     @property
@@ -376,10 +482,12 @@ def mux_mp4(path: str, sps: bytes, pps: bytes, samples, width: int,
     dur = fps_den * 1000
     tr = mp4mod.VideoTrack(codec="h264", width=width, height=height,
                            timescale=timescale, sps=[sps], pps=[pps])
-    for au, is_idr in samples:
+    for s in samples:
+        au, is_idr = s[0], s[1]
+        cts = s[2] if len(s) > 2 else 0   # frames; B streams carry 3-tuples
         tr.samples.append(mp4mod.Sample(
             data=mp4mod.annexb_to_length_prefixed(au),
-            duration=dur, is_sync=is_idr))
+            duration=dur, is_sync=is_idr, cts_offset=cts * dur))
     w.add_track(tr)
     if audio_track is not None and audio_track.samples:
         w.add_track(audio_track)

@@ -64,7 +64,7 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  idr_pic_id: int, qp: int, data: dict,
                  src_y: np.ndarray, src_u: np.ndarray,
                  src_v: np.ndarray, deblock: bool = False,
-                 cabac: bool = False) -> bytes:
+                 cabac: bool = False, poc_lsb: int = 0) -> bytes:
     """Encode one IDR slice NAL. MB row 0 = I16x16-DC; rows 1.. = I16x16-V.
 
     Uses the C++ engine when available (bit-identical to the Python path,
@@ -77,24 +77,24 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
         if lib is not None:
             return _write_islice_cabac_native(
                 lib, sp, pp, frame_num=frame_num, idr_pic_id=idr_pic_id,
-                qp=qp, data=data, deblock=deblock)
+                qp=qp, data=data, deblock=deblock, poc_lsb=poc_lsb)
         from .cabac_syntax import write_islice_cabac
         return write_islice_cabac(sp, pp, frame_num=frame_num,
                                   idr_pic_id=idr_pic_id, qp=qp, data=data,
-                                  deblock=deblock)
+                                  deblock=deblock, poc_lsb=poc_lsb)
     if lib is not None:
         return _write_islice_native(lib, sp, pp, frame_num=frame_num,
                                     idr_pic_id=idr_pic_id, qp=qp, data=data,
                                     src_y=src_y, src_u=src_u, src_v=src_v,
-                                    deblock=deblock)
+                                    deblock=deblock, poc_lsb=poc_lsb)
     return _write_islice_py(sp, pp, frame_num=frame_num,
                             idr_pic_id=idr_pic_id, qp=qp, data=data,
                             src_y=src_y, src_u=src_u, src_v=src_v,
-                            deblock=deblock)
+                            deblock=deblock, poc_lsb=poc_lsb)
 
 
 def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,
-                               data, deblock=False) -> bytes:
+                               data, deblock=False, poc_lsb=0) -> bytes:
     import ctypes
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     cap = n_mby * n_mbx * 2048 + 4096
@@ -105,6 +105,7 @@ def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,
     n = lib.vcp_write_islice_cabac(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
         frame_num, idr_pic_id, 0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
@@ -113,7 +114,8 @@ def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,
 
 
 def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
-                         src_y, src_u, src_v, deblock=False) -> bytes:
+                         src_y, src_u, src_v, deblock=False,
+                         poc_lsb=0) -> bytes:
     import ctypes
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     y = np.ascontiguousarray(src_y, np.uint8)
@@ -129,6 +131,7 @@ def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
     n = lib.vcp_write_islice(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
         frame_num, idr_pic_id, 0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.shape[1],
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -142,12 +145,13 @@ def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
 def _write_islice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                      idr_pic_id: int, qp: int, data: dict,
                      src_y: np.ndarray, src_u: np.ndarray,
-                     src_v: np.ndarray, deblock: bool = False) -> bytes:
+                     src_v: np.ndarray, deblock: bool = False,
+                     poc_lsb: int = 0) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=True, frame_num=frame_num,
                          slice_qp=qp, idr_pic_id=idr_pic_id,
-                         disable_deblocking=not deblock)
+                         disable_deblocking=not deblock, poc_lsb=poc_lsb)
 
     nz_y = NzContext(4 * n_mby, 4 * n_mbx)
     nz_cb = NzContext(2 * n_mby, 2 * n_mbx)

@@ -58,7 +58,7 @@ _DECIMATE_TAB = np.array([3, 2, 2, 1, 1, 1, 0, 0], np.int32)
 DECIMATE_THRESHOLD = 6     # whole-MB threshold (x264's p-skip decimation)
 
 
-def decimate_keep_mask(z_zz):
+def decimate_keep_mask(z_zz, extra: int = 0):
     """Per-MB keep mask for zig-zag level arrays (..., 16 blocks, 16).
 
     An entire macroblock's luma residual is dropped when every |level|
@@ -82,7 +82,7 @@ def decimate_keep_mask(z_zz):
     gap = jnp.clip(idx - prev_before - 1, 0, 7)
     score = jnp.sum(jnp.where(nz, jnp.asarray(_DECIMATE_TAB)[gap], 0),
                     axis=(-1, -2))
-    return big | (score >= DECIMATE_THRESHOLD)
+    return big | (score >= DECIMATE_THRESHOLD + extra)
 
 
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
@@ -147,22 +147,6 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         mv = mv_full * 4
         pred_y = pred_full if pred_full is not None \
             else mops.mc_luma(ref_y, mv_full, sr, row0)
-    coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
-    z = tf.quant4(coef, qp, intra=False)
-    zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
-    by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
-    z_zz = _zigzag(zb[:, :, by, bx])                 # (nMBy, nMBx, 16, 16)
-
-    # dead-MB decimation (applies to entropy AND recon identically)
-    keep = decimate_keep_mask(z_zz)                  # (nMBy, nMBx)
-    z_zz = z_zz * keep[..., None, None]
-    keep_grid = jnp.repeat(jnp.repeat(keep, 4, axis=0), 4, axis=1)
-    z = z * keep_grid[..., None, None]
-
-    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
-                       0, 255)
-    z_luma = z_zz.reshape(n_mby, n_mbx, 256)
-
     # chroma MC: select-accumulate kernel on TPU (generic gathers lower
     # to scalar loads there), plain gather on CPU where it's fastest
     row0c = row0 // 2
@@ -173,7 +157,44 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         pred_u, pred_v = mops.mc_chroma_q_pair(ref_u, ref_v, mv,
                                                sr // 2 + 2, row0c)
 
-    def chroma(cur, ref, pred):
+    (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+     recon_y, recon_u, recon_v, nz4) = _residual_recon(
+        cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc)
+    packed = jnp.concatenate([
+        mv.reshape(n_mby, n_mbx, 2),
+        z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+    ], axis=-1).astype(jnp.int16).reshape(-1)
+    return packed, recon_y, recon_u, recon_v, nz4, mv
+
+
+def _residual_recon(cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
+                    decimate_extra: int = 0):
+    """Inter residual: transform/quantize/reconstruct given prediction
+    planes. Shared by the P step and the B step (the only difference
+    between them is how the prediction is formed). Returns zig-zagged
+    level arrays, recon planes, and the nz4 grid for deblocking.
+    ``decimate_extra`` raises the dead-MB threshold (non-reference B
+    pictures drop marginal residuals more aggressively — nothing
+    propagates from them)."""
+    h, w = cur_y.shape
+    n_mby, n_mbx = h // 16, w // 16
+    coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
+    z = tf.quant4(coef, qp, intra=False)
+    zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
+    by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
+    z_zz = _zigzag(zb[:, :, by, bx])                 # (nMBy, nMBx, 16, 16)
+
+    # dead-MB decimation (applies to entropy AND recon identically)
+    keep = decimate_keep_mask(z_zz, extra=decimate_extra)
+    z_zz = z_zz * keep[..., None, None]
+    keep_grid = jnp.repeat(jnp.repeat(keep, 4, axis=0), 4, axis=1)
+    z = z * keep_grid[..., None, None]
+
+    recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
+                       0, 255)
+    z_luma = z_zz.reshape(n_mby, n_mbx, 256)
+
+    def chroma(cur, pred):
         hc, wc = cur.shape
         cf = tf.fdct4(tf.to_blocks4(cur - pred))
         dc = cf[..., 0, 0]
@@ -190,15 +211,176 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         return (z_dc.reshape(n_mby, n_mbx, 4),
                 z_ac_zz.reshape(n_mby, n_mbx, 64), rec)
 
-    cb_dc, cb_ac, recon_u = chroma(cur_u, ref_u, pred_u)
-    cr_dc, cr_ac, recon_v = chroma(cur_v, ref_v, pred_v)
+    cb_dc, cb_ac, recon_u = chroma(cur_u, pred_u)
+    cr_dc, cr_ac, recon_v = chroma(cur_v, pred_v)
 
     nz4 = jnp.any(z != 0, axis=(-1, -2))        # (H/4, W/4) for deblock
-    packed = jnp.concatenate([
-        mv.reshape(n_mby, n_mbx, 2),
-        z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
-    ], axis=-1).astype(jnp.int16).reshape(-1)
-    return packed, recon_y, recon_u, recon_v, nz4, mv
+    return (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+            recon_y, recon_u, recon_v, nz4)
+
+
+# ---------------------------------------------------------------------------
+# B frames (bi-prediction against the two enclosing anchors)
+# ---------------------------------------------------------------------------
+
+B_MB_WORDS = 2 + 2 + 1 + 256 + 4 + 64 + 4 + 64   # mv0, mv1, mode, levels
+
+
+def _search_mc_luma(cur_y, ref_y, sr: int, lam, subpel: int):
+    """Whole-frame motion search + luma MC against one reference.
+    Same tool chain as _pstep_core's whole-frame path (Pallas search
+    kernel when on TPU, XLA fallback; effort-gated sub-pel refine).
+    Returns (mvq quarter-pel (nMBy, nMBx, 2), pred_y, mc) where
+    ``mc(mvq_grid)`` motion-compensates an arbitrary per-MB quarter-pel
+    grid against the same interpolation planes (used for the uniform-MV
+    B_Skip candidate)."""
+    pred_full = None
+    if _use_pallas_me():
+        from ...ops.motion_pallas import full_search_pallas
+        if subpel:
+            mv_full = full_search_pallas(cur_y, ref_y, sr, lam)
+        else:
+            mv_full, pred_full = full_search_pallas(cur_y, ref_y, sr, lam,
+                                                    with_pred=True)
+    else:
+        mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam, 0)
+    if subpel:
+        pad = sr + 6
+        margin = pad - 3
+        planes = jnp.stack(
+            mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
+        mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin,
+                                quarter=subpel >= 2, row0=0)
+        if subpel >= 2:
+            pred_y = mops.mc_luma_q(planes, mv, margin, 0)
+            mc = lambda g: mops.mc_luma_q(planes, g, margin, 0)  # noqa: E731
+        else:
+            pred_y = mops.mc_luma_h(planes, mv, margin, 0)
+            mc = lambda g: mops.mc_luma_h(planes, g, margin, 0)  # noqa: E731
+    else:
+        mv = mv_full * 4
+        pred_y = pred_full if pred_full is not None \
+            else mops.mc_luma(ref_y, mv_full, sr, 0)
+        mc = lambda g: mops.mc_luma(ref_y, g // 4, sr, 0)  # noqa: E731
+    return mv, pred_y, mc
+
+
+def _mc_chroma_pair(ref_u, ref_v, mv, sr: int):
+    if jax.default_backend() == "cpu":
+        return (mops.mc_chroma_q(ref_u, mv, sr // 2 + 2, 0),
+                mops.mc_chroma_q(ref_v, mv, sr // 2 + 2, 0))
+    return mops.mc_chroma_q_pair(ref_u, ref_v, mv, sr // 2 + 2, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(11, 13, 14))
+def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
+                  qp, qpc, sr: int, lam, subpel: int = 1,
+                  deblock: bool = False):
+    """One B frame against the two enclosing anchor recons (L0 = past,
+    L1 = future). Per-MB mode decision among B_L0_16x16 / B_L1_16x16 /
+    B_Bi_16x16 by SAD + MV-rate cost; default (unweighted) bi-prediction
+    (p0 + p1 + 1) >> 1 (spec 8.4.2.3.2). B pictures are non-references:
+    the recon is returned only for PSNR/conformance, never fed back.
+
+    Returns a dict of device arrays: per-MB mv0/mv1 (quarter-pel), mode
+    (0=L0, 1=L1, 2=Bi), zig-zagged level arrays, recon planes.
+    """
+    cur_y, cur_u, cur_v = (a.astype(jnp.int32)
+                           for a in (cur_y, cur_u, cur_v))
+    r0y, r0u, r0v = (a.astype(jnp.int32) for a in (r0y, r0u, r0v))
+    r1y, r1u, r1v = (a.astype(jnp.int32) for a in (r1y, r1u, r1v))
+    h, w = cur_y.shape
+    n_mby, n_mbx = h // 16, w // 16
+
+    mv0, p0y, mc0 = _search_mc_luma(cur_y, r0y, sr, lam, subpel)
+    mv1, p1y, mc1 = _search_mc_luma(cur_y, r1y, sr, lam, subpel)
+    pby = (p0y + p1y + 1) >> 1
+
+    def mb_sad(pred):
+        d = jnp.abs(cur_y - pred)
+        return d.reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
+
+    def mv_rate(mv):
+        return (jnp.abs(mv[..., 0]) >> 1) + (jnp.abs(mv[..., 1]) >> 1) + 2
+
+    # Uniform-MV candidate: the frame-dominant motion per list (median
+    # over MBs, snapped to the sub-pel grid in use). Per-MB search
+    # overfits noise with random small MVs that defeat B_Skip (spatial
+    # direct needs mv == neighbor median); regions that adopt ONE
+    # shared MV collapse to skip runs at entropy time. The uniform-Bi
+    # variant additionally averages away temporal noise.
+    snap = 4 if subpel == 0 else (2 if subpel == 1 else 1)
+
+    def dominant(mv):
+        g = jnp.quantile(mv.reshape(-1, 2).astype(jnp.float32), 0.5,
+                         axis=0, method="nearest").astype(jnp.int32)
+        return (g // snap) * snap
+
+    g0, g1 = dominant(mv0), dominant(mv1)
+    mv0_u = jnp.broadcast_to(g0, mv0.shape)
+    mv1_u = jnp.broadcast_to(g1, mv1.shape)
+    pu0 = mc0(mv0_u)
+    pu1 = mc1(mv1_u)
+    pub = (pu0 + pu1 + 1) >> 1
+
+    c0 = mb_sad(p0y) + lam * mv_rate(mv0)
+    c1 = mb_sad(p1y) + lam * mv_rate(mv1)
+    cbi = mb_sad(pby) + lam * (mv_rate(mv0) + mv_rate(mv1))
+    # frame-level choice of ONE uniform mode (mode uniformity across a
+    # region is what lets spatial direct skip it)
+    su0 = mb_sad(pu0)
+    sub = mb_sad(pub)
+    use_ub = jnp.sum(sub) < jnp.sum(su0)
+    pu = jnp.where(use_ub, pub, pu0)
+    cu = jnp.where(use_ub, sub, su0) + lam * 2   # mvd ~0 in-region
+
+    best_exp = jnp.minimum(cbi, jnp.minimum(c0, c1))
+    pick_u = cu <= best_exp
+    mode = jnp.where(cbi <= jnp.minimum(c0, c1), 2,
+                     jnp.where(c1 < c0, 1, 0)).astype(jnp.int32)
+    mode = jnp.where(pick_u, jnp.where(use_ub, 2, 0), mode)
+    mv0 = jnp.where((pick_u & (mode != 1))[..., None], mv0_u, mv0)
+    mv1 = jnp.where((pick_u & (mode != 0))[..., None], mv1_u, mv1)
+
+    mode_px = jnp.repeat(jnp.repeat(mode, 16, 0), 16, 1)
+    pick_u_px = jnp.repeat(jnp.repeat(pick_u, 16, 0), 16, 1)
+    pred_y = jnp.where(pick_u_px, pu,
+                       jnp.where(mode_px == 0, p0y,
+                                 jnp.where(mode_px == 1, p1y, pby)))
+    p0u, p0v = _mc_chroma_pair(r0u, r0v, mv0, sr)
+    p1u, p1v = _mc_chroma_pair(r1u, r1v, mv1, sr)
+    mode_c = jnp.repeat(jnp.repeat(mode, 8, 0), 8, 1)
+
+    def sel_c(a, b):
+        return jnp.where(mode_c == 0, a,
+                         jnp.where(mode_c == 1, b, (a + b + 1) >> 1))
+
+    pred_u = sel_c(p0u, p1u)
+    pred_v = sel_c(p0v, p1v)
+
+    (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+     recon_y, recon_u, recon_v, nz4) = _residual_recon(
+        cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
+        decimate_extra=3)
+
+    if deblock:
+        from ...ops import deblock as dbf
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        intra = jnp.zeros((n_mby, n_mbx), bool)
+        use = jnp.stack([mode != 1, mode != 0], axis=-1)
+        recon_y, recon_u, recon_v = dbf.deblock_frame(
+            recon_y, recon_u, recon_v, qp_mb, intra, nz4,
+            (mv0, mv1, use), tf.CHROMA_QP_FULL)
+
+    return {
+        "mv0": mv0, "mv1": mv1, "mode": mode,
+        "luma": z_luma.reshape(n_mby, n_mbx, 16, 16),
+        "cb_dc": cb_dc, "cb_ac": cb_ac.reshape(n_mby, n_mbx, 4, 16),
+        "cr_dc": cr_dc, "cr_ac": cr_ac.reshape(n_mby, n_mbx, 4, 16),
+        "recon_y": recon_y.astype(jnp.uint8),
+        "recon_u": recon_u.astype(jnp.uint8),
+        "recon_v": recon_v.astype(jnp.uint8),
+    }
 
 
 @functools.partial(jax.jit, static_argnums=(8, 10, 11))

@@ -19,6 +19,7 @@ NAL_SPS = 7
 NAL_PPS = 8
 
 SLICE_TYPE_P_ALL = 5   # "all slices in this picture are P"
+SLICE_TYPE_B_ALL = 6
 SLICE_TYPE_I_ALL = 7
 
 
@@ -62,7 +63,9 @@ def write_sps(sp: SeqParams) -> bytes:
     bw.u(8, sp.level_idc)
     bw.ue(sp.sps_id)
     bw.ue(sp.log2_max_frame_num - 4)
-    bw.ue(2)                       # pic_order_cnt_type = 2
+    bw.ue(sp.poc_type)             # 2 unless B frames (then 0)
+    if sp.poc_type == 0:
+        bw.ue(sp.log2_max_poc_lsb - 4)
     bw.ue(sp.num_ref_frames)
     bw.u(1, 0)                     # gaps_in_frame_num_value_allowed_flag
     bw.ue(sp.mb_width - 1)
@@ -108,24 +111,39 @@ def write_pps(pp: PicParams) -> bytes:
 def write_slice_header(bw: BitWriter, sp: SeqParams, pp: PicParams, *,
                        is_idr: bool, frame_num: int, slice_qp: int,
                        idr_pic_id: int = 0,
-                       disable_deblocking: bool = True) -> None:
-    """Append the slice header for a full-picture I/P slice."""
+                       disable_deblocking: bool = True,
+                       slice_type: str | None = None,
+                       poc_lsb: int = 0,
+                       is_ref: bool = True) -> None:
+    """Append the slice header for a full-picture I/P/B slice.
+    ``slice_type`` is "I"/"P"/"B" (defaults to I for IDR else P);
+    ``poc_lsb`` is written when the SPS carries poc_type 0 (B streams);
+    ``is_ref`` gates dec_ref_pic_marking (absent for nal_ref_idc 0,
+    i.e. non-reference B pictures)."""
+    st = slice_type or ("I" if is_idr else "P")
     bw.ue(0)                                  # first_mb_in_slice
-    bw.ue(SLICE_TYPE_I_ALL if is_idr else SLICE_TYPE_P_ALL)
+    bw.ue({"I": SLICE_TYPE_I_ALL, "P": SLICE_TYPE_P_ALL,
+           "B": SLICE_TYPE_B_ALL}[st])
     bw.ue(pp.pps_id)
     bw.u(sp.log2_max_frame_num, frame_num % (1 << sp.log2_max_frame_num))
     if is_idr:
         bw.ue(idr_pic_id)
-    if not is_idr:
+    if sp.poc_type == 0:
+        bw.u(sp.log2_max_poc_lsb, poc_lsb % (1 << sp.log2_max_poc_lsb))
+    if st == "B":
+        bw.u(1, 1)                            # direct_spatial_mv_pred_flag
+    if st != "I":
         bw.u(1, 0)                            # num_ref_idx_active_override
         bw.u(1, 0)                            # ref_pic_list_modification_flag_l0
-    # dec_ref_pic_marking (nal_ref_idc != 0; every frame is a reference)
+        if st == "B":
+            bw.u(1, 0)                        # ref_pic_list_modification_flag_l1
+    # dec_ref_pic_marking (only for reference pictures, nal_ref_idc != 0)
     if is_idr:
         bw.u(1, 0)                            # no_output_of_prior_pics_flag
         bw.u(1, 0)                            # long_term_reference_flag
-    else:
+    elif is_ref:
         bw.u(1, 0)                            # adaptive_ref_pic_marking_mode
-    if pp.cabac and not is_idr:
+    if pp.cabac and st != "I":
         bw.ue(0)                              # cabac_init_idc
     bw.se(slice_qp - pp.init_qp)              # slice_qp_delta
     if pp.deblocking_filter_control_present:

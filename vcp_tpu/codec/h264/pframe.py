@@ -166,7 +166,7 @@ def skip_mv(mvs, valid, mbx, mby, n_mbx):
 
 def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                  qp: int, data: dict, deblock: bool = False,
-                 cabac: bool = False) -> bytes:
+                 cabac: bool = False, poc_lsb: int = 0) -> bytes:
     """P slice NAL. C++ engine when available (bit-identical), else Python.
     ``cabac=True`` routes to the CABAC syntax layer."""
     from ... import native
@@ -176,19 +176,21 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
         if lib is not None:
             return _write_pslice_cabac_native(
                 lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
-                deblock=deblock)
+                deblock=deblock, poc_lsb=poc_lsb)
         from .cabac_syntax import write_pslice_cabac
         return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
-                                  data=data, deblock=deblock)
+                                  data=data, deblock=deblock,
+                                  poc_lsb=poc_lsb)
     if lib is not None:
         return _write_pslice_native(lib, sp, pp, frame_num=frame_num,
-                                    qp=qp, data=data, deblock=deblock)
+                                    qp=qp, data=data, deblock=deblock,
+                                    poc_lsb=poc_lsb)
     return _write_pslice_py(sp, pp, frame_num=frame_num, qp=qp, data=data,
-                            deblock=deblock)
+                            deblock=deblock, poc_lsb=poc_lsb)
 
 
 def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
-                         deblock=False) -> bytes:
+                         deblock=False, poc_lsb=0) -> bytes:
     import ctypes
     from .entropy import _nal_from_rbsp_native
     n_mby, n_mbx = sp.mb_height, sp.mb_width
@@ -202,6 +204,7 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
     n = lib.vcp_write_pslice(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
         0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
         mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
@@ -211,7 +214,7 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
 
 
 def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
-                               deblock=False) -> bytes:
+                               deblock=False, poc_lsb=0) -> bytes:
     import ctypes
     from .entropy import _nal_from_rbsp_native
     n_mby, n_mbx = sp.mb_height, sp.mb_width
@@ -225,6 +228,7 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
     n = lib.vcp_write_pslice_cabac(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
         0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
         mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
@@ -234,11 +238,13 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
 
 
 def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
-                     qp: int, data: dict, deblock: bool = False) -> bytes:
+                     qp: int, data: dict, deblock: bool = False,
+                     poc_lsb: int = 0) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
-                         slice_qp=qp, disable_deblocking=not deblock)
+                         slice_qp=qp, disable_deblocking=not deblock,
+                         poc_lsb=poc_lsb)
 
     mv = data["mv"]                # (nMBy, nMBx, 2) full-pel [dy, dx]
     luma = data["luma"]            # (nMBy, nMBx, 16, 16)

@@ -84,9 +84,10 @@ def _open_mp4(path: str, max_frames) -> VideoInput:
         for i in range(n):
             for nal in demux.sample_nals(track, i):
                 dec._decode_nal(nal)
-            while dec.frames:
-                f = dec.frames.pop(0)
+            for f in dec.drain():
                 yield f.y, f.u, f.v
+        for f in dec.drain(flush=True):
+            yield f.y, f.u, f.v
 
     return VideoInput(track.width, track.height, fps_num, fps_den, n, gen())
 
@@ -137,8 +138,9 @@ def _open_mkv(path: str, max_frames) -> VideoInput:
                 ln = int.from_bytes(data[pos:pos + nal_len], "big")
                 dec._decode_nal(data[pos + nal_len:pos + nal_len + ln])
                 pos += nal_len + ln
-            while dec.frames:
-                f = dec.frames.pop(0)
+            for f in dec.drain():
                 yield f.y, f.u, f.v
+        for f in dec.drain(flush=True):
+            yield f.y, f.u, f.v
 
     return VideoInput(t.width, t.height, fps_num, fps_den, n, gen())

@@ -183,12 +183,14 @@ struct HdrWriter {
 // cabac_init_idc=0 precedes slice_qp_delta).
 void cabac_slice_header(HdrWriter& bw, bool is_idr, int frame_num_bits,
                         int frame_num, int idr_pic_id, int qp, int init_qp,
-                        int deblock_idc) {
+                        int deblock_idc, int poc_bits = 0, int poc_lsb = 0) {
     bw.ue(0);                              // first_mb_in_slice
     bw.ue(is_idr ? 7 : 5);                 // slice_type (I-all / P-all)
     bw.ue(0);                              // pps id
     bw.u(frame_num_bits, (uint32_t)(frame_num & ((1 << frame_num_bits) - 1)));
     if (is_idr) bw.ue((uint32_t)idr_pic_id);
+    if (poc_bits > 0)                      // pic_order_cnt_lsb (poc_type 0)
+        bw.u(poc_bits, (uint32_t)(poc_lsb & ((1 << poc_bits) - 1)));
     if (!is_idr) { bw.u(1, 0); bw.u(1, 0); }  // no override, no reordering
     if (is_idr) { bw.u(1, 0); bw.u(1, 0); }   // IDR dec_ref_pic_marking
     else bw.u(1, 0);                          // adaptive_ref_pic_marking
@@ -599,13 +601,14 @@ extern "C" {
 int64_t vcp_write_islice_cabac(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
     int frame_num, int idr_pic_id, int deblock_idc,
+    int poc_bits, int poc_lsb,
     const int32_t* luma_dc, const int32_t* luma_ac,
     const int32_t* cb_dc, const int32_t* cb_ac,
     const int32_t* cr_dc, const int32_t* cr_ac,
     uint8_t* out, int64_t out_cap) {
     HdrWriter bw;
     cabac_slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
-                       init_qp, deblock_idc);
+                       init_qp, deblock_idc, poc_bits, poc_lsb);
     bw.align_ones();
 
     CabacEnc e;
@@ -657,14 +660,14 @@ int64_t vcp_write_islice_cabac(
 // vcp_write_pslice.
 int64_t vcp_write_pslice_cabac(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
-    int frame_num, int deblock_idc,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
     const int32_t* mv_xy, const int32_t* luma,
     const int32_t* cb_dc, const int32_t* cb_ac,
     const int32_t* cr_dc, const int32_t* cr_ac,
     uint8_t* out, int64_t out_cap) {
     HdrWriter bw;
     cabac_slice_header(bw, false, frame_num_bits, frame_num, 0, qp, init_qp,
-                       deblock_idc);
+                       deblock_idc, poc_bits, poc_lsb);
     bw.align_ones();
 
     CabacEnc e;

@@ -139,12 +139,14 @@ const int CBLK_X[4] = {0,1,0,1};
 
 void slice_header(BitWriter& bw, bool is_idr, int frame_num_bits,
                   int frame_num, int idr_pic_id, int qp, int init_qp,
-                  int deblock_idc) {
+                  int deblock_idc, int poc_bits = 0, int poc_lsb = 0) {
     bw.ue(0);                              // first_mb_in_slice
     bw.ue(is_idr ? 7 : 5);                 // slice_type (I-all / P-all)
     bw.ue(0);                              // pps id
     bw.u(frame_num_bits, (uint32_t)(frame_num & ((1 << frame_num_bits) - 1)));
     if (is_idr) bw.ue((uint32_t)idr_pic_id);
+    if (poc_bits > 0)                      // pic_order_cnt_lsb (poc_type 0)
+        bw.u(poc_bits, (uint32_t)(poc_lsb & ((1 << poc_bits) - 1)));
     if (!is_idr) { bw.u(1, 0); bw.u(1, 0); }  // no override, no reordering
     if (is_idr) { bw.u(1, 0); bw.u(1, 0); }
     else bw.u(1, 0);                       // adaptive_ref_pic_marking
@@ -200,6 +202,7 @@ int64_t vcp_escape(const uint8_t* in, int64_t n, uint8_t* out) {
 int64_t vcp_write_islice(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
     int frame_num, int idr_pic_id, int deblock_idc,
+    int poc_bits, int poc_lsb,
     const int32_t* luma_dc,    // (n_mby, n_mbx, 16)
     const int32_t* luma_ac,    // (n_mby, n_mbx, 16, 16)
     const int32_t* cb_dc,      // (n_mby, n_mbx, 4)
@@ -212,7 +215,7 @@ int64_t vcp_write_islice(
     BitWriter bw;
     bw.buf.reserve((size_t)n_mby * n_mbx * 64);
     slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
-                 init_qp, deblock_idc);
+                 init_qp, deblock_idc, poc_bits, poc_lsb);
 
     Nz nz_y(4 * n_mby, 4 * n_mbx), nz_cb(2 * n_mby, 2 * n_mbx),
         nz_cr(2 * n_mby, 2 * n_mbx);
@@ -327,7 +330,7 @@ static void skip_mv_c(const int32_t* mv, const uint8_t* valid, int n_mbx,
 // mv layout: (n_mby, n_mbx, 2) [x, y] FULL-PEL (caller converts from dy,dx).
 int64_t vcp_write_pslice(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
-    int frame_num, int deblock_idc,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
     const int32_t* mv_xy,
     const int32_t* luma,       // (n_mby, n_mbx, 16, 16)
     const int32_t* cb_dc, const int32_t* cb_ac,
@@ -336,7 +339,7 @@ int64_t vcp_write_pslice(
     BitWriter bw;
     bw.buf.reserve((size_t)n_mby * n_mbx * 32);
     slice_header(bw, false, frame_num_bits, frame_num, 0, qp, init_qp,
-                 deblock_idc);
+                 deblock_idc, poc_bits, poc_lsb);
 
     Nz nz_y(4 * n_mby, 4 * n_mbx), nz_cb(2 * n_mby, 2 * n_mbx),
         nz_cr(2 * n_mby, 2 * n_mbx);

@@ -216,14 +216,21 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp):
     """Boundary strengths for all internal luma edges in one direction.
 
     intra_mb: (nMBy, nMBx) bool; nz_blk: (H/4, W/4) bool (block has
-    residual); mvq: (nMBy, nMBx, 2) quarter-pel. Returns (n_edges, H/4 or
-    W/4) int32 — transposed appropriately so edge e's values run along
-    the edge.
+    residual); mvq: (nMBy, nMBx, 2) quarter-pel, OR — for B pictures —
+    a tuple ``(mv0, mv1, use)`` with mv0/mv1 (nMBy, nMBx, 2) per-list
+    quarter-pel MVs and use (nMBy, nMBx, 2) bool list-usage flags
+    (L0-only / L1-only / Bi per MB). Returns (n_edges, H/4 or W/4)
+    int32 — transposed appropriately so edge e's values run along the
+    edge.
     """
+    two_list = isinstance(mvq, tuple)
     if not vertical:
         intra_mb = intra_mb.T
         nz_blk = nz_blk.T
-        mvq = xp.swapaxes(mvq, 0, 1)
+        if two_list:
+            mvq = tuple(xp.swapaxes(a, 0, 1) for a in mvq)
+        else:
+            mvq = xp.swapaxes(mvq, 0, 1)
     bh, bw = nz_blk.shape
     # per-block expansions are repeat+shift (gather-free; edge j sits
     # between block cols j and j+1, j = 0..bw-2)
@@ -232,8 +239,25 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp):
     j = np.arange(bw - 1)
     is_mb_edge = xp.asarray(((j + 1) % 4 == 0)[None, :])
     nz_e = nz_blk[:, :-1] | nz_blk[:, 1:]
-    mv_e = xp.repeat(xp.repeat(mvq, 4, 0), 4, 1)            # (bh, bw, 2)
-    mv_diff = xp.any(xp.abs(mv_e[:, :-1] - mv_e[:, 1:]) >= 4, axis=-1)
+    if two_list:
+        # 8.7.2.1 for B: bS=1 when the two sides use different reference
+        # sets, or any shared list's MVs differ by >= 1 luma sample. In
+        # this encoder L0/L1 are distinct pictures (prev/next anchor),
+        # so list identity == reference identity.
+        mv0, mv1, use = mvq
+
+        def exp(a):
+            return xp.repeat(xp.repeat(a, 4, 0), 4, 1)
+        u_e, m0, m1 = exp(use), exp(mv0), exp(mv1)
+        use_diff = xp.any(u_e[:, :-1] != u_e[:, 1:], axis=-1)
+        d0 = xp.any(xp.abs(m0[:, :-1] - m0[:, 1:]) >= 4, axis=-1)
+        d1 = xp.any(xp.abs(m1[:, :-1] - m1[:, 1:]) >= 4, axis=-1)
+        both0 = u_e[:, :-1, 0] & u_e[:, 1:, 0]
+        both1 = u_e[:, :-1, 1] & u_e[:, 1:, 1]
+        mv_diff = use_diff | (both0 & d0) | (both1 & d1)
+    else:
+        mv_e = xp.repeat(xp.repeat(mvq, 4, 0), 4, 1)        # (bh, bw, 2)
+        mv_diff = xp.any(xp.abs(mv_e[:, :-1] - mv_e[:, 1:]) >= 4, axis=-1)
     bs = xp.where(
         intra_e,
         xp.where(is_mb_edge, 4, 3),
@@ -511,7 +535,8 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
     qp_mb = np.asarray(qp_mb)
     intra_mb = np.asarray(intra_mb)
     nz_y = np.asarray(nz_y)
-    mvq = np.asarray(mvq)
+    mvq = tuple(np.asarray(a) for a in mvq) if isinstance(mvq, tuple) \
+        else np.asarray(mvq)
     hc, wc = u.shape
     n_mby, n_mbx = qp_mb.shape
 
