@@ -31,15 +31,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref, cost_ref,
-            best_ref, sem, *, sr: int, w: int, n_mbx: int, wpad: int):
+def _kernel(cur_ref, lam_ref, ref_hbm, mv_ref, win_ref, cost_ref,
+            best_ref, seg_ref, sem, *, sr: int, w: int, n_mbx: int,
+            wpad: int):
     _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
                  cost_ref, best_ref, sem, sr=sr, w=w, n_mbx=n_mbx,
                  wpad=wpad)
 
 
-def _kernel_pred(cur_ref, ref_hbm, seg_ref, lam_ref, segt_ref, mv_ref,
-                 pred_ref, win_ref, cost_ref, best_ref, sem, *, sr: int,
+def _kernel_pred(cur_ref, lam_ref, ref_hbm, mv_ref, pred_ref, win_ref,
+                 cost_ref, best_ref, seg_ref, segt_ref, sem, *, sr: int,
                  w: int, n_mbx: int, wpad: int):
     _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
                  cost_ref, best_ref, sem, sr=sr, w=w, n_mbx=n_mbx,
@@ -59,45 +60,74 @@ def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
     dma = pltpu.make_async_copy(
         ref_hbm.at[pl.ds(i * 16, rows), :], win_ref, sem)
     dma.start()
+
+    # The segment-sum matrices live in VMEM SCRATCH, built once on the
+    # first grid step (scratch persists across steps). As pipelined
+    # INPUTS they were re-copied HBM->VMEM on every step — ~920 KB x 68
+    # steps at 1080p, which dominated the whole kernel (~400 us/step of
+    # pure block-copy vs ~25 us of math).
+    @pl.when(i == 0)
+    def _init_seg():
+        colv = jax.lax.broadcasted_iota(jnp.int32, (w, n_mbx), 0) // 16
+        mbv = jax.lax.broadcasted_iota(jnp.int32, (w, n_mbx), 1)
+        seg_ref[:] = (colv == mbv).astype(jnp.float32)
+        if segt_ref is not None:
+            colt = jax.lax.broadcasted_iota(jnp.int32, (n_mbx, w), 1) // 16
+            mbt = jax.lax.broadcasted_iota(jnp.int32, (n_mbx, w), 0)
+            segt_ref[:] = (colt == mbt).astype(jnp.float32)
+
     dma.wait()
 
-    cur = cur_ref[:].astype(jnp.float32)            # (16, w)
+    cur = cur_ref[:]                                 # (16, w) int32
     win = win_ref[:]                                 # (rows, wpad)
     lam_f = lam_ref[0, 0].astype(jnp.float32)
 
-    def body(o, _):
-        dy = o // side
-        dx = o % side
-        # dynamic window extraction via circular rotates + static slices
-        # (Mosaic requires aligned vector loads; rotate is lane-exact)
-        shifted = pltpu.roll(win, rows - dy, axis=0)
-        shifted = pltpu.roll(shifted, wpad - dx, axis=1)
-        window_i = shifted[:16, :w]
-        window = window_i.astype(jnp.float32)
-        diff = jnp.abs(cur - window)                 # VPU
-        colsum = jnp.sum(diff, axis=0, keepdims=True)   # (1, w)
-        # HIGHEST precision: the MXU rounds f32 inputs to bf16 by default,
-        # and column sums need 12 mantissa bits — bf16 rounding flips
-        # argmin ties on smooth content vs the exact-integer XLA path.
-        sad = jnp.dot(colsum, seg_ref[:],
-                      precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)  # (1, n_mbx)
-        cost = sad + lam_f * (abs(dx - sr) + abs(dy - sr))
-        better = cost < cost_ref[:]
-        cost_ref[:] = jnp.where(better, cost, cost_ref[:])
-        best_ref[:] = jnp.where(better, o, best_ref[:])
+    def body_dy(dy, _):
+        # hoist the (rows, wpad) sublane rotate out of the dx scan: one
+        # row-shift per dy; the dx dimension is statically unrolled and
+        # its 17 per-offset segment sums batch into ONE MXU matmul —
+        # per-offset MXU invocations were the dominant cost of the
+        # original one-dot-per-offset schedule.
+        rowshift = pltpu.roll(win, rows - dy, axis=0)[:16, :]
+        windows = []
+        colsums = []
+        for dx in range(side):
+            window_i = pltpu.roll(rowshift, wpad - dx, axis=1)[:, :w]
+            windows.append(window_i)
+            diff = jnp.abs(cur - window_i)           # VPU, int32
+            colsums.append(jnp.sum(diff, axis=0).astype(jnp.float32))
+        cs = jnp.stack(colsums, axis=0)              # (side, w)
+        # HIGHEST precision: the MXU rounds f32 inputs to bf16 by
+        # default, and column sums need 12 mantissa bits — bf16 rounding
+        # flips argmin ties on smooth content vs the exact-integer XLA
+        # path.
+        sads = jnp.dot(cs, seg_ref[:],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # (side, n_mbx)
+        dxs = jax.lax.broadcasted_iota(jnp.int32, (side, 1), 0)
+        costs = sads + lam_f * (jnp.abs(dxs - sr).astype(jnp.float32)
+                                + jnp.abs(dy - sr).astype(jnp.float32))
+        # first-minimum tie-break in offset order: strict < scanning dx
+        # ascending, then strict < against the running best
+        row_best = jnp.min(costs, axis=0, keepdims=True)    # (1, n_mbx)
+        row_arg = jnp.argmin(costs, axis=0)[None, :]        # first min
+        better = row_best < cost_ref[:]
+        cost_ref[:] = jnp.where(better, row_best, cost_ref[:])
+        best_ref[:] = jnp.where(better, dy * side + row_arg, best_ref[:])
         if pred_ref is not None:
-            # fused MC: track the winning block per MB as the argmin
-            # updates — broadcast `better` to columns via the transposed
-            # segment matrix (one extra small MXU op per offset)
-            bcols = jnp.dot(better.astype(jnp.float32), segt_ref[:],
-                            preferred_element_type=jnp.float32)  # (1, w)
-            pred_ref[:] = jnp.where(bcols > 0, window_i, pred_ref[:])
+            # fused MC: refresh the winning block wherever this dy row
+            # produced a new argmin (per-dx masked writes, VPU-only)
+            for dx in range(side):
+                hit = better & (row_arg == dx)              # (1, n_mbx)
+                bcols = jnp.dot(hit.astype(jnp.float32), segt_ref[:],
+                                preferred_element_type=jnp.float32)
+                pred_ref[:] = jnp.where(bcols > 0, windows[dx],
+                                        pred_ref[:])
         return 0
 
     cost_ref[:] = jnp.full((1, n_mbx), 3.0e9, jnp.float32)
     best_ref[:] = jnp.zeros((1, n_mbx), jnp.int32)
-    jax.lax.fori_loop(0, side * side, body, 0)
+    jax.lax.fori_loop(0, side, body_dy, 0)
 
     best = best_ref[:]                               # (1, n_mbx)
     mv_ref[0, 0, :] = (best // side - sr)[0, :]      # dy
@@ -122,20 +152,21 @@ def full_search_pallas(cur, ref, search_range: int, lam=4,
     ref_pad = jnp.pad(jnp.asarray(ref).astype(jnp.int32),
                       ((sr, sr), (sr, wpad - w - sr)), mode="edge")
     # segment-sum matrix: (w, n_mbx), S[c, m] = 1 iff c // 16 == m
-    cols = np.arange(w)
-    seg = (cols[:, None] // 16 == np.arange(n_mbx)[None, :]).astype(np.float32)
     lam_arr = jnp.asarray(lam, jnp.int32).reshape(1, 1)
+    # seg matrices live in VMEM scratch, built in-kernel on step 0: as
+    # pipelined inputs with a constant index_map they were re-copied
+    # HBM->VMEM on EVERY grid step (~920 KB x 68 steps at 1080p — the
+    # dominant cost of the whole kernel)
     scratch = [
         pltpu.VMEM((16 + 2 * sr, wpad), jnp.int32),
         pltpu.VMEM((1, n_mbx), jnp.float32),
         pltpu.VMEM((1, n_mbx), jnp.int32),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((w, n_mbx), jnp.float32),           # seg
     ]
     base_specs = [
         pl.BlockSpec((16, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),             # padded ref, DMA'd
-        pl.BlockSpec((w, n_mbx), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),             # padded ref, DMA'd
     ]
     mv_spec = pl.BlockSpec((1, 2, n_mbx), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -148,18 +179,17 @@ def full_search_pallas(cur, ref, search_range: int, lam=4,
         mv2, pred = pl.pallas_call(
             kernel,
             grid=(n_mby,),
-            in_specs=base_specs + [
-                pl.BlockSpec((n_mbx, w), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=base_specs,
             out_specs=[mv_spec,
                        pl.BlockSpec((16, w), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)],
             out_shape=[mv_shape, jax.ShapeDtypeStruct((h, w), jnp.int32)],
-            scratch_shapes=scratch,
+            scratch_shapes=scratch + [
+                pltpu.VMEM((n_mbx, w), jnp.float32),   # segt
+                pltpu.SemaphoreType.DMA(()),
+            ],
             interpret=interpret,
-        )(cur_i, ref_pad, jnp.asarray(seg), lam_arr,
-          jnp.asarray(seg.T.copy()))
+        )(cur_i, lam_arr, ref_pad)
         return jnp.stack([mv2[:, 0], mv2[:, 1]], axis=-1), pred
 
     kernel = functools.partial(_kernel, sr=sr, w=w, n_mbx=n_mbx, wpad=wpad)
@@ -169,7 +199,7 @@ def full_search_pallas(cur, ref, search_range: int, lam=4,
         in_specs=base_specs,
         out_specs=mv_spec,
         out_shape=mv_shape,
-        scratch_shapes=scratch,
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(cur_i, ref_pad, jnp.asarray(seg), lam_arr)
+    )(cur_i, lam_arr, ref_pad)
     return jnp.stack([mv2[:, 0], mv2[:, 1]], axis=-1)
