@@ -152,6 +152,32 @@ def test_pallas_wavefront_matches_xla():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pallas_wavefront_no_strong_matches_xla():
+    """The strong=False kernel variant (P/B-frame fast path — the bS==4
+    branch statically removed) must stay bit-identical to the full XLA
+    wavefront on all-inter content, where bS never reaches 4."""
+    import jax.numpy as jnp
+    from vcp_tpu.ops import transform as tf
+
+    rng = np.random.default_rng(17)
+    h, w = 64, 80
+    n_mby, n_mbx = h // 16, w // 16
+    y = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    u = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+    v = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+    qp_mb = jnp.full((n_mby, n_mbx), 30, jnp.int32)
+    intra = jnp.zeros((n_mby, n_mbx), bool)
+    nz = jnp.asarray(rng.random((h // 4, w // 4)) < 0.5)
+    mv = jnp.asarray(rng.integers(-8, 9, (n_mby, n_mbx, 2)), jnp.int32)
+    ref = dbf.deblock_frame(y, u, v, qp_mb, intra, nz, mv,
+                            tf.CHROMA_QP_FULL)
+    grids = _grids(intra, nz, mv, qp_mb, tf.CHROMA_QP_FULL)
+    out = dbf._deblock_pallas(y, u, v, *grids, n_mby, n_mbx,
+                              interpret=True, strong=False)
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_host_numpy_deblock_matches_device():
     """deblock_frame_host (native C++ raster filter when available, pure
     NumPy otherwise) must be bit-identical to the jnp wavefront — both

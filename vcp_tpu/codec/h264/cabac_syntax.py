@@ -544,13 +544,22 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
         np.any(np.asarray(cr_dc) != 0, axis=-1)
     cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
 
+    active = data.get("active")
     for mby in range(n_mby):
         for mbx in range(n_mbx):
-            m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
-            cbp_l = int(cbp_luma[mby, mbx])
-            cbp_c = int(cbp_chroma[mby, mbx])
-            smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
-            is_skip = cbp_l == 0 and cbp_c == 0 and m == smv
+            if active is not None and not active[mby, mbx]:
+                # sparse-fetch skip MB: derive its P_Skip MV in place
+                # (gop_ops.skip_mv_grid classified it with this rule)
+                mv_xy[mby, mbx] = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+                cbp_l = cbp_c = 0
+                m = smv = None
+                is_skip = True
+            else:
+                m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
+                cbp_l = int(cbp_luma[mby, mbx])
+                cbp_c = int(cbp_chroma[mby, mbx])
+                smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+                is_skip = cbp_l == 0 and cbp_c == 0 and m == smv
             enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
                        1 if is_skip else 0)
             st.avail[mby, mbx] = True

@@ -97,6 +97,10 @@ class H264Encoder:
         self.frame_index = 0
         self.idr_count = 0
         self._recon = None          # (y, u, v) uint8 planes, device-resident
+        # sticky caps for the combined sparse-fetch buffer (rows); grown
+        # on overflow, so steady state is one fetch per chunk
+        self._mcap = 512
+        self._pcap = 256
         self.rc = None
         if cfg.params is not None and cfg.params.rate_mode() == "abr":
             from .ratecontrol import RateController
@@ -259,7 +263,7 @@ class H264Encoder:
                           for ix, t in zip(idxs, tiles)]
                 idx_arr = np.stack([p[0] for p in padded])
                 tile_arr = np.stack([p[1] for p in padded])
-                (meta, count, blocks, sy, su, sv, ry, ru, rv) = \
+                (bitmap, counts, meta, payload, sy, su, sv, ry, ru, rv) = \
                     gop_ops.encode_pchunk_delta(
                         sy, su, sv, idx_arr, tile_arr, *recon, qp, qpc,
                         sr, lam, h16, w16, cfg.deblock,
@@ -267,17 +271,23 @@ class H264Encoder:
             else:
                 buf = gop_ops.pack_frames(
                     [self._pad(*frames[i + k]) for k in range(chunk)])
-                meta, count, blocks, ry, ru, rv = gop_ops.encode_pchunk_sparse(
-                    buf, *recon, qp, qpc, sr, lam, h16, w16, cfg.deblock,
-                    pframe.subpel_for_effort(cfg.effort))
+                (bitmap, counts, meta, payload, ry, ru, rv) = \
+                    gop_ops.encode_pchunk_sparse(
+                        buf, *recon, qp, qpc, sr, lam, h16, w16,
+                        cfg.deblock, pframe.subpel_for_effort(cfg.effort))
             recon = (ry.astype("uint8"), ru.astype("uint8"),
                      rv.astype("uint8"))
-            for a in (meta, count):
-                try:
-                    a.copy_to_host_async()
-                except Exception:
-                    pass
-            pending.append((chunk, meta, count, blocks))
+            # one flat fetch buffer per chunk, streamed to the host in
+            # the background while later chunks compute (combine_fetch)
+            mcap = min(self._mcap, meta.shape[0])
+            pcap = min(self._pcap, payload.shape[0])
+            combined = gop_ops.combine_fetch(bitmap, counts, meta,
+                                             payload, mcap, pcap)
+            try:
+                combined.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((chunk, combined, meta, payload, mcap, pcap))
             i += chunk
         self._recon = recon
         if delta:
@@ -296,16 +306,26 @@ class H264Encoder:
             cabac=cfg.cabac, poc_lsb=0), True))
         poc_pos = 0
 
-        # Then two fetches per chunk (meta+count, then the compacted
-        # nonzero blocks only).
-        for chunk, meta, count, blocks in pending:
-            cnt = int(np.asarray(count)[0])
-            cap = blocks.shape[0]
-            bucket = gop_ops.fetch_bucket(cnt, cap)
-            blocks_h = np.asarray(blocks[:bucket])
-            meta_h = np.asarray(meta)
+        # Then ONE (usually pre-copied) fetch per chunk; overflow of the
+        # sticky caps triggers a tail fetch and grows them for later
+        # chunks.
+        for chunk, combined, meta, payload, mcap, pcap in pending:
+            mcount, bcount, bitmap_h, meta_h, pay_h = gop_ops.split_fetch(
+                np.asarray(combined), chunk, n_mb, mcap, pcap)
+            if mcount > mcap:
+                meta_h = np.concatenate(
+                    [meta_h, np.asarray(meta[mcap:gop_ops.fetch_bucket(
+                        mcount, meta.shape[0], base=mcap)])])
+                self._mcap = min(gop_ops.fetch_bucket(
+                    2 * mcount, meta.shape[0], base=256), 1 << 15)
+            if bcount > pcap:
+                pay_h = np.concatenate(
+                    [pay_h, np.asarray(payload[pcap:gop_ops.fetch_bucket(
+                        bcount, payload.shape[0], base=pcap)])])
+                self._pcap = min(gop_ops.fetch_bucket(
+                    2 * bcount, payload.shape[0], base=256), 1 << 15)
             for data in gop_ops.unpack_sparse_chunk(
-                    meta_h, blocks_h, cnt, n_mby, n_mbx):
+                    bitmap_h, meta_h, pay_h, mcount, bcount, n_mby, n_mbx):
                 poc_pos += 1
                 nal = pframe.write_pslice(self.sp, self.pp,
                                           frame_num=self._frame_num,

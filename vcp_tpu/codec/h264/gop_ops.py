@@ -29,12 +29,17 @@ from ...ops import motion as mops
 from ...ops import transform as tf
 from .frame_ops import LUMA_BLK_ORDER, _zigzag
 
-# per-MB int16 words in the packed layout
+# per-MB int16 words in the packed layout:
+#   [mv 2 | cb_dc 4 | cr_dc 4 | luma 16x16 | cb_ac 4x16 | cr_ac 4x16]
+# The 10 meta words lead so the 384 block words form one contiguous
+# payload (the sparse fetch path gathers it row-wise without a copy).
 MB_WORDS_MV = 2
 MB_WORDS_LUMA = 256
 MB_WORDS_CDC = 4
 MB_WORDS_CAC = 64
-MB_WORDS = MB_WORDS_MV + MB_WORDS_LUMA + 2 * (MB_WORDS_CDC + MB_WORDS_CAC)
+MB_META = MB_WORDS_MV + 2 * MB_WORDS_CDC                  # 10
+MB_PAYLOAD = MB_WORDS_LUMA + 2 * MB_WORDS_CAC             # 384
+MB_WORDS = MB_META + MB_PAYLOAD
 
 
 def _use_pallas_me() -> bool:
@@ -100,7 +105,7 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         intra = jnp.zeros((n_mby, n_mbx), bool)
         recon_y, recon_u, recon_v = dbf.deblock_frame(
             recon_y, recon_u, recon_v, qp_mb, intra, nz4, mv,
-            tf.CHROMA_QP_FULL)
+            tf.CHROMA_QP_FULL, no_strong=True)
     return packed, recon_y, recon_u, recon_v
 
 
@@ -162,7 +167,7 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc)
     packed = jnp.concatenate([
         mv.reshape(n_mby, n_mbx, 2),
-        z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+        cb_dc, cr_dc, z_luma, cb_ac, cr_ac,
     ], axis=-1).astype(jnp.int16).reshape(-1)
     return packed, recon_y, recon_u, recon_v, nz4, mv
 
@@ -370,7 +375,7 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
         use = jnp.stack([mode != 1, mode != 0], axis=-1)
         recon_y, recon_u, recon_v = dbf.deblock_frame(
             recon_y, recon_u, recon_v, qp_mb, intra, nz4,
-            (mv0, mv1, use), tf.CHROMA_QP_FULL)
+            (mv0, mv1, use), tf.CHROMA_QP_FULL, no_strong=True)
 
     return {
         "mv0": mv0, "mv1": mv1, "mode": mode,
@@ -410,18 +415,28 @@ def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
 
 
 # ---------------------------------------------------------------------------
-# Sparse fetch path: compact nonzero 4x4 blocks on device
+# Sparse fetch path: compact ACTIVE macroblocks on device
 # ---------------------------------------------------------------------------
 #
-# At production QPs the vast majority of 4x4 blocks quantize to all-zero;
-# fetching them through a tunneled host link wastes ~10x bandwidth. The
-# device emits instead:
-#   meta   (F, nMB*10 + nW) int16 — per MB: mv(2) + cbDC(4) + crDC(4),
-#          then per-block nonzero flag bits packed into int16 words,
-#   count  (1,) int32 — number of nonzero blocks in the chunk,
-#   blocks (F*nMB*24, 16) int16 — nonzero blocks compacted to the front
-#          (prefix-sum scatter); the host fetches only blocks[:count]
-#          (rounded to a bucket to bound retrace count).
+# At production QPs most P-frame MBs are skipped outright (no residual,
+# mv == the spec's P_Skip prediction); fetching their words through a
+# tunneled host link wastes ~10-100x bandwidth, and compacting at 4x4
+# granularity needs a 1.5M-row scatter that costs ~70 ms/chunk on TPU
+# (scatters lower to serial per-row stores). This path compacts at MB
+# granularity with row GATHERS only (~4 ms for the whole chunk):
+#   bitmap  (F, ceil(nMB/16)) int16 — per-MB ACTIVE bits,
+#   counts  (2,) int32 — [active MBs, blocky MBs] in the chunk,
+#   meta    (F*nMB, 16) int16 — active MBs' records compacted to the
+#           front: [mv 2 | cbDC 4 | crDC 4 | blockflag words 2 | pad 4],
+#   payload (F*nMB, 384) int16 — the 24 4x4 blocks (zig-zag) of MBs with
+#           any nonzero block ("blocky" ⊆ active), compacted to the front.
+# A MB is ACTIVE when it has any nonzero block, any nonzero chroma DC, or
+# mv != the P_Skip prediction (skip_mv_grid below — the same spec 8.4.1.1
+# rule the entropy writers apply, so inactive MBs are exactly the MBs the
+# writer will code as skips; it re-derives their MVs itself and the host
+# never sees them). Chroma AC flags test words 1..15 only: word 0 is the
+# quantizer's DC slot, which the bitstream carries in the separate 2x2 DC
+# block (fetching it would be dead bytes).
 BLOCKS_PER_MB = 24  # 16 luma + 4 cbAC + 4 crAC, each 16 zig-zag words
 
 
@@ -438,34 +453,75 @@ def _flag_words(flags_f):
     return (words.astype(jnp.uint16)).astype(jnp.int16)
 
 
-def _sparsify_packed(packed, f: int, n_mb: int):
-    """Compact a dense (F, nMB*MB_WORDS) int16 chunk into the sparse fetch
-    triple (meta, count, blocks) — see module comment above."""
+def skip_mv_grid(mv):
+    """Vectorized spec 8.4.1.1 P_Skip MV over an all-inter MV grid.
+
+    mv: (F, nMBy, nMBx, 2) int — the frame's final per-MB MVs (any unit;
+    both components). Returns the per-MB P_Skip prediction, identical to
+    pframe.skip_mv with an all-valid grid (asserted by tests): border MBs
+    and MBs whose left/top neighbor is the zero vector predict (0, 0);
+    everything else takes the componentwise median of left, top, and
+    top-right (top-left substituted in the last column)."""
+    f, nby, nbx, _ = mv.shape
+    z2 = jnp.zeros((f, nby, 1, 2), mv.dtype)
+    a = jnp.concatenate([z2, mv[:, :, :-1]], axis=2)        # left
+    zrow = jnp.zeros((f, 1, nbx, 2), mv.dtype)
+    b = jnp.concatenate([zrow, mv[:, :-1]], axis=1)         # top
+    # top-right, with top-left substituted in the last column
+    top = b
+    c = jnp.concatenate([top[:, :, 1:], top[:, :, -2:-1]], axis=2)
+    # median of three via min/max (jnp.median sorts — ~3x the cost)
+    pred = jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c)).astype(mv.dtype)
+    xs = jnp.arange(nbx)[None, None, :, None]
+    ys = jnp.arange(nby)[None, :, None, None]
+    border = (xs == 0) | (ys == 0)
+    a_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    b_zero = jnp.all(b == 0, axis=-1, keepdims=True)
+    return jnp.where(border | a_zero | b_zero, 0, pred)
+
+
+def _compact_rows(flags_flat, rows):
+    """Gather-based stream compaction: rows[i] for flagged i move to the
+    front (stable). Returns (count, compacted) — rows past count are
+    whatever the padding gather produced (row 0)."""
+    n = flags_flat.shape[0]
+    dest = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
+    count = flags_flat.sum(dtype=jnp.int32)
+    src = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(flags_flat, dest, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return count, rows[src]
+
+
+def _sparsify_packed(packed, f: int, n_mb: int, n_mbx: int):
+    """Compact a dense (F, nMB*MB_WORDS) int16 chunk into the sparse
+    fetch tuple (bitmap, counts, meta, payload) — see module comment."""
     arr = packed.reshape(f, n_mb, MB_WORDS)
-    mv = arr[..., :2]
-    luma = arr[..., 2:258]
-    cb_dc = arr[..., 258:262]
-    cb_ac = arr[..., 262:326]
-    cr_dc = arr[..., 326:330]
-    cr_ac = arr[..., 330:394]
-    blocks = jnp.concatenate([
-        luma.reshape(f, n_mb, 16, 16),
-        cb_ac.reshape(f, n_mb, 4, 16),
-        cr_ac.reshape(f, n_mb, 4, 16),
-    ], axis=2)                                    # (F, nMB, 24, 16)
-    flags = jnp.any(blocks != 0, axis=-1)         # (F, nMB, 24)
-    flat_flags = flags.reshape(-1)
-    nblk = flat_flags.shape[0]
-    dest = jnp.cumsum(flat_flags.astype(jnp.int32)) - 1
-    count = flat_flags.sum(dtype=jnp.int32)
-    idx = jnp.where(flat_flags, dest, nblk)       # nblk = out of range
-    buffer = jnp.zeros((nblk, 16), jnp.int16).at[idx].set(
-        blocks.reshape(nblk, 16).astype(jnp.int16), mode="drop")
-    meta = jnp.concatenate([
-        jnp.concatenate([mv, cb_dc, cr_dc], axis=-1).reshape(f, n_mb * 10),
-        _flag_words(flags.reshape(f, n_mb * BLOCKS_PER_MB)),
+    mv = arr[..., :2].astype(jnp.int32)
+    payload = arr.reshape(f * n_mb, MB_WORDS)[:, MB_META:]
+    blocks = payload.reshape(f * n_mb, BLOCKS_PER_MB, 16)
+    # luma blocks: all 16 words; chroma AC blocks: words 1.. only
+    bnz = jnp.any(blocks != 0, axis=-1)
+    cnz = jnp.any(blocks[:, 16:, 1:] != 0, axis=-1)
+    blkflags = jnp.concatenate([bnz[:, :16], cnz], axis=1)  # (F*nMB, 24)
+
+    smv = skip_mv_grid(mv.reshape(f, n_mb // n_mbx, n_mbx, 2))
+    mv_active = jnp.any(mv != smv.reshape(f, n_mb, 2), axis=-1)
+    dc_active = jnp.any(arr[..., 2:10] != 0, axis=-1)
+    blocky = jnp.any(blkflags, axis=-1)
+    active = (blocky.reshape(f, n_mb) | dc_active | mv_active).reshape(-1)
+
+    bitmap = _flag_words(active.reshape(f, n_mb))
+    meta_all = jnp.concatenate([
+        arr.reshape(f * n_mb, MB_WORDS)[:, :MB_META],
+        _flag_words(blkflags),                     # (F*nMB, 2): 24 bits
+        jnp.zeros((f * n_mb, 4), jnp.int16),
     ], axis=1)
-    return meta, count.reshape(1), buffer
+    mcount, meta = _compact_rows(active, meta_all)
+    bcount, payload_c = _compact_rows(blocky, payload)
+    counts = jnp.stack([mcount, bcount])
+    return bitmap, counts, meta, payload_c
 
 
 @functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
@@ -478,8 +534,9 @@ def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
         buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel)
     f = packed.shape[0]
     n_mb = (h // 16) * (w // 16)
-    meta, count, buffer = _sparsify_packed(packed, f, n_mb)
-    return meta, count, buffer, ry, ru, rv
+    bitmap, counts, meta, payload = _sparsify_packed(packed, f, n_mb,
+                                                     w // 16)
+    return bitmap, counts, meta, payload, ry, ru, rv
 
 
 # ---------------------------------------------------------------------------
@@ -545,42 +602,93 @@ def unpack_sparse_iframe(meta_h: np.ndarray, blocks_h: np.ndarray,
     }
 
 
-def fetch_bucket(count: int, cap: int) -> int:
-    """Round the nonzero-block count up to a fetch bucket (bounds the
+def fetch_bucket(count: int, cap: int, base: int = 4096) -> int:
+    """Round a compacted-row count up to a fetch bucket (bounds the
     number of distinct device slice programs)."""
-    k = 4096
+    k = base
     while k < count:
         k *= 2
     return min(k, cap)
 
 
-def unpack_sparse_chunk(meta_h: np.ndarray, blocks_h: np.ndarray,
-                        count: int, n_mby: int, n_mbx: int) -> list[dict]:
-    """Host-side: rebuild per-frame entropy dicts from the sparse fetch."""
-    f = meta_h.shape[0]
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def combine_fetch(bitmap, counts, meta, payload, mcap: int, pcap: int):
+    """Pack one P chunk's sparse outputs into ONE flat int16 buffer:
+    [counts as 4 words | bitmap | meta[:mcap] | payload[:pcap]].
+
+    One buffer → one host fetch → one tunnel round trip, and the encoder
+    starts its host-side async copy right after dispatch, so by entropy
+    time the bytes are already local (the three separate fetches cost
+    ~120 ms/chunk of RTT latency on tunneled deployments). The caps are
+    sticky per-encoder and grow when a chunk overflows them; the rare
+    overflow tail is fetched separately (split_fetch returns None)."""
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(counts, jnp.int16).reshape(-1),
+        bitmap.reshape(-1),
+        meta[:mcap].reshape(-1),
+        payload[:pcap].reshape(-1),
+    ])
+
+
+def split_fetch(arr: np.ndarray, f: int, n_mb: int, mcap: int, pcap: int):
+    """Host-side inverse of combine_fetch. Returns
+    (mcount, bcount, bitmap (f, nW), meta (mcap, 16), payload
+    (pcap, 384)); meta/payload rows past the counts are garbage."""
+    mcount, bcount = (int(x) for x in
+                      np.ascontiguousarray(arr[:4]).view(np.int32))
+    nw = (n_mb + 15) // 16
+    o = 4
+    bitmap = arr[o:o + f * nw].reshape(f, nw)
+    o += f * nw
+    meta = arr[o:o + mcap * 16].reshape(mcap, 16)
+    o += mcap * 16
+    payload = arr[o:o + pcap * MB_PAYLOAD].reshape(pcap, MB_PAYLOAD)
+    return mcount, bcount, bitmap, meta, payload
+
+
+def _unpack_bits(words: np.ndarray, nbits: int) -> np.ndarray:
+    """(..., W) int16 little-endian bit words → (..., nbits) bool."""
+    u8 = np.ascontiguousarray(words).astype(np.uint16).view(np.uint8)
+    return np.unpackbits(u8, bitorder="little",
+                         axis=-1)[..., :nbits].astype(bool)
+
+
+def unpack_sparse_chunk(bitmap_h: np.ndarray, meta_h: np.ndarray,
+                        payload_h: np.ndarray, mcount: int, bcount: int,
+                        n_mby: int, n_mbx: int) -> list[dict]:
+    """Host-side: rebuild per-frame entropy dicts from the sparse fetch.
+
+    Each dict carries dense (nMBy, nMBx, ...) arrays plus an ``active``
+    bool grid; rows of inactive MBs are zero and MUST be ignored by the
+    entropy writer — it derives their P_Skip MVs itself (write_pslice's
+    ``active`` handling)."""
+    f = bitmap_h.shape[0]
     n_mb = n_mby * n_mbx
-    nbits = n_mb * BLOCKS_PER_MB
-    nwords = (nbits + 15) // 16
-    meta = meta_h[:, : n_mb * 10].reshape(f, n_mb, 10)
-    words = meta_h[:, n_mb * 10: n_mb * 10 + nwords]
-    bits = np.unpackbits(
-        words.astype(np.uint16).view(np.uint8), bitorder="little",
-        axis=1)[:, :nbits]
-    flags = bits.astype(bool).reshape(f, n_mb, BLOCKS_PER_MB)
-    blocks = np.zeros((f, n_mb, BLOCKS_PER_MB, 16), np.int16)
-    blocks[flags] = blocks_h[:count]
+    active = _unpack_bits(bitmap_h, n_mb)          # (F, nMB)
+    metas = meta_h[:mcount]
+    blkflags = _unpack_bits(metas[:, 10:12], BLOCKS_PER_MB)
+    blocky = blkflags.any(axis=1)
+    payloads = payload_h[:bcount]
+
+    # dense per-chunk arrays, scattered from the compact streams
+    meta_d = np.zeros((f, n_mb, 10), np.int16)
+    meta_d[active] = metas[:, :10]
+    pay_d = np.zeros((f, n_mb, MB_PAYLOAD), np.int16)
+    act_idx = np.nonzero(active.reshape(-1))[0]
+    pay_d.reshape(-1, MB_PAYLOAD)[act_idx[blocky]] = payloads
 
     out = []
     for i in range(f):
-        m = meta[i]
-        blk = blocks[i]
+        m = meta_d[i]
+        blk = pay_d[i]
         out.append({
+            "active": active[i].reshape(n_mby, n_mbx),
             "mv": m[:, :2].reshape(n_mby, n_mbx, 2).astype(np.int32),
             "cb_dc": m[:, 2:6].reshape(n_mby, n_mbx, 4),
             "cr_dc": m[:, 6:10].reshape(n_mby, n_mbx, 4),
-            "luma": blk[:, :16].reshape(n_mby, n_mbx, 16, 16),
-            "cb_ac": blk[:, 16:20].reshape(n_mby, n_mbx, 4, 16),
-            "cr_ac": blk[:, 20:24].reshape(n_mby, n_mbx, 4, 16),
+            "luma": blk[:, :256].reshape(n_mby, n_mbx, 16, 16),
+            "cb_ac": blk[:, 256:320].reshape(n_mby, n_mbx, 4, 16),
+            "cr_ac": blk[:, 320:384].reshape(n_mby, n_mbx, 4, 16),
         })
     return out
 
@@ -713,7 +821,7 @@ def encode_pchunk_delta(sy, su, sv, idx, tiles,
     sy/su/sv: carried MB-tiled source (previous frame, device-resident);
     idx: (N, K) int32 changed-MB indices (n_mb = drop padding);
     tiles: (N, K, 384) uint8 replacement tiles.
-    Returns (meta, count, blocks, sy', su', sv', recon_y/u/v).
+    Returns (bitmap, counts, meta, payload, sy', su', sv', recon_y/u/v).
     """
     n_mby, n_mbx = h // 16, w // 16
     n_mb = n_mby * n_mbx
@@ -733,8 +841,8 @@ def encode_pchunk_delta(sy, su, sv, idx, tiles,
     (sy, su, sv, ry, ru, rv), packed = jax.lax.scan(
         step, (sy, su, sv, ref_y, ref_u, ref_v), (idx, tiles))
     f = idx.shape[0]
-    meta, count, buffer = _sparsify_packed(packed, f, n_mb)
-    return meta, count, buffer, sy, su, sv, ry, ru, rv
+    bitmap, counts, meta, payload = _sparsify_packed(packed, f, n_mb, n_mbx)
+    return bitmap, counts, meta, payload, sy, su, sv, ry, ru, rv
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))
@@ -765,10 +873,10 @@ def unpack_frame(packed: np.ndarray, n_mby: int, n_mbx: int) -> dict:
         return out
 
     mv = take(2).astype(np.int32)
-    luma = take(256).reshape(n_mby, n_mbx, 16, 16)
     cb_dc = take(4)
-    cb_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
     cr_dc = take(4)
+    luma = take(256).reshape(n_mby, n_mbx, 16, 16)
+    cb_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
     cr_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
     return {"mv": mv, "luma": luma, "cb_dc": cb_dc, "cb_ac": cb_ac,
             "cr_dc": cr_dc, "cr_ac": cr_ac}

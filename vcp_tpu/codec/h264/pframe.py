@@ -72,10 +72,10 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
     arr = packed.reshape(n_mby, n_mbx, gop_ops.MB_WORDS).astype(jnp.int32)
     return {
         "mv": arr[..., :2],
-        "luma": arr[..., 2:258].reshape(n_mby, n_mbx, 16, 16),
-        "cb_dc": arr[..., 258:262],
-        "cb_ac": arr[..., 262:326].reshape(n_mby, n_mbx, 4, 16),
-        "cr_dc": arr[..., 326:330],
+        "cb_dc": arr[..., 2:6],
+        "cr_dc": arr[..., 6:10],
+        "luma": arr[..., 10:266].reshape(n_mby, n_mbx, 16, 16),
+        "cb_ac": arr[..., 266:330].reshape(n_mby, n_mbx, 4, 16),
         "cr_ac": arr[..., 330:394].reshape(n_mby, n_mbx, 4, 16),
         "recon_y": recon_y.astype(jnp.uint8),
         "recon_u": recon_u.astype(jnp.uint8),
@@ -189,6 +189,18 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                             deblock=deblock, poc_lsb=poc_lsb)
 
 
+def _active_ptr(data):
+    """ctypes pointer for the optional sparse-fetch active mask (NULL =
+    every MB present in the dense arrays)."""
+    import ctypes
+    act = data.get("active")
+    if act is None:
+        return ctypes.POINTER(ctypes.c_uint8)()
+    act = np.ascontiguousarray(act, np.uint8)
+    data["_active_keepalive"] = act       # keep buffer alive for the call
+    return act.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
 def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
                          deblock=False, poc_lsb=0) -> bytes:
     import ctypes
@@ -205,6 +217,7 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
         0 if deblock else 1,
         sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+        _active_ptr(data),
         mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
@@ -229,6 +242,7 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
         0 if deblock else 1,
         sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+        _active_ptr(data),
         mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
@@ -255,6 +269,10 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     nz_cb = NzContext(2 * n_mby, 2 * n_mbx)
     nz_cr = NzContext(2 * n_mby, 2 * n_mbx)
     valid = np.ones((n_mby, n_mbx), bool)   # all MBs inter in this encoder
+    # sparse-fetch chunks carry only ACTIVE MBs; the rest are skips whose
+    # MV we re-derive here (spec 8.4.1.1 — same rule the device used to
+    # classify them, gop_ops.skip_mv_grid)
+    active = data.get("active")
     # store mv as (x, y) for prediction convenience
     mv_xy = np.stack([mv[..., 1], mv[..., 0]], axis=-1)
 
@@ -270,6 +288,11 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     skip_run = 0
     for mby in range(n_mby):
         for mbx in range(n_mbx):
+            if active is not None and not active[mby, mbx]:
+                mv_xy[mby, mbx] = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+                skip_run += 1
+                _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby)
+                continue
             m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
             cbp = int(cbp_luma[mby, mbx]) | (int(cbp_chroma[mby, mbx]) << 4)
             smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)

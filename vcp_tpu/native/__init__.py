@@ -29,7 +29,7 @@ def _configure(lib) -> None:
     lib.vcp_write_pslice.restype = i64
     lib.vcp_write_pslice.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32,
-        i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+        u8p, i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
     lib.vcp_write_islice_cabac.restype = i64
     lib.vcp_write_islice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
@@ -37,7 +37,7 @@ def _configure(lib) -> None:
     lib.vcp_write_pslice_cabac.restype = i64
     lib.vcp_write_pslice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32,
-        i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+        u8p, i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
     lib.vcp_deblock_frame.restype = None
     lib.vcp_deblock_frame.argtypes = [
         i32p, i32p, i32p, i32, i32, i32p, i32p, i32p, i32p]

@@ -657,10 +657,12 @@ int64_t vcp_write_islice_cabac(
 }
 
 // CABAC P slice. mv layout: (n_mby, n_mbx, 2) [x, y] quarter-pel, as for
-// vcp_write_pslice.
+// vcp_write_pslice; ``active`` nullable, same semantics (sparse-fetch
+// skip MBs whose P_Skip MV is re-derived here).
 int64_t vcp_write_pslice_cabac(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
     int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    const uint8_t* active,
     const int32_t* mv_xy, const int32_t* luma,
     const int32_t* cb_dc, const int32_t* cb_ac,
     const int32_t* cr_dc, const int32_t* cr_ac,
@@ -675,10 +677,26 @@ int64_t vcp_write_pslice_cabac(
     H264Ctxs cx(qp, true);
     MbState st(n_mby, n_mbx);
     std::vector<uint8_t> valid((size_t)n_mby * n_mbx, 1);
+    std::vector<int32_t> mvg(mv_xy, mv_xy + (size_t)n_mby * n_mbx * 2);
+    int32_t* mvp = mvg.data();
 
     for (int mby = 0; mby < n_mby; mby++) {
         for (int mbx = 0; mbx < n_mbx; mbx++) {
             size_t mb = (size_t)mby * n_mbx + mbx;
+            if (active && !active[mb]) {
+                int smv[2];
+                skip_mv2(mvp, valid.data(), n_mbx, mbx, mby, smv);
+                mvp[mb * 2 + 0] = smv[0];
+                mvp[mb * 2 + 1] = smv[1];
+                e.encode(*cx.skip[st.skip_ctx(mbx, mby)], 1);
+                st.avail[mb] = 1;
+                st.skip[mb] = 1;
+                st.fill_cbp_luma8(mbx, mby, 0);
+                st.cbp_chroma[mb] = 0;
+                bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+                e.terminate(last ? 1 : 0);
+                continue;
+            }
             const int32_t* zl = luma + mb * 256;
             const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
             const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
@@ -697,9 +715,9 @@ int64_t vcp_write_pslice_cabac(
             }
             int cbp_c = any_cac ? 2 : (any_cdc ? 1 : 0);
 
-            int m[2] = {mv_xy[mb * 2 + 0], mv_xy[mb * 2 + 1]};
+            int m[2] = {mvp[mb * 2 + 0], mvp[mb * 2 + 1]};
             int smv[2];
-            skip_mv2(mv_xy, valid.data(), n_mbx, mbx, mby, smv);
+            skip_mv2(mvp, valid.data(), n_mbx, mbx, mby, smv);
             bool is_skip = (cbp_l == 0 && cbp_c == 0 &&
                             m[0] == smv[0] && m[1] == smv[1]);
             e.encode(*cx.skip[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
@@ -717,7 +735,7 @@ int64_t vcp_write_pslice_cabac(
             e.encode(*cx.mbt_p[1], 0);
             e.encode(*cx.mbt_p[2], 0);
             int pred[2];
-            mv_pred2(mv_xy, valid.data(), n_mbx, mbx, mby, pred);
+            mv_pred2(mvp, valid.data(), n_mbx, mbx, mby, pred);
             int mvd[2] = {m[0] - pred[0], m[1] - pred[1]};
             encode_mvd_comp(e, cx, st, mbx, mby, 0, mvd[0]);
             encode_mvd_comp(e, cx, st, mbx, mby, 1, mvd[1]);

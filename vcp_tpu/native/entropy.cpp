@@ -327,10 +327,15 @@ static void skip_mv_c(const int32_t* mv, const uint8_t* valid, int n_mbx,
     mv_pred_c(mv, valid, n_mbx, mbx, mby, out);
 }
 
-// mv layout: (n_mby, n_mbx, 2) [x, y] FULL-PEL (caller converts from dy,dx).
+// mv layout: (n_mby, n_mbx, 2) [x, y] QUARTER-PEL. ``active`` may be
+// null (all MBs carried in the dense arrays) or a per-MB mask: inactive
+// MBs are sparse-fetch skips whose P_Skip MV this writer re-derives
+// (the device classified them with the identical spec 8.4.1.1 rule,
+// vcp_tpu/codec/h264/gop_ops.skip_mv_grid).
 int64_t vcp_write_pslice(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
     int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    const uint8_t* active,
     const int32_t* mv_xy,
     const int32_t* luma,       // (n_mby, n_mbx, 16, 16)
     const int32_t* cb_dc, const int32_t* cb_ac,
@@ -344,11 +349,31 @@ int64_t vcp_write_pslice(
     Nz nz_y(4 * n_mby, 4 * n_mbx), nz_cb(2 * n_mby, 2 * n_mbx),
         nz_cr(2 * n_mby, 2 * n_mbx);
     std::vector<uint8_t> valid((size_t)n_mby * n_mbx, 1);
+    // mutable MV grid: inactive MBs get their derived skip MV written
+    // back so later neighbors predict from the real value
+    std::vector<int32_t> mvg(mv_xy, mv_xy + (size_t)n_mby * n_mbx * 2);
+    int32_t* mvp = mvg.data();
 
     uint32_t skip_run = 0;
     for (int mby = 0; mby < n_mby; mby++) {
         for (int mbx = 0; mbx < n_mbx; mbx++) {
             size_t mb = (size_t)mby * n_mbx + mbx;
+            if (active && !active[mb]) {
+                int smv[2];
+                skip_mv_c(mvp, valid.data(), n_mbx, mbx, mby, smv);
+                mvp[mb * 2 + 0] = smv[0];
+                mvp[mb * 2 + 1] = smv[1];
+                skip_run++;
+                for (int i = 0; i < 4; i++)
+                    for (int j = 0; j < 4; j++)
+                        nz_y.at(4 * mby + i, 4 * mbx + j) = 0;
+                for (int i = 0; i < 2; i++)
+                    for (int j = 0; j < 2; j++) {
+                        nz_cb.at(2 * mby + i, 2 * mbx + j) = 0;
+                        nz_cr.at(2 * mby + i, 2 * mbx + j) = 0;
+                    }
+                continue;
+            }
             const int32_t* zl = luma + mb * 256;
             const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
             const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
@@ -368,9 +393,9 @@ int64_t vcp_write_pslice(
             int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
             int cbp = cbp_luma | (cbp_chroma << 4);
 
-            int m[2] = {mv_xy[mb * 2 + 0], mv_xy[mb * 2 + 1]};
+            int m[2] = {mvp[mb * 2 + 0], mvp[mb * 2 + 1]};
             int smv[2];
-            skip_mv_c(mv_xy, valid.data(), n_mbx, mbx, mby, smv);
+            skip_mv_c(mvp, valid.data(), n_mbx, mbx, mby, smv);
             if (cbp == 0 && m[0] == smv[0] && m[1] == smv[1]) {
                 skip_run++;
                 for (int i = 0; i < 4; i++)
@@ -386,7 +411,7 @@ int64_t vcp_write_pslice(
             bw.ue(skip_run);
             skip_run = 0;
             int pred[2];
-            mv_pred_c(mv_xy, valid.data(), n_mbx, mbx, mby, pred);
+            mv_pred_c(mvp, valid.data(), n_mbx, mbx, mby, pred);
             bw.ue(0);                       // mb_type P_L0_16x16
             bw.se(m[0] - pred[0]);          // mvd (mv already 1/4-pel)
             bw.se(m[1] - pred[1]);

@@ -63,13 +63,16 @@ def _clip1(x, xp=jnp):
 
 
 def filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta,
-                     tc0, xp=jnp):
+                     tc0, xp=jnp, strong: bool = True):
     """Elementwise luma edge filter (spec 8.7.2.3-4), shape-polymorphic.
 
     All inputs same-shape int32 (bs/alpha/beta/tc0 pre-looked-up per
     sample). Returns (out_p2, out_p1, out_p0, out_q0, out_q1, out_q2).
     Shared by the XLA edge loop below and the Pallas edge-scan kernel
-    (ops.deblock_pallas)."""
+    (ops.deblock_pallas). ``strong=False`` statically drops the bS==4
+    path (~40% of the op count): bit-identical whenever no bS is 4,
+    which holds for any all-inter frame — intra MB edges are the only
+    source of bS 4 (spec 8.7.2.1)."""
     filt = ((bs > 0)
             & (xp.abs(p0 - q0) < alpha)
             & (xp.abs(p1 - p0) < beta)
@@ -86,6 +89,14 @@ def filter_core_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta,
     dq1 = xp.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
     np1 = xp.where(ap, p1 + dp1, p1)
     nq1 = xp.where(aq, q1 + dq1, q1)
+
+    if not strong:
+        return (p2,
+                xp.where(filt, np1, p1),
+                xp.where(filt, np0, p0),
+                xp.where(filt, nq0, q0),
+                xp.where(filt, nq1, q1),
+                q2)
 
     # --- strong filter (bS == 4)
     strong_cond = xp.abs(p0 - q0) < ((alpha >> 2) + 2)
@@ -582,7 +593,8 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
     return y, u, v
 
 
-def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table):
+def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
+                  no_strong: bool = False):
     """Apply the full in-loop filter to one reconstructed frame in SPEC
     ORDER (8.7: per-MB raster, vertical edges then horizontal, each edge
     reading previously filtered samples) — realized as a skewed-diagonal
@@ -592,6 +604,10 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table):
     y: (H, W) int32 recon; u, v: (H/2, W/2); qp_mb (nMBy, nMBx) int32
     (PCM MBs carry 0); intra_mb bool; nz_y (H/4, W/4) bool; mvq
     (nMBy, nMBx, 2) quarter-pel (zeros for intra frames).
+
+    ``no_strong=True`` (static) lets the Pallas kernel drop the bS==4
+    filter path — valid for all-inter frames, where no edge reaches
+    bS 4 (P/B steps pass it; the intra frame must not).
     """
     y = jnp.asarray(y, jnp.int32)
     u = jnp.asarray(u, jnp.int32)
@@ -635,7 +651,7 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table):
     if (jax.default_backend() not in ("cpu",)
             and os.environ.get("VCP_PALLAS_DEBLOCK", "1") != "0"):
         return _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr,
-                               n_mby, n_mbx)
+                               n_mby, n_mbx, strong=not no_strong)
     y = _wavefront_luma(y, vthr, hthr, n_mby, n_mbx)
     u, v = _wavefront_chroma(u, v, cvthr, chthr, n_mby, n_mbx)
     return y, u, v
@@ -649,7 +665,7 @@ def _lane_pad(a, mult: int = 128):
 
 
 def _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr, n_mby, n_mbx,
-                    interpret: bool = False):
+                    interpret: bool = False, strong: bool = True):
     """Pre-skew + transpose the planes/thresholds and run the Pallas
     wavefront kernel (ops.deblock_pallas); bit-identical to the XLA
     wavefront above."""
@@ -686,7 +702,7 @@ def _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr, n_mby, n_mbx,
         for t in range(4)]).astype(jnp.int32)
 
     ys_o, cs_o = wavefront_pallas(ys, vts, hts, cs, cvs, chs, d_steps,
-                                  interpret=interpret)
+                                  interpret=interpret, strong=strong)
     # drop the lead pad rows and lane padding, transpose, unskew
     y_out = _unskew(ys_o[32:, :hp].T, 16, 32, wp)
     half = -(-hc // 128) * 128

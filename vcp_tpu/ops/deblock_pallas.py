@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .deblock import filter_core_chroma, filter_core_luma
 
 
-def _luma_v_edges(win, vthr):
+def _luma_v_edges(win, vthr, strong: bool):
     """Four cascaded vertical luma edges of the diagonal's MBs.
 
     win: (48, HL) VMEM ref — rows 0:16 top-neighbor cols, 16:32 left-MB
@@ -43,8 +43,12 @@ def _luma_v_edges(win, vthr):
         out = filter_core_luma(
             seg[0], seg[1], seg[2], seg[3], seg[4], seg[5], seg[6], seg[7],
             vthr[0, k, :].astype(jnp.int32), vthr[1, k, :].astype(jnp.int32),
-            vthr[2, k, :].astype(jnp.int32), vthr[3, k, :].astype(jnp.int32))
-        win[r0 + 1:r0 + 7, :] = jnp.stack(out)
+            vthr[2, k, :].astype(jnp.int32), vthr[3, k, :].astype(jnp.int32),
+            strong=strong)
+        if strong:
+            win[r0 + 1:r0 + 7, :] = jnp.stack(out)
+        else:                                # p2/q2 untouched when bS<4
+            win[r0 + 2:r0 + 6, :] = jnp.stack(out[1:5])
 
 
 def _roll(x, sh, n):
@@ -52,7 +56,7 @@ def _roll(x, sh, n):
     return pltpu.roll(x, (n - sh) % n, axis=1)
 
 
-def _luma_h_edges(win, hthr, hl: int):
+def _luma_h_edges(win, hthr, hl: int, strong: bool):
     """Four horizontal luma edge groups, lane-rolled + anchor-masked.
 
     Anchors (edge rows) are lanes h ≡ 4k (mod 16); p-samples of the
@@ -68,16 +72,21 @@ def _luma_h_edges(win, hthr, hl: int):
         q = [_roll(x_self, i, hl) for i in range(4)]          # q0..q3
         thr = [hthr[t, :, :].astype(jnp.int32) for t in range(4)]
         op2, op1, op0, oq0, oq1, oq2 = filter_core_luma(
-            p[3], p[2], p[1], p[0], q[0], q[1], q[2], q[3], *thr)
+            p[3], p[2], p[1], p[0], q[0], q[1], q[2], q[3], *thr,
+            strong=strong)
         # scatter back: sample at lane a-j takes the anchor-a value
-        for j, val in ((1, op0), (2, op1), (3, op2)):
+        pw = ((1, op0), (2, op1), (3, op2)) if strong else \
+            ((1, op0), (2, op1))
+        qw = ((0, oq0), (1, oq1), (2, oq2)) if strong else \
+            ((0, oq0), (1, oq1))
+        for j, val in pw:
             m = lane % 16 == (4 * k - j) % 16
             psrc = jnp.where(m, _roll(val, j, hl), psrc)
         if k == 0:
             win[0:16, :] = psrc
         else:
             x_self = psrc
-        for j, val in ((0, oq0), (1, oq1), (2, oq2)):
+        for j, val in qw:
             m = lane % 16 == (4 * k + j) % 16
             x_self = jnp.where(m, _roll(val, -j, hl), x_self)
         win[32:48, :] = x_self
@@ -118,7 +127,7 @@ def _chroma_edges(cwin, cvthr, chthr, hl: int):
 
 def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
             ys_out, cs_out, win, vthr_s, hthr_s, cwin, cvthr_s, chthr_s,
-            sems, *, hl: int, hlc: int):
+            sems, *, hl: int, hlc: int, strong: bool = True):
     d = pl.program_id(0)
     # whole-plane copy-in on the first step; afterwards windows are read
     # back from the OUTPUT refs so each (dependent) step sees its
@@ -146,8 +155,8 @@ def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
     for c in cp:
         c.wait()
 
-    _luma_v_edges(win, vthr_s)
-    _luma_h_edges(win, hthr_s, hl)
+    _luma_v_edges(win, vthr_s, strong)
+    _luma_h_edges(win, hthr_s, hl, strong)
     _chroma_edges(cwin, cvthr_s, chthr_s, hlc)
 
     wr = [
@@ -163,7 +172,7 @@ def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
 
 
 def wavefront_pallas(ys, vthr, hthr, cs, cvthr, chthr, d_steps: int,
-                     interpret: bool = False):
+                     interpret: bool = False, strong: bool = True):
     """Run the wavefront over pre-skewed TRANSPOSED arrays.
 
     ys: (Wsk, HL) int32 skewed luma, rows 16d.. hold diagonal d's strip
@@ -180,7 +189,7 @@ def wavefront_pallas(ys, vthr, hthr, cs, cvthr, chthr, d_steps: int,
     hthr = hthr.reshape(4, d_steps, 16, hl)
     cvthr = cvthr.reshape(4, d_steps, 2, hlc)
     chthr = chthr.reshape(4, d_steps, 8, hlc)
-    kernel = functools.partial(_kernel, hl=hl, hlc=hlc)
+    kernel = functools.partial(_kernel, hl=hl, hlc=hlc, strong=strong)
     return pl.pallas_call(
         kernel,
         grid=(d_steps,),

@@ -89,11 +89,9 @@ def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
         # per-offset MXU invocations were the dominant cost of the
         # original one-dot-per-offset schedule.
         rowshift = pltpu.roll(win, rows - dy, axis=0)[:16, :]
-        windows = []
         colsums = []
         for dx in range(side):
             window_i = pltpu.roll(rowshift, wpad - dx, axis=1)[:, :w]
-            windows.append(window_i)
             diff = jnp.abs(cur - window_i)           # VPU, int32
             colsums.append(jnp.sum(diff, axis=0).astype(jnp.float32))
         cs = jnp.stack(colsums, axis=0)              # (side, w)
@@ -114,15 +112,6 @@ def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
         better = row_best < cost_ref[:]
         cost_ref[:] = jnp.where(better, row_best, cost_ref[:])
         best_ref[:] = jnp.where(better, dy * side + row_arg, best_ref[:])
-        if pred_ref is not None:
-            # fused MC: refresh the winning block wherever this dy row
-            # produced a new argmin (per-dx masked writes, VPU-only)
-            for dx in range(side):
-                hit = better & (row_arg == dx)              # (1, n_mbx)
-                bcols = jnp.dot(hit.astype(jnp.float32), segt_ref[:],
-                                preferred_element_type=jnp.float32)
-                pred_ref[:] = jnp.where(bcols > 0, windows[dx],
-                                        pred_ref[:])
         return 0
 
     cost_ref[:] = jnp.full((1, n_mbx), 3.0e9, jnp.float32)
@@ -132,6 +121,31 @@ def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
     best = best_ref[:]                               # (1, n_mbx)
     mv_ref[0, 0, :] = (best // side - sr)[0, :]      # dy
     mv_ref[0, 1, :] = (best % side - sr)[0, :]       # dx
+
+    if pred_ref is not None:
+        # fused MC, reconstructed AFTER the search with separable
+        # row/column shift-selects (2·side masked rolls) instead of
+        # per-(dy,dx) hit-writes inside the scan (side² of them) —
+        # the masks depend only on the winning MB column, so each axis
+        # selects independently.
+        # Column pass FIRST: after it, lanes are output columns, so the
+        # row pass's per-winning-MB mask is unambiguous. (Row-first is
+        # wrong: a ref column inside the search margin serves two
+        # adjacent MBs with different winning dy.)
+        def lanes_of(mb_mask):
+            return jnp.dot(mb_mask.astype(jnp.float32), segt_ref[:],
+                           preferred_element_type=jnp.float32) > 0
+        dyb = best // side                           # (1, n_mbx)
+        dxb = best % side
+        csel = jnp.zeros((rows, w), jnp.int32)
+        for dx in range(side):
+            cshift = pltpu.roll(win, wpad - dx, axis=1)[:, :w]
+            csel = jnp.where(lanes_of(dxb == dx), cshift, csel)
+        pred = jnp.zeros((16, w), jnp.int32)
+        for dy in range(side):
+            rshift = pltpu.roll(csel, rows - dy, axis=0)[:16, :]
+            pred = jnp.where(lanes_of(dyb == dy), rshift, pred)
+        pred_ref[:] = pred
 
 
 def full_search_pallas(cur, ref, search_range: int, lam=4,

@@ -118,7 +118,7 @@ def encode_pchunk_sharded(mesh: Mesh, ys, us, vs, ref_y, ref_u, ref_v,
                     intra = jnp.zeros((n_mby, n_mbx), bool)
                     fy, fu, fv = dbf.deblock_frame(
                         fy, fu, fv, qp_mb, intra, nzf, mvf,
-                        tf.CHROMA_QP_FULL)
+                        tf.CHROMA_QP_FULL, no_strong=True)
                 return (fy, fu, fv), packed
 
             (fy, fu, fv), packed = jax.lax.scan(
