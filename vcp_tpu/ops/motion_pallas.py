@@ -40,16 +40,17 @@ def _kernel(cur_ref, lam_ref, ref_hbm, mv_ref, win_ref, cost_ref,
 
 
 def _kernel_pred(cur_ref, lam_ref, ref_hbm, mv_ref, pred_ref, win_ref,
-                 cost_ref, best_ref, seg_ref, segt_ref, sem, *, sr: int,
-                 w: int, n_mbx: int, wpad: int):
+                 cost_ref, best_ref, seg_ref, segt_ref, csel_ref, sem, *,
+                 sr: int, w: int, n_mbx: int, wpad: int):
     _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
                  cost_ref, best_ref, sem, sr=sr, w=w, n_mbx=n_mbx,
-                 wpad=wpad, pred_ref=pred_ref, segt_ref=segt_ref)
+                 wpad=wpad, pred_ref=pred_ref, segt_ref=segt_ref,
+                 csel_ref=csel_ref)
 
 
 def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
                  cost_ref, best_ref, sem, *, sr: int, w: int, n_mbx: int,
-                 wpad: int, pred_ref=None, segt_ref=None):
+                 wpad: int, pred_ref=None, segt_ref=None, csel_ref=None):
     i = pl.program_id(0)
     side = 2 * sr + 1
     rows = 16 + 2 * sr
@@ -132,20 +133,33 @@ def _search_impl(cur_ref, ref_hbm, seg_ref, lam_ref, mv_ref, win_ref,
         # row pass's per-winning-MB mask is unambiguous. (Row-first is
         # wrong: a ref column inside the search margin serves two
         # adjacent MBs with different winning dy.)
+        # Both passes are fori_loops writing through a VMEM scratch ref
+        # (csel_ref), not unrolled SSA selects: unrolled, XLA keeps every
+        # (rows, w) shifted copy live on the scoped-VMEM stack at once —
+        # ~20 MB at 4K (side=33), a compile-time VMEM OOM.
         def lanes_of(mb_mask):
             return jnp.dot(mb_mask.astype(jnp.float32), segt_ref[:],
                            preferred_element_type=jnp.float32) > 0
         dyb = best // side                           # (1, n_mbx)
         dxb = best % side
-        csel = jnp.zeros((rows, w), jnp.int32)
-        for dx in range(side):
+
+        def body_dx(dx, _):
             cshift = pltpu.roll(win, wpad - dx, axis=1)[:, :w]
-            csel = jnp.where(lanes_of(dxb == dx), cshift, csel)
-        pred = jnp.zeros((16, w), jnp.int32)
-        for dy in range(side):
-            rshift = pltpu.roll(csel, rows - dy, axis=0)[:16, :]
-            pred = jnp.where(lanes_of(dyb == dy), rshift, pred)
-        pred_ref[:] = pred
+            csel_ref[:] = jnp.where(lanes_of(dxb == dx), cshift,
+                                    csel_ref[:])
+            return 0
+
+        csel_ref[:] = jnp.zeros((rows, w), jnp.int32)
+        jax.lax.fori_loop(0, side, body_dx, 0)
+
+        def body_dyp(dy, _):
+            rshift = pltpu.roll(csel_ref[:], rows - dy, axis=0)[:16, :]
+            pred_ref[:] = jnp.where(lanes_of(dyb == dy), rshift,
+                                    pred_ref[:])
+            return 0
+
+        pred_ref[:] = jnp.zeros((16, w), jnp.int32)
+        jax.lax.fori_loop(0, side, body_dyp, 0)
 
 
 def full_search_pallas(cur, ref, search_range: int, lam=4,
@@ -200,6 +214,7 @@ def full_search_pallas(cur, ref, search_range: int, lam=4,
             out_shape=[mv_shape, jax.ShapeDtypeStruct((h, w), jnp.int32)],
             scratch_shapes=scratch + [
                 pltpu.VMEM((n_mbx, w), jnp.float32),   # segt
+                pltpu.VMEM((16 + 2 * sr, w), jnp.int32),  # csel
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
