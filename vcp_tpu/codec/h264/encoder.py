@@ -215,30 +215,37 @@ class H264Encoder:
         h16, w16 = 16 * n_mby, 16 * n_mbx
         delta = self._use_delta()
 
+        timing = os.environ.get("VCP_TIMING") == "1"
+        t_pack = t_dispatch = t_fetch = t_entropy = 0.0
+        t_gop0 = time.monotonic()
+
         # Phase 1: dispatch the IDR and ALL P chunks (async). The chunks
         # chain on the IDR's device-resident recon, so everything queues
         # while phase 2 fetches results in order.
         yp, up, vp = self._pad(*frames[0])
         prev_tiles = getattr(self, "_prev_tiles", None)
         src_dev = getattr(self, "_src_dev", None)
-        cur_tiles = gop_ops.tiles_from_planes_host(yp, up, vp) \
-            if delta else None
-        if (delta and prev_tiles is not None and src_dev is not None
-                and prev_tiles.shape == cur_tiles.shape):
+        if delta and (prev_tiles is None or prev_tiles.shape[0] != n_mb):
+            prev_tiles = np.zeros((n_mb, gop_ops.TILE_WORDS), np.uint8)
+            src_dev = None
+        t0 = time.monotonic()
+        if delta and src_dev is not None:
             # IDR delta against the carried source (cross-GOP continuity)
-            idx, t = gop_ops.delta_tiles_host(prev_tiles, cur_tiles)
+            idx, t = gop_ops.tile_delta(yp, up, vp, prev_tiles)
+            t_pack += time.monotonic() - t0
             bucket = gop_ops.delta_bucket(len(idx), n_mb)
             idxp, tp = gop_ops.pad_delta(idx, t, bucket, n_mb)
             (imeta, icount, iblocks, sy, su, sv, ry, ru, rv) = \
                 gop_ops.encode_iframe_delta(*src_dev, idxp, tp, qp, qpc,
                                             h16, w16, cfg.deblock)
         else:
+            if delta:
+                gop_ops.tile_delta(yp, up, vp, prev_tiles, full=True)
+                t_pack += time.monotonic() - t0
             imeta, icount, iblocks, ry, ru, rv = gop_ops.encode_iframe_sparse(
                 yp, up, vp, qp, qpc, cfg.deblock)
             if delta:
                 sy, su, sv = gop_ops.source_tiles(yp, up, vp, h16, w16)
-        if delta:
-            prev_tiles = cur_tiles
         recon = (ry, ru, rv)
         self.idr_count += 1
         self._frame_num = 1
@@ -249,12 +256,11 @@ class H264Encoder:
         while i < len(frames):
             chunk = next(c for c in self.P_CHUNKS if c <= len(frames) - i)
             if delta:
+                t0 = time.monotonic()
                 idxs, tiles, kmax = [], [], 0
                 for k in range(chunk):
-                    ct = gop_ops.tiles_from_planes_host(
-                        *self._pad(*frames[i + k]))
-                    ix, t = gop_ops.delta_tiles_host(prev_tiles, ct)
-                    prev_tiles = ct
+                    ix, t = gop_ops.tile_delta(
+                        *self._pad(*frames[i + k]), prev_tiles)
                     idxs.append(ix)
                     tiles.append(t)
                     kmax = max(kmax, len(ix))
@@ -263,11 +269,14 @@ class H264Encoder:
                           for ix, t in zip(idxs, tiles)]
                 idx_arr = np.stack([p[0] for p in padded])
                 tile_arr = np.stack([p[1] for p in padded])
+                t_pack += time.monotonic() - t0
+                t0 = time.monotonic()
                 (bitmap, counts, meta, payload, sy, su, sv, ry, ru, rv) = \
                     gop_ops.encode_pchunk_delta(
                         sy, su, sv, idx_arr, tile_arr, *recon, qp, qpc,
                         sr, lam, h16, w16, cfg.deblock,
                         pframe.subpel_for_effort(cfg.effort))
+                t_dispatch += time.monotonic() - t0
             else:
                 buf = gop_ops.pack_frames(
                     [self._pad(*frames[i + k]) for k in range(chunk)])
@@ -310,8 +319,11 @@ class H264Encoder:
         # sticky caps triggers a tail fetch and grows them for later
         # chunks.
         for chunk, combined, meta, payload, mcap, pcap in pending:
+            t0 = time.monotonic()
             mcount, bcount, bitmap_h, meta_h, pay_h = gop_ops.split_fetch(
                 np.asarray(combined), chunk, n_mb, mcap, pcap)
+            t_fetch += time.monotonic() - t0
+            t0 = time.monotonic()
             if mcount > mcap:
                 meta_h = np.concatenate(
                     [meta_h, np.asarray(meta[mcap:gop_ops.fetch_bucket(
@@ -336,6 +348,15 @@ class H264Encoder:
                 self._frame_num += 1
                 self.frame_index += 1
                 out.append((nal, False))
+            t_entropy += time.monotonic() - t0
+        if timing:
+            dt = time.monotonic() - t_gop0
+            log.info("gop timing", frames=len(frames),
+                     total_ms=f"{dt * 1e3:.1f}",
+                     pack_ms=f"{t_pack * 1e3:.1f}",
+                     dispatch_ms=f"{t_dispatch * 1e3:.1f}",
+                     fetch_ms=f"{t_fetch * 1e3:.1f}",
+                     entropy_ms=f"{t_entropy * 1e3:.1f}")
         if self.rc:
             self.rc.update(len(frames), sum(len(nal) for nal, _ in out))
         return out

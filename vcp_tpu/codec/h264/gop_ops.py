@@ -758,6 +758,46 @@ def delta_tiles_host(prev_tiles: np.ndarray,
     return idx, cur_tiles[idx]
 
 
+def tile_delta(yp: np.ndarray, up: np.ndarray, vp: np.ndarray,
+               prev: np.ndarray, full: bool = False):
+    """Fused tile gather + changed-MB delta against the carried state.
+
+    ``prev`` ((nMB, 384) uint8) is updated IN PLACE to the current
+    frame's tiles. Returns (idx (K,) int32, tiles (K, 384) uint8). Uses
+    the native one-sweep engine when available (~1 ms vs ~13 ms for the
+    numpy tiles_from_planes_host + delta_tiles_host pair at 1080p);
+    falls back to the numpy pair (bit-identical)."""
+    from ... import native  # vcp_tpu.native
+    h, w = yp.shape
+    n_mb = (h // 16) * (w // 16)
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "vcp_tile_delta"):
+        import ctypes
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        idx = np.empty(n_mb, np.int32)
+        tiles = np.empty((n_mb, TILE_WORDS), np.uint8)
+        ya = np.ascontiguousarray(yp, np.uint8)
+        ua = np.ascontiguousarray(up, np.uint8)
+        va = np.ascontiguousarray(vp, np.uint8)
+        k = lib.vcp_tile_delta(
+            ya.ctypes.data_as(u8p), ua.ctypes.data_as(u8p),
+            va.ctypes.data_as(u8p), h, w, prev.ctypes.data_as(u8p),
+            idx.ctypes.data_as(i32p), tiles.ctypes.data_as(u8p),
+            1 if full else 0)
+        return idx[:k], tiles[:k]
+    cur = tiles_from_planes_host(np.asarray(yp, np.uint8),
+                                 np.asarray(up, np.uint8),
+                                 np.asarray(vp, np.uint8))
+    if full:
+        idx = np.arange(n_mb, dtype=np.int32)
+        tiles = cur
+    else:
+        idx, tiles = delta_tiles_host(prev, cur)
+    prev[:] = cur
+    return idx, tiles
+
+
 def delta_bucket(k: int, n_mb: int) -> int:
     """Round a tile count up to a bucket (bounds distinct jit programs).
     Growth factor 4 from 128 keeps the program count small while wasting

@@ -41,6 +41,9 @@ def _configure(lib) -> None:
     lib.vcp_deblock_frame.restype = None
     lib.vcp_deblock_frame.argtypes = [
         i32p, i32p, i32p, i32, i32, i32p, i32p, i32p, i32p]
+    lib.vcp_tile_delta.restype = i32
+    lib.vcp_tile_delta.argtypes = [
+        u8p, u8p, u8p, i32, i32, u8p, i32p, u8p, i32]
 
 
 def get_lib():

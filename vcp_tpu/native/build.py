@@ -94,7 +94,7 @@ def generate_tables_header() -> str:
     return "\n".join(lines) + "\n"
 
 
-SOURCES = ("entropy.cpp", "cabac.cpp", "deblock.cpp")
+SOURCES = ("entropy.cpp", "cabac.cpp", "deblock.cpp", "tiles.cpp")
 
 
 def build(force: bool = False) -> str | None:

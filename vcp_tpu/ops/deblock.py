@@ -668,40 +668,49 @@ def _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr, n_mby, n_mbx,
                     interpret: bool = False, strong: bool = True):
     """Pre-skew + transpose the planes/thresholds and run the Pallas
     wavefront kernel (ops.deblock_pallas); bit-identical to the XLA
-    wavefront above."""
-    from .deblock_pallas import wavefront_pallas
+    wavefront above. The diagonal count (and every row extent) is padded
+    to a multiple of the kernel's diagonals-per-step K — the padding
+    rows carry bS=0 thresholds, so their filters are identity."""
+    from .deblock_pallas import diags_per_step, wavefront_pallas
 
     hp, wp = y.shape
     hc, wc = u.shape
     d_steps = n_mbx + 2 * (n_mby - 1)
+    kdiag = diags_per_step(-(-hp // 128) * 128)
+    d_pad = -(-d_steps // kdiag) * kdiag
 
-    def skew_t(a, band, shift, lead):
+    def skew_t(a, band, shift, lead, rows):
         s = _skew(a, band, shift)
         if lead:
             s = jnp.pad(s, ((0, 0), (lead, 0)))
-        return _lane_pad(s.T)
+        s = _lane_pad(s.T)
+        if s.shape[0] < rows:
+            s = jnp.pad(s, ((0, rows - s.shape[0]), (0, 0)))
+        return s
 
-    ys = skew_t(y, 16, 32, 32).astype(jnp.int32)
+    ys = skew_t(y, 16, 32, 32, 16 * d_pad + 32).astype(jnp.int32)
     # vertical-edge thresholds (already at pixel-lane resolution)
-    vts = jnp.stack([skew_t(vthr[t], 16, 8, 0) for t in range(4)]
-                    ).astype(jnp.int32)
+    vts = jnp.stack([skew_t(vthr[t], 16, 8, 0, 4 * d_pad)
+                     for t in range(4)]).astype(jnp.int32)
     # horizontal-edge thresholds at anchor-lane resolution
     hthr_px = jnp.repeat(hthr, 4, axis=1)           # edge rows -> anchors
-    hts = jnp.stack([skew_t(hthr_px[t], 16, 32, 0) for t in range(4)]
-                    ).astype(jnp.int32)
+    hts = jnp.stack([skew_t(hthr_px[t], 16, 32, 0, 16 * d_pad)
+                     for t in range(4)]).astype(jnp.int32)
 
     cs = jnp.concatenate(
-        [skew_t(u, 8, 16, 16), skew_t(v, 8, 16, 16)],
+        [skew_t(u, 8, 16, 16, 8 * d_pad + 16),
+         skew_t(v, 8, 16, 16, 8 * d_pad + 16)],
         axis=1).astype(jnp.int32)
     cvs = jnp.stack([
-        jnp.concatenate([skew_t(cvthr[t], 8, 4, 0)] * 2, axis=1)
+        jnp.concatenate([skew_t(cvthr[t], 8, 4, 0, 2 * d_pad)] * 2, axis=1)
         for t in range(4)]).astype(jnp.int32)
     chthr_px = jnp.repeat(chthr, 4, axis=1)
     chs = jnp.stack([
-        jnp.concatenate([skew_t(chthr_px[t], 8, 16, 0)] * 2, axis=1)
+        jnp.concatenate([skew_t(chthr_px[t], 8, 16, 0, 8 * d_pad)] * 2,
+                        axis=1)
         for t in range(4)]).astype(jnp.int32)
 
-    ys_o, cs_o = wavefront_pallas(ys, vts, hts, cs, cvs, chs, d_steps,
+    ys_o, cs_o = wavefront_pallas(ys, vts, hts, cs, cvs, chs, d_pad,
                                   interpret=interpret, strong=strong)
     # drop the lead pad rows and lane padding, transpose, unskew
     y_out = _unskew(ys_o[32:, :hp].T, 16, 32, wp)

@@ -4,19 +4,26 @@ Hand-scheduled counterpart of ops.deblock's XLA wavefront (bit-identical,
 asserted by tests). The filter is a serial chain of ~8*(nMBx + 2*nMBy)
 dependent edge-group applications (spec 8.7 mandates per-MB raster
 order); as an XLA ``fori_loop`` each tiny group pays ~0.2 ms of dispatch
-(~50 ms/frame at 1080p). This kernel runs one wavefront diagonal per
+(~50 ms/frame at 1080p). This kernel runs K wavefront diagonals per
 grid step entirely in VMEM:
 
 * planes and threshold grids are pre-skewed (diagonal d = mbx + 2*mby →
   contiguous strip) and TRANSPOSED so the along-edge dimension H lands on
   vector lanes,
-* per step, a (48, H) luma window + (24, H) chroma window and their
-  per-edge thresholds are DMA'd HBM→VMEM, all eight luma and four chroma
-  edge groups run as dense VPU work (vertical edges are row-slices;
-  horizontal edges use lane rolls + anchor masks), and the windows are
-  DMA'd back before the next (dependent) step begins,
+* per step, a (32+16K, H) luma window + (16+8K, H) chroma window and
+  their per-edge thresholds are DMA'd HBM→VMEM, the K diagonals run
+  back-to-back in VMEM (consecutive diagonals overlap by 32 luma rows —
+  the strips are shared, not duplicated, so diagonal k+1 reads k's
+  writes directly from the window scratch), and the windows are DMA'd
+  back before the next (dependent) step begins. Merging K diagonals
+  amortizes the per-step DMA latency + grid overhead that dominated the
+  one-diagonal schedule (~10 ms/frame at 1080p → ~3 ms at K=8),
+* all eight luma and four chroma edge groups per diagonal are dense VPU
+  work (vertical edges are row-slices; horizontal edges use lane rolls +
+  anchor masks),
 * out-of-range diagonals and frame/slice boundaries carry bS=0 in the
-  threshold padding, making their filters identity — no masks needed.
+  threshold padding, making their filters identity — no masks needed
+  (the tail-padding diagonals of the last step filter zeros with bS=0).
 """
 
 from __future__ import annotations
@@ -31,24 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 from .deblock import filter_core_chroma, filter_core_luma
 
 
-def _luma_v_edges(win, vthr, strong: bool):
-    """Four cascaded vertical luma edges of the diagonal's MBs.
+def _luma_v_edges(win, vthr, strong: bool, r0: int, t0: int):
+    """Four cascaded vertical luma edges of one diagonal's MBs.
 
-    win: (48, HL) VMEM ref — rows 0:16 top-neighbor cols, 16:32 left-MB
-    cols, 32:48 self cols; vthr: (4, 4, HL) VMEM ref [thr, edge_k, H].
+    win rows r0+0:16 top-neighbor cols, r0+16:32 left-MB cols, r0+32:48
+    self cols; vthr rows t0+k carry [thr, edge_k, H].
     """
     for k in range(4):
-        r0 = 28 + 4 * k                      # p3 row
-        seg = win[r0:r0 + 8, :]
+        rr = r0 + 28 + 4 * k                 # p3 row
+        seg = win[rr:rr + 8, :]
         out = filter_core_luma(
             seg[0], seg[1], seg[2], seg[3], seg[4], seg[5], seg[6], seg[7],
-            vthr[0, k, :].astype(jnp.int32), vthr[1, k, :].astype(jnp.int32),
-            vthr[2, k, :].astype(jnp.int32), vthr[3, k, :].astype(jnp.int32),
+            vthr[0, t0 + k, :].astype(jnp.int32),
+            vthr[1, t0 + k, :].astype(jnp.int32),
+            vthr[2, t0 + k, :].astype(jnp.int32),
+            vthr[3, t0 + k, :].astype(jnp.int32),
             strong=strong)
         if strong:
-            win[r0 + 1:r0 + 7, :] = jnp.stack(out)
+            win[rr + 1:rr + 7, :] = jnp.stack(out)
         else:                                # p2/q2 untouched when bS<4
-            win[r0 + 2:r0 + 6, :] = jnp.stack(out[1:5])
+            win[rr + 2:rr + 6, :] = jnp.stack(out[1:5])
 
 
 def _roll(x, sh, n):
@@ -56,21 +65,21 @@ def _roll(x, sh, n):
     return pltpu.roll(x, (n - sh) % n, axis=1)
 
 
-def _luma_h_edges(win, hthr, hl: int, strong: bool):
+def _luma_h_edges(win, hthr, hl: int, strong: bool, r0: int, t0: int):
     """Four horizontal luma edge groups, lane-rolled + anchor-masked.
 
     Anchors (edge rows) are lanes h ≡ 4k (mod 16); p-samples of the
-    MB-top edge (k=0) live in the top neighbor's columns (rows 0:16).
-    hthr: (4, 16, HL) VMEM ref — thresholds at anchor lanes for the self
-    MB's 16 columns.
+    MB-top edge (k=0) live in the top neighbor's columns (win rows
+    r0+0:16). hthr rows t0+0:16 are the thresholds at anchor lanes for
+    the self MB's 16 columns.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (16, hl), 1)
     for k in range(4):
-        x_self = win[32:48, :]
-        psrc = win[0:16, :] if k == 0 else x_self
+        x_self = win[r0 + 32:r0 + 48, :]
+        psrc = win[r0:r0 + 16, :] if k == 0 else x_self
         p = [_roll(psrc, -i - 1, hl) for i in range(4)]       # p0..p3
         q = [_roll(x_self, i, hl) for i in range(4)]          # q0..q3
-        thr = [hthr[t, :, :].astype(jnp.int32) for t in range(4)]
+        thr = [hthr[t, t0:t0 + 16, :].astype(jnp.int32) for t in range(4)]
         op2, op1, op0, oq0, oq1, oq2 = filter_core_luma(
             p[3], p[2], p[1], p[0], q[0], q[1], q[2], q[3], *thr,
             strong=strong)
@@ -83,51 +92,51 @@ def _luma_h_edges(win, hthr, hl: int, strong: bool):
             m = lane % 16 == (4 * k - j) % 16
             psrc = jnp.where(m, _roll(val, j, hl), psrc)
         if k == 0:
-            win[0:16, :] = psrc
+            win[r0:r0 + 16, :] = psrc
         else:
             x_self = psrc
         for j, val in qw:
             m = lane % 16 == (4 * k + j) % 16
             x_self = jnp.where(m, _roll(val, -j, hl), x_self)
-        win[32:48, :] = x_self
+        win[r0 + 32:r0 + 48, :] = x_self
 
 
-def _chroma_edges(cwin, cvthr, chthr, hl: int):
+def _chroma_edges(cwin, cvthr, chthr, hl: int, r0: int, tv0: int, th0: int):
     """Two vertical + two horizontal chroma edge groups (8-px MBs,
     u and v stacked along lanes)."""
     for k in range(2):
-        r0 = 14 + 4 * k
-        seg = cwin[r0:r0 + 4, :]
+        rr = r0 + 14 + 4 * k
+        seg = cwin[rr:rr + 4, :]
         op0, oq0 = filter_core_chroma(
             seg[0], seg[1], seg[2], seg[3],
-            cvthr[0, k, :].astype(jnp.int32),
-            cvthr[1, k, :].astype(jnp.int32),
-            cvthr[2, k, :].astype(jnp.int32),
-            cvthr[3, k, :].astype(jnp.int32))
-        cwin[r0 + 1:r0 + 3, :] = jnp.stack([op0, oq0])
+            cvthr[0, tv0 + k, :].astype(jnp.int32),
+            cvthr[1, tv0 + k, :].astype(jnp.int32),
+            cvthr[2, tv0 + k, :].astype(jnp.int32),
+            cvthr[3, tv0 + k, :].astype(jnp.int32))
+        cwin[rr + 1:rr + 3, :] = jnp.stack([op0, oq0])
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, hl), 1)
     for k in range(2):
-        x_self = cwin[16:24, :]
-        psrc = cwin[0:8, :] if k == 0 else x_self
+        x_self = cwin[r0 + 16:r0 + 24, :]
+        psrc = cwin[r0:r0 + 8, :] if k == 0 else x_self
         p1 = _roll(psrc, -2, hl)
         p0 = _roll(psrc, -1, hl)
         q0 = x_self
         q1 = _roll(x_self, 1, hl)
-        thr = [chthr[t, :, :].astype(jnp.int32) for t in range(4)]
+        thr = [chthr[t, th0:th0 + 8, :].astype(jnp.int32) for t in range(4)]
         op0, oq0 = filter_core_chroma(p1, p0, q0, q1, *thr)
         m = lane % 8 == (4 * k - 1) % 8
         psrc = jnp.where(m, _roll(op0, 1, hl), psrc)
         if k == 0:
-            cwin[0:8, :] = psrc
+            cwin[r0:r0 + 8, :] = psrc
         else:
             x_self = psrc
         x_self = jnp.where(lane % 8 == 4 * k, oq0, x_self)
-        cwin[16:24, :] = x_self
+        cwin[r0 + 16:r0 + 24, :] = x_self
 
 
 def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
             ys_out, cs_out, win, vthr_s, hthr_s, cwin, cvthr_s, chthr_s,
-            sems, *, hl: int, hlc: int, strong: bool = True):
+            sems, *, hl: int, hlc: int, kdiag: int, strong: bool = True):
     d = pl.program_id(0)
     # whole-plane copy-in on the first step; afterwards windows are read
     # back from the OUTPUT refs so each (dependent) step sees its
@@ -141,12 +150,14 @@ def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
             c.wait()
 
     cp = [
-        pltpu.make_async_copy(ys_out.at[pl.ds(16 * d, 48), :], win,
-                              sems.at[0]),
+        pltpu.make_async_copy(
+            ys_out.at[pl.ds(16 * kdiag * d, 32 + 16 * kdiag), :], win,
+            sems.at[0]),
         pltpu.make_async_copy(vthr_ref.at[:, d], vthr_s, sems.at[1]),
         pltpu.make_async_copy(hthr_ref.at[:, d], hthr_s, sems.at[2]),
-        pltpu.make_async_copy(cs_out.at[pl.ds(8 * d, 24), :], cwin,
-                              sems.at[3]),
+        pltpu.make_async_copy(
+            cs_out.at[pl.ds(8 * kdiag * d, 16 + 8 * kdiag), :], cwin,
+            sems.at[3]),
         pltpu.make_async_copy(cvthr_ref.at[:, d], cvthr_s, sems.at[4]),
         pltpu.make_async_copy(chthr_ref.at[:, d], chthr_s, sems.at[5]),
     ]
@@ -155,20 +166,29 @@ def _kernel(ys_ref, vthr_ref, hthr_ref, cs_ref, cvthr_ref, chthr_ref,
     for c in cp:
         c.wait()
 
-    _luma_v_edges(win, vthr_s, strong)
-    _luma_h_edges(win, hthr_s, hl, strong)
-    _chroma_edges(cwin, cvthr_s, chthr_s, hlc)
+    for k in range(kdiag):
+        _luma_v_edges(win, vthr_s, strong, 16 * k, 4 * k)
+        _luma_h_edges(win, hthr_s, hl, strong, 16 * k, 16 * k)
+        _chroma_edges(cwin, cvthr_s, chthr_s, hlc, 8 * k, 2 * k, 8 * k)
 
     wr = [
-        pltpu.make_async_copy(win, ys_out.at[pl.ds(16 * d, 48), :],
-                              sems.at[0]),
-        pltpu.make_async_copy(cwin, cs_out.at[pl.ds(8 * d, 24), :],
-                              sems.at[3]),
+        pltpu.make_async_copy(
+            win, ys_out.at[pl.ds(16 * kdiag * d, 32 + 16 * kdiag), :],
+            sems.at[0]),
+        pltpu.make_async_copy(
+            cwin, cs_out.at[pl.ds(8 * kdiag * d, 16 + 8 * kdiag), :],
+            sems.at[3]),
     ]
     for c in wr:
         c.start()
     for c in wr:
         c.wait()
+
+
+def diags_per_step(hl: int) -> int:
+    """Diagonals merged per grid step: bounded by VMEM (the windows +
+    threshold slabs scale with K·lanes; ~4.5 MB at 1080p for K=8)."""
+    return 8 if hl <= 1536 else 4
 
 
 def wavefront_pallas(ys, vthr, hthr, cs, cvthr, chthr, d_steps: int,
@@ -179,20 +199,26 @@ def wavefront_pallas(ys, vthr, hthr, cs, cvthr, chthr, d_steps: int,
     (32 lead rows + 16 tail rows of padding included); vthr (4, Wsk//4,
     HL) uint8; hthr (4, Wsk, HL) uint8 anchor-lane thresholds;
     cs/cvthr/chthr: chroma equivalents ((4, 2, ...) for chthr's two
-    sub-edges). Returns filtered (ys, cs).
+    sub-edges). The caller MUST pad d_steps (and the row extents of all
+    six arrays, zero thresholds → identity filters) to a multiple of
+    diags_per_step(HL). Returns filtered (ys, cs).
     """
     hl = ys.shape[1]
     hlc = cs.shape[1]
+    kdiag = diags_per_step(hl)
+    assert d_steps % kdiag == 0, (d_steps, kdiag)
+    n_steps = d_steps // kdiag
     # per-step leading dim: sublane slices must be 8-aligned, so the
     # threshold arrays are pre-grouped as (4, D, rows_per_step, lanes)
-    vthr = vthr.reshape(4, d_steps, 4, hl)
-    hthr = hthr.reshape(4, d_steps, 16, hl)
-    cvthr = cvthr.reshape(4, d_steps, 2, hlc)
-    chthr = chthr.reshape(4, d_steps, 8, hlc)
-    kernel = functools.partial(_kernel, hl=hl, hlc=hlc, strong=strong)
+    vthr = vthr.reshape(4, n_steps, 4 * kdiag, hl)
+    hthr = hthr.reshape(4, n_steps, 16 * kdiag, hl)
+    cvthr = cvthr.reshape(4, n_steps, 2 * kdiag, hlc)
+    chthr = chthr.reshape(4, n_steps, 8 * kdiag, hlc)
+    kernel = functools.partial(_kernel, hl=hl, hlc=hlc, kdiag=kdiag,
+                               strong=strong)
     return pl.pallas_call(
         kernel,
-        grid=(d_steps,),
+        grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=[
@@ -200,12 +226,12 @@ def wavefront_pallas(ys, vthr, hthr, cs, cvthr, chthr, d_steps: int,
             jax.ShapeDtypeStruct(cs.shape, jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((48, hl), jnp.int32),
-            pltpu.VMEM((4, 4, hl), jnp.int32),
-            pltpu.VMEM((4, 16, hl), jnp.int32),
-            pltpu.VMEM((24, hlc), jnp.int32),
-            pltpu.VMEM((4, 2, hlc), jnp.int32),
-            pltpu.VMEM((4, 8, hlc), jnp.int32),
+            pltpu.VMEM((32 + 16 * kdiag, hl), jnp.int32),
+            pltpu.VMEM((4, 4 * kdiag, hl), jnp.int32),
+            pltpu.VMEM((4, 16 * kdiag, hl), jnp.int32),
+            pltpu.VMEM((16 + 8 * kdiag, hlc), jnp.int32),
+            pltpu.VMEM((4, 2 * kdiag, hlc), jnp.int32),
+            pltpu.VMEM((4, 8 * kdiag, hlc), jnp.int32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
