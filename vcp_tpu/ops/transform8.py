@@ -1,0 +1,291 @@
+"""H.264 High-profile 8x8 integer transform + quantization (exact int32).
+
+The 8x8 adaptive transform is the High-profile tool the reference's
+`h264-cpu` preset (libx264 `medium`, ref internal/config/config.go:49)
+uses on every smooth region — it codes low-detail luma ~15% cheaper than
+4x4. Same design rules as ops.transform: batched over (..., 8, 8) blocks
+so a whole frame transforms as one fused XLA computation, exact integer
+math end to end (encoder recon must match any spec decoder bit-for-bit).
+
+Formulas follow ISO/IEC 14496-10:
+* inverse transform: spec 8.5.13.2 (butterfly form, (x+32)>>6 after the
+  second pass),
+* dequant: spec 8.5.13.1 levelScale8x8 (qp<36 rounds, qp>=36 shifts),
+* forward transform + quant: the JM/x264 companion forward butterflies
+  and MF8 multipliers with qbits = 16 + qp/6 (any forward is spec-legal;
+  this one is the industry-standard inverse-matched pair).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+# Forward quant multipliers (JM quant_coef8), 6 position classes.
+_MF8_CLASS = np.array([
+    [13107, 11428, 20972, 12222, 16777, 15481],
+    [11916, 10826, 19174, 11058, 14980, 14290],
+    [10082, 8943, 15978, 9675, 12710, 11985],
+    [9362, 8228, 14913, 8931, 11984, 11259],
+    [8192, 7346, 13159, 7740, 10486, 9777],
+    [7282, 6428, 11570, 6830, 9118, 8640],
+], dtype=np.int32)
+
+# Dequant scales (spec levelScale8x8 m' values), same classes.
+_V8_CLASS = np.array([
+    [20, 18, 32, 19, 25, 24],
+    [22, 19, 35, 21, 28, 26],
+    [26, 23, 42, 24, 33, 31],
+    [28, 25, 45, 26, 35, 33],
+    [32, 28, 51, 30, 40, 38],
+    [36, 32, 58, 34, 46, 43],
+], dtype=np.int32)
+
+
+def _pos_class8() -> np.ndarray:
+    """Position-class map (spec 8.5.13.1): class by (i%4, j%4) pattern."""
+    cls = np.empty((8, 8), np.int32)
+    for i in range(8):
+        for j in range(8):
+            if i % 4 == 0 and j % 4 == 0:
+                c = 0
+            elif i % 2 == 1 and j % 2 == 1:
+                c = 1
+            elif i % 4 == 2 and j % 4 == 2:
+                c = 2
+            elif (i % 4 == 0 and j % 2 == 1) or (i % 2 == 1 and j % 4 == 0):
+                c = 3
+            elif (i % 4 == 0 and j % 4 == 2) or (i % 4 == 2 and j % 4 == 0):
+                c = 4
+            else:
+                c = 5
+            cls[i, j] = c
+    return cls
+
+
+_POS8 = _pos_class8()
+MF8_TABLE = _MF8_CLASS[:, _POS8]          # (6, 8, 8)
+V8_TABLE = _V8_CLASS[:, _POS8]            # (6, 8, 8)
+
+# 8x8 zig-zag scan (spec Table 8-8, frame): coefficient index at each
+# scan position.
+ZIGZAG_8x8 = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _fwd8_1d(x, axis_rows: bool):
+    """One forward 8-point pass (x264 DCT8_1D butterflies, exact int)."""
+    def g(i):
+        return x[..., i, :] if axis_rows else x[..., :, i]
+
+    s07 = g(0) + g(7)
+    s16 = g(1) + g(6)
+    s25 = g(2) + g(5)
+    s34 = g(3) + g(4)
+    a0 = s07 + s34
+    a1 = s16 + s25
+    a2 = s07 - s34
+    a3 = s16 - s25
+    d07 = g(0) - g(7)
+    d16 = g(1) - g(6)
+    d25 = g(2) - g(5)
+    d34 = g(3) - g(4)
+    a4 = d16 + d25 + (d07 + (d07 >> 1))
+    a5 = d07 - d34 - (d25 + (d25 >> 1))
+    a6 = d07 + d34 - (d16 + (d16 >> 1))
+    a7 = d16 - d25 + (d34 + (d34 >> 1))
+    outs = [
+        a0 + a1,
+        a4 + (a7 >> 2),
+        a2 + (a3 >> 1),
+        a5 + (a6 >> 2),
+        a0 - a1,
+        a6 - (a5 >> 2),
+        (a2 >> 1) - a3,
+        (a4 >> 2) - a7,
+    ]
+    if axis_rows:
+        return jnp.stack(outs, axis=-2)
+    return jnp.stack(outs, axis=-1)
+
+
+def fdct8(blocks):
+    """Forward 8x8 transform over (..., 8, 8) int32 blocks."""
+    x = blocks.astype(jnp.int32)
+    y = _fwd8_1d(x, axis_rows=True)       # vertical (down columns)
+    return _fwd8_1d(y, axis_rows=False)   # horizontal (along rows)
+
+
+def _inv8_1d(w, axis_rows: bool):
+    """One inverse 8-point pass (spec 8.5.13.2 butterflies)."""
+    def g(i):
+        return w[..., i, :] if axis_rows else w[..., :, i]
+
+    a0 = g(0) + g(4)
+    a2 = g(0) - g(4)
+    a4 = (g(2) >> 1) - g(6)
+    a6 = g(2) + (g(6) >> 1)
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -g(3) + g(5) - g(7) - (g(7) >> 1)
+    a3 = g(1) + g(7) - g(3) - (g(3) >> 1)
+    a5 = -g(1) + g(7) + g(5) + (g(5) >> 1)
+    a7 = g(3) + g(5) + g(1) + (g(1) >> 1)
+    b1 = a1 + (a7 >> 2)
+    b7 = a7 - (a1 >> 2)
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    outs = [
+        b0 + b7,
+        b2 + b5,
+        b4 + b3,
+        b6 + b1,
+        b6 - b1,
+        b4 - b3,
+        b2 - b5,
+        b0 - b7,
+    ]
+    if axis_rows:
+        return jnp.stack(outs, axis=-2)
+    return jnp.stack(outs, axis=-1)
+
+
+def idct8(coeffs):
+    """Inverse 8x8 transform (spec 8.5.13.2): horizontal pass (within
+    each row) first, then vertical, then (x + 32) >> 6."""
+    w = coeffs.astype(jnp.int32)
+    y = _inv8_1d(w, axis_rows=False)
+    out = _inv8_1d(y, axis_rows=True)
+    return (out + 32) >> 6
+
+
+# Same CAVLC level-escape clamp rationale as transform.MAX_LEVEL.
+MAX_LEVEL = 2000
+
+
+def quant8(coeffs, qp, intra: bool):
+    """Quantize 8x8 coefficients: qbits = 16 + qp/6, deadzone /3 or /6."""
+    qbits = 16 + qp // 6
+    if isinstance(qp, int):
+        f = (1 << qbits) // (3 if intra else 6)
+    else:
+        f = jnp.left_shift(1, qbits) // (3 if intra else 6)
+    mf = jnp.asarray(MF8_TABLE)[qp % 6]
+    w = coeffs.astype(jnp.int32)
+    mag = jnp.minimum((jnp.abs(w) * mf + f) >> qbits, MAX_LEVEL)
+    return jnp.where(w < 0, -mag, mag)
+
+
+def dequant8(levels, qp):
+    """Dequantize 8x8 levels (spec 8.5.13.1 with the flat weightScale=16
+    folded out: d = (c * V8 + 2^(1-per)) >> (2-per), or << (per-2))."""
+    v = jnp.asarray(V8_TABLE)[qp % 6]
+    per = qp // 6
+    prod = levels.astype(jnp.int32) * v
+    if isinstance(qp, int):
+        if per >= 2:
+            return prod << (per - 2)
+        return (prod + (1 << (1 - per))) >> (2 - per)
+    hi = prod << jnp.maximum(per - 2, 0)
+    lo = (prod + jnp.left_shift(1, jnp.maximum(1 - per, 0))) \
+        >> jnp.maximum(2 - per, 0)
+    return jnp.where(per >= 2, hi, lo)
+
+
+def to_blocks8(plane):
+    """(..., H, W) → (..., H/8, W/8, 8, 8)."""
+    *lead, h, w = plane.shape
+    x = plane.reshape(*lead, h // 8, 8, w // 8, 8)
+    return jnp.moveaxis(x, -3, -2)
+
+
+def from_blocks8(blocks):
+    """(..., H/8, W/8, 8, 8) → (..., H, W)."""
+    *lead, hb, wb, _, _ = blocks.shape
+    x = jnp.moveaxis(blocks, -2, -3)
+    return x.reshape(*lead, hb * 8, wb * 8)
+
+
+def zigzag8(blocks):
+    """(..., 8, 8) → (..., 64) in 8x8 zig-zag scan order."""
+    flat = blocks.reshape(*blocks.shape[:-2], 64)
+    return flat[..., ZIGZAG_8x8]
+
+
+def unzigzag8_np(scan):
+    """(..., 64) scan-order levels → (..., 8, 8) coefficient blocks."""
+    scan = np.asarray(scan)
+    out = np.zeros(scan.shape, scan.dtype)
+    out[..., ZIGZAG_8x8] = scan
+    return out.reshape(*scan.shape[:-1], 8, 8)
+
+
+# CAVLC transport (spec 8.5.6 + 7.4.5.3.3): an 8x8 block's 64 scan-order
+# levels are split into four 4x4 CAVLC blocks; sub-block k takes scan
+# positions k, k+4, k+8, ... (i.e. lumaLevel4x4[k][i] = level8x8[4*i+k]).
+def split8_to_4x4_np(scan64):
+    """(..., 64) 8x8 scan levels → (..., 4, 16) interleaved CAVLC blocks."""
+    scan64 = np.asarray(scan64)
+    return scan64.reshape(*scan64.shape[:-1], 16, 4).swapaxes(-1, -2)
+
+
+def merge4x4_to_8_np(blocks):
+    """(..., 4, 16) interleaved CAVLC blocks → (..., 64) scan levels."""
+    blocks = np.asarray(blocks)
+    return blocks.swapaxes(-1, -2).reshape(*blocks.shape[:-2], 64)
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy twins (decoder hot path; see transform.py rationale)
+# ---------------------------------------------------------------------------
+
+def _inv8_1d_np(w, axis_rows: bool):
+    def g(i):
+        return w[..., i, :] if axis_rows else w[..., :, i]
+
+    a0 = g(0) + g(4)
+    a2 = g(0) - g(4)
+    a4 = (g(2) >> 1) - g(6)
+    a6 = g(2) + (g(6) >> 1)
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -g(3) + g(5) - g(7) - (g(7) >> 1)
+    a3 = g(1) + g(7) - g(3) - (g(3) >> 1)
+    a5 = -g(1) + g(7) + g(5) + (g(5) >> 1)
+    a7 = g(3) + g(5) + g(1) + (g(1) >> 1)
+    b1 = a1 + (a7 >> 2)
+    b7 = a7 - (a1 >> 2)
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    outs = [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+    return np.stack(outs, axis=-2 if axis_rows else -1)
+
+
+def idct8_np(coeffs):
+    w = np.asarray(coeffs, np.int32)
+    y = _inv8_1d_np(w, axis_rows=False)
+    out = _inv8_1d_np(y, axis_rows=True)
+    return (out + 32) >> 6
+
+
+def dequant8_np(levels, qp: int):
+    v = np.asarray(V8_TABLE)[qp % 6]
+    per = qp // 6
+    prod = np.asarray(levels, np.int32) * v
+    if per >= 2:
+        return prod << (per - 2)
+    return (prod + (1 << (1 - per))) >> (2 - per)
