@@ -51,17 +51,22 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import threading
 
+    # persistent jit cache (same one the `vcp consumer` CLI enables):
+    # warmup is excluded from the measurement either way, but the cache
+    # keeps bench turnaround sane on tunneled deployments
+    from vcp_tpu.cli import _enable_jit_cache
+    _enable_jit_cache()
+
     from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
 
     # Aggregate throughput with concurrent encode streams on one chip,
     # mirroring the deployment shape (`vcp consumer -j2`, the reference's
     # multi-node config, BASELINE.json configs[4]).
-    # -j4 deployment shape at 1080p: host-side pack/entropy of one stream
-    # overlaps device compute + transfers of the others (throughput
-    # saturates at 4 concurrent streams on the tunneled chip). 4K frames
-    # are 4x the memory; 3 streams is the measured sweet spot (4 hits
-    # host/HBM pressure: 1.7 fps at 3 vs 0.97 at 4, 1.33 at 2).
-    default_streams = "3" if H == 2160 else "4"
+    # Host entropy of one stream overlaps device compute of the other;
+    # this host has ONE core, so 2 streams is the measured sweet spot
+    # (1080p: 37.0 fps at 1, 44.8 at 2, 21.8 at 4 — beyond 2 the
+    # streams thrash the core and the GIL instead of overlapping).
+    default_streams = "2"
     streams = int(os.environ.get("BENCH_STREAMS", default_streams))
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,

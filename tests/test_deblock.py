@@ -178,6 +178,38 @@ def test_pallas_wavefront_no_strong_matches_xla():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pallas_fast_path_matches_xla():
+    """The uniform-QP bS-only fast path (_deblock_pallas_fast, interpret
+    mode) must be bit-identical to the general XLA wavefront on
+    all-inter content at several QPs, including sparse-activity frames
+    (the per-diagonal skip gates must be conservative)."""
+    import jax.numpy as jnp
+    from vcp_tpu.ops import transform as tf
+
+    rng = np.random.default_rng(23)
+    h, w = 64, 80
+    n_mby, n_mbx = h // 16, w // 16
+    for qp, density in ((30, 0.5), (22, 0.05), (40, 0.0)):
+        y = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+        u = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+        v = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        intra = jnp.zeros((n_mby, n_mbx), bool)
+        nz = jnp.asarray(rng.random((h // 4, w // 4)) < density)
+        mv = jnp.asarray(
+            (rng.random((n_mby, n_mbx, 1)) < max(density, 0.2))
+            * rng.integers(-8, 9, (n_mby, n_mbx, 2)), jnp.int32)
+        ref = dbf.deblock_frame(y, u, v, qp_mb, intra, nz, mv,
+                                tf.CHROMA_QP_FULL)
+        bs_v = dbf.compute_bs_luma(intra, nz, mv, True)
+        bs_h = dbf.compute_bs_luma(intra, nz, mv, False)
+        out = dbf._deblock_pallas_fast(y, u, v, bs_v, bs_h, qp,
+                                       tf.CHROMA_QP_FULL, n_mby, n_mbx,
+                                       interpret=True)
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_host_numpy_deblock_matches_device():
     """deblock_frame_host (native C++ raster filter when available, pure
     NumPy otherwise) must be bit-identical to the jnp wavefront — both

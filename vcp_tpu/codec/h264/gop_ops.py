@@ -105,7 +105,7 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         intra = jnp.zeros((n_mby, n_mbx), bool)
         recon_y, recon_u, recon_v = dbf.deblock_frame(
             recon_y, recon_u, recon_v, qp_mb, intra, nz4, mv,
-            tf.CHROMA_QP_FULL, no_strong=True)
+            tf.CHROMA_QP_FULL, no_strong=True, qp_scalar=qp)
     return packed, recon_y, recon_u, recon_v
 
 
@@ -375,7 +375,8 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
         use = jnp.stack([mode != 1, mode != 0], axis=-1)
         recon_y, recon_u, recon_v = dbf.deblock_frame(
             recon_y, recon_u, recon_v, qp_mb, intra, nz4,
-            (mv0, mv1, use), tf.CHROMA_QP_FULL, no_strong=True)
+            (mv0, mv1, use), tf.CHROMA_QP_FULL, no_strong=True,
+            qp_scalar=qp)
 
     return {
         "mv0": mv0, "mv1": mv1, "mode": mode,

@@ -594,7 +594,7 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
 
 
 def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
-                  no_strong: bool = False):
+                  no_strong: bool = False, qp_scalar=None):
     """Apply the full in-loop filter to one reconstructed frame in SPEC
     ORDER (8.7: per-MB raster, vertical edges then horizontal, each edge
     reading previously filtered samples) — realized as a skewed-diagonal
@@ -608,6 +608,12 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
     ``no_strong=True`` (static) lets the Pallas kernel drop the bS==4
     filter path — valid for all-inter frames, where no edge reaches
     bS 4 (P/B steps pass it; the intra frame must not).
+
+    ``qp_scalar`` (traced or static int): when the slice QP is uniform
+    (every qp_mb entry equals it — true for every P/B frame this encoder
+    emits), the no_strong Pallas path collapses the four per-sample
+    threshold channels to one bS grid + ten scalars, skipping the bulk
+    of the grid construction that dominated the filter's device time.
     """
     y = jnp.asarray(y, jnp.int32)
     u = jnp.asarray(u, jnp.int32)
@@ -616,15 +622,29 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
     hc, wc = u.shape
     n_mby, n_mbx = qp_mb.shape
 
+    import os
+    if (no_strong and qp_scalar is not None
+            and jax.default_backend() not in ("cpu",)
+            and os.environ.get("VCP_PALLAS_DEBLOCK", "1") != "0"):
+        bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True)
+        bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False)
+        return _deblock_pallas_fast(y, u, v, bs_v, bs_h, qp_scalar,
+                                    chroma_qp_table, n_mby, n_mbx)
+
     def grid_v(bs_e, qp_e, rep):
         """(n_edges, blkrows) per-edge arrays → (4, rows*rep, n_edges+1)
         grids keyed by the edge's own block column (col 0 = frame edge,
-        bS 0)."""
+        bS 0). The table lookups run at BLOCK resolution (rep× fewer
+        elements than the pixel grid — the 36-way select loop was ~40%
+        of the whole filter's device time at pixel resolution) and the
+        finished (4, ...) stack is expanded afterwards."""
         pad = jnp.zeros((1, bs_e.shape[1]), jnp.int32)
-        bs = jnp.concatenate([pad, bs_e], axis=0).T       # (rows, Wblk)
+        bs = jnp.concatenate([pad, bs_e], axis=0).T       # (blkrows, Wblk)
         qp = jnp.concatenate([pad, qp_e], axis=0).T
-        return _thr_stack(_repeat_rows(bs.T, rep).T,
-                          _repeat_rows(qp.T, rep).T)
+        thr = _thr_stack(bs, qp)                          # (4, blkrows, W)
+        if rep == 1:
+            return thr
+        return jnp.repeat(thr, rep, axis=1)
 
     # --- luma thresholds, keyed by edge position
     bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True)
@@ -679,6 +699,21 @@ def _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr, n_mby, n_mbx,
     kdiag = diags_per_step(-(-hp // 128) * 128)
     d_pad = -(-d_steps // kdiag) * kdiag
 
+    # per-diagonal activity: an MB whose 8 luma edges all carry bS=0 is
+    # an identity filter for luma AND chroma (chroma bS is the even-edge
+    # subset of luma bS), so a diagonal of such MBs can be skipped
+    # bit-exactly inside the kernel. Reduce the edge-keyed bS grids per
+    # MB, then OR along diagonals d = mbx + 2*mby with one tiny matmul
+    # (gather/scatter-free).
+    act_v = vthr[0].reshape(n_mby, 16, n_mbx, 4).max(axis=(1, 3))
+    act_h = hthr[0].reshape(n_mby, 4, n_mbx, 16).max(axis=(1, 3))
+    act_mb = ((act_v + act_h) > 0).astype(jnp.float32).reshape(1, -1)
+    dm = (jnp.arange(n_mbx)[None, :] + 2 * jnp.arange(n_mby)[:, None])
+    onehot = (dm.reshape(-1, 1) ==
+              jnp.arange(d_pad)[None, :]).astype(jnp.float32)
+    act = (jnp.dot(act_mb, onehot,
+                   preferred_element_type=jnp.float32)[0] > 0)
+
     def skew_t(a, band, shift, lead, rows):
         s = _skew(a, band, shift)
         if lead:
@@ -711,8 +746,85 @@ def _deblock_pallas(y, u, v, vthr, hthr, cvthr, chthr, n_mby, n_mbx,
         for t in range(4)]).astype(jnp.int32)
 
     ys_o, cs_o = wavefront_pallas(ys, vts, hts, cs, cvs, chs, d_pad,
-                                  interpret=interpret, strong=strong)
+                                  interpret=interpret, strong=strong,
+                                  act=act.astype(jnp.int32))
     # drop the lead pad rows and lane padding, transpose, unskew
+    y_out = _unskew(ys_o[32:, :hp].T, 16, 32, wp)
+    half = -(-hc // 128) * 128
+    u_out = _unskew(cs_o[16:, :hc].T, 8, 16, wc)
+    v_out = _unskew(cs_o[16:, half:half + hc].T, 8, 16, wc)
+    return y_out, u_out, v_out
+
+
+def _deblock_pallas_fast(y, u, v, bs_v, bs_h, qp, chroma_qp_table,
+                         n_mby, n_mbx, interpret: bool = False):
+    """Uniform-QP all-inter Pallas path: one bS grid per edge direction
+    (channel 0 of _deblock_pallas's threshold stacks, same geometry) and
+    ten SMEM scalars. Bit-identical to the general path whenever every
+    qp_mb entry equals ``qp`` and no edge has bS 4."""
+    from .deblock_pallas import diags_per_step, wavefront_pallas_fast
+
+    hp, wp = y.shape
+    hc, wc = u.shape
+    d_steps = n_mbx + 2 * (n_mby - 1)
+    kdiag = diags_per_step(-(-hp // 128) * 128)
+    d_pad = -(-d_steps // kdiag) * kdiag
+
+    def bs_grid(bs_e):
+        pad = jnp.zeros((1, bs_e.shape[1]), jnp.int32)
+        return jnp.concatenate([pad, bs_e], axis=0).T   # (blkrows, Wblk)
+
+    vthr0 = jnp.repeat(bs_grid(bs_v), 4, axis=0)        # (H, W/4)
+    hthr0 = jnp.repeat(bs_grid(bs_h), 4, axis=0).swapaxes(0, 1)  # (H/4, W)
+    bs_cv = _repeat_rows(bs_v[1::2], 2).reshape(wc // 4 - 1, hc)
+    cvthr0 = bs_grid(bs_cv)                             # (hc, wc/4)
+    bs_ch = _repeat_rows(bs_h[1::2], 2).reshape(hc // 4 - 1, wc)
+    chthr0 = bs_grid(bs_ch).swapaxes(0, 1)              # (hc/4, wc)
+
+    # per-diagonal activity (see _deblock_pallas)
+    act_v = vthr0.reshape(n_mby, 16, n_mbx, 4).max(axis=(1, 3))
+    act_h = hthr0.reshape(n_mby, 4, n_mbx, 16).max(axis=(1, 3))
+    act_mb = ((act_v + act_h) > 0).astype(jnp.float32).reshape(1, -1)
+    dm = (jnp.arange(n_mbx)[None, :] + 2 * jnp.arange(n_mby)[:, None])
+    onehot = (dm.reshape(-1, 1) ==
+              jnp.arange(d_pad)[None, :]).astype(jnp.float32)
+    act = (jnp.dot(act_mb, onehot,
+                   preferred_element_type=jnp.float32)[0] > 0)
+
+    qi = jnp.clip(jnp.asarray(qp, jnp.int32), 0, 51)
+    qc = jnp.asarray(chroma_qp_table)[qi]
+    al = jnp.asarray(ALPHA)
+    be = jnp.asarray(BETA)
+    tc = jnp.asarray(TC0)
+    scal = jnp.stack([al[qi], be[qi], tc[0, qi], tc[1, qi], tc[2, qi],
+                      al[qc], be[qc], tc[0, qc], tc[1, qc], tc[2, qc]])
+
+    def skew_t(a, band, shift, lead, rows):
+        s = _skew(a, band, shift)
+        if lead:
+            s = jnp.pad(s, ((0, 0), (lead, 0)))
+        s = _lane_pad(s.T)
+        if s.shape[0] < rows:
+            s = jnp.pad(s, ((0, rows - s.shape[0]), (0, 0)))
+        return s
+
+    ys = skew_t(y, 16, 32, 32, 16 * d_pad + 32).astype(jnp.int32)
+    vts = skew_t(vthr0, 16, 8, 0, 4 * d_pad).astype(jnp.int32)
+    hts = skew_t(jnp.repeat(hthr0, 4, axis=0), 16, 32, 0,
+                 16 * d_pad).astype(jnp.int32)
+    cs = jnp.concatenate(
+        [skew_t(u, 8, 16, 16, 8 * d_pad + 16),
+         skew_t(v, 8, 16, 16, 8 * d_pad + 16)],
+        axis=1).astype(jnp.int32)
+    cvs = jnp.concatenate([skew_t(cvthr0, 8, 4, 0, 2 * d_pad)] * 2,
+                          axis=1).astype(jnp.int32)
+    chs = jnp.concatenate(
+        [skew_t(jnp.repeat(chthr0, 4, axis=0), 8, 16, 0, 8 * d_pad)] * 2,
+        axis=1).astype(jnp.int32)
+
+    ys_o, cs_o = wavefront_pallas_fast(ys, vts, hts, cs, cvs, chs, scal,
+                                       d_pad, act.astype(jnp.int32),
+                                       interpret=interpret)
     y_out = _unskew(ys_o[32:, :hp].T, 16, 32, wp)
     half = -(-hc // 128) * 128
     u_out = _unskew(cs_o[16:, :hc].T, 8, 16, wc)
