@@ -64,9 +64,11 @@ def main() -> None:
     # multi-node config, BASELINE.json configs[4]).
     # Host entropy of one stream overlaps device compute of the other;
     # this host has ONE core, so 2 streams is the measured sweet spot
-    # (1080p: 37.0 fps at 1, 44.8 at 2, 21.8 at 4 — beyond 2 the
-    # streams thrash the core and the GIL instead of overlapping).
-    default_streams = "2"
+    # at 1080p (37.0 fps at 1, 44.8 at 2, 21.8 at 4 — beyond 2 the
+    # streams thrash the core and the GIL instead of overlapping). 4K
+    # frames are device-dominant and 4x the memory: 1 stream wins
+    # (9.6 fps at 1 vs 9.1 at 2).
+    default_streams = "1" if H == 2160 else "2"
     streams = int(os.environ.get("BENCH_STREAMS", default_streams))
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,

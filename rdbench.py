@@ -31,15 +31,16 @@ def load_clip(name: str):
     return [(z[f"f{i}_y"], z[f"f{i}_u"], z[f"f{i}_v"]) for i in range(n)]
 
 
-def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0):
+def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0,
+                t8: bool = False, effort: int = 6):
     from vcp_tpu.codec.h264.decoder import H264Decoder
     from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
 
     h, w = frames[0][0].shape
     enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
                                     gop_size=len(frames), cabac=cabac,
-                                    deblock=True, effort=6,
-                                    bframes=bframes))
+                                    deblock=True, effort=effort,
+                                    bframes=bframes, transform8=t8))
     aus = [s[0] for s in enc.encode_gop(frames)]
     size = sum(len(a) for a in aus) + len(enc.headers_annexb())
     dec = H264Decoder().decode_annexb(
@@ -69,6 +70,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--qps", default="22,26,30,34,38")
     ap.add_argument("--bframes", type=int, default=0)
+    ap.add_argument("--t8", action="store_true")
+    ap.add_argument("--effort", type=int, default=6)
     ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))
     args = ap.parse_args(argv)
     qps = [int(q) for q in args.qps.split(",")]
@@ -86,7 +89,8 @@ def main(argv=None):
         n = m["n"]
         ours = []
         for qp in qps:
-            size, ps = encode_ours(frames, qp, bframes=args.bframes)
+            size, ps = encode_ours(frames, qp, bframes=args.bframes,
+                                   t8=args.t8, effort=args.effort)
             kbps = size * 8 * fps / n / 1000.0
             ours.append((kbps, ps))
             print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB",

@@ -37,13 +37,15 @@ def test_escape_matches_python(lib):
         assert out[:m].tobytes() == emulation_prevent(data.tobytes())
 
 
-def _encode_both(qp, gop, n=5, w=64, h=48, cabac=False):
+def _encode_both(qp, gop, n=5, w=64, h=48, cabac=False, t8=False):
     frames = synth_video(w, h, n)
 
     def run():
         enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
                                         gop_size=gop, effort=2,
-                                        cabac=cabac))
+                                        cabac=cabac, transform8=t8))
+        if t8:
+            return [s[0] for s in enc.encode_gop(frames)]
         return [enc.encode_frame(*f)[0] for f in frames]
 
     os.environ["VCP_NO_NATIVE"] = "1"
@@ -81,6 +83,16 @@ def test_cabac_pslice_bit_identical(lib, qp):
     py, nat = _encode_both(qp=qp, gop=5, n=5, cabac=True)
     for i, (a, b) in enumerate(zip(py, nat)):
         assert a == b, f"CABAC frame {i} differs at qp {qp}"
+
+
+@pytest.mark.parametrize("qp", [22, 34])
+def test_cabac_pslice_t8_bit_identical(lib, qp):
+    """High-profile adaptive-8x8 P slices: native writer vs Python twin."""
+    if not hasattr(lib, "vcp_write_pslice_cabac_t8"):
+        pytest.skip("native lib lacks t8 support")
+    py, nat = _encode_both(qp=qp, gop=6, n=6, cabac=True, t8=True)
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, f"CABAC t8 frame {i} differs at qp {qp}"
 
 
 def test_native_cabac_stream_decodes(lib):

@@ -41,6 +41,22 @@ CAT_CHROMA_AC = 4   # ChromaACLevel, 15
 _SIG_OFF = (0, 15, 29, 44, 47)      # ctxBlockCat offsets, frame-coded
 _ABS_OFF = (0, 10, 20, 30, 39)
 
+# ctxBlockCat 5 (LumaLevel8x8, High profile): significant/last ctxIdxInc
+# per scan position (spec Table 9-43, frame-coded) and its own offsets
+# — sig base 402, last base 417, abs base 426; no coded_block_flag.
+CAT_LUMA8 = 5
+_SIG8_MAP = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12,
+)
+_LAST8_MAP = (
+    (0,) + (1,) * 15 + (2,) * 16 + (3,) * 8 + (4,) * 8 + (5,) * 4
+    + (6,) * 4 + (7,) * 4 + (8,) * 3
+)
+assert len(_SIG8_MAP) == 63 and len(_LAST8_MAP) == 63
+
 
 def _ctx_index_map(slice_type: str) -> dict:
     m = {
@@ -71,6 +87,10 @@ def _ctx_index_map(slice_type: str) -> dict:
         m[f"sig{cat}"] = tuple(105 + _SIG_OFF[cat] + i for i in range(15))
         m[f"last{cat}"] = tuple(166 + _SIG_OFF[cat] + i for i in range(15))
         m[f"abs{cat}"] = tuple(227 + _ABS_OFF[cat] + i for i in range(10))
+    m["sig5"] = tuple(402 + i for i in range(15))
+    m["last5"] = tuple(417 + i for i in range(9))
+    m["abs5"] = tuple(426 + i for i in range(10))
+    m["t8flag"] = (399, 400, 401)
     return m
 
 
@@ -104,6 +124,7 @@ class MbState:
         self.avail = np.zeros((n_mby, n_mbx), bool)
         self.skip = np.zeros((n_mby, n_mbx), bool)
         self.intra = np.zeros((n_mby, n_mbx), bool)
+        self.t8 = np.zeros((n_mby, n_mbx), bool)   # transform_size_8x8
         self.chroma_mode = np.zeros((n_mby, n_mbx), np.int32)
         self.cbp_luma8 = np.zeros((2 * n_mby, 2 * n_mbx), np.int32)
         self.cbp_chroma = np.zeros((n_mby, n_mbx), np.int32)
@@ -168,6 +189,14 @@ class MbState:
         ca = 1 if (a and self.cbp_chroma[a[1], a[0]] == 2) else 0
         cb = 1 if (b and self.cbp_chroma[b[1], b[0]] == 2) else 0
         return 4 + ca + 2 * cb
+
+    def t8_ctx(self, mbx, mby):
+        a, b = self._nb(mbx, mby)
+        ca = 1 if (a and self.avail[a[1], a[0]]
+                   and self.t8[a[1], a[0]]) else 0
+        cb = 1 if (b and self.avail[b[1], b[0]]
+                   and self.t8[b[1], b[0]]) else 0
+        return ca + cb
 
     def mvd_ctx(self, mbx, mby, comp: int, lst: int = 0):
         a, b = self._nb(mbx, mby)
@@ -313,6 +342,69 @@ def _decode_block(dec, cx, st: MbState, n, cat, mbx, mby, blk,
         v = 0
         while v < 14 and dec.decode(cx[f"abs{cat}",
                                        ctx0 if v == 0 else ctx1]):
+            v += 1
+        if v == 14:
+            v += _read_egk(dec, 0)
+        sign = dec.decode_bypass()
+        out[i] = -(v + 1) if sign else (v + 1)
+        if v == 0:
+            neq1 += 1
+        else:
+            ngt1 += 1
+    return out
+
+
+def _encode_block8(enc, cx, coeffs):
+    """LumaLevel8x8 (ctxBlockCat 5): significance map over the 8x8 scan
+    with the Table 9-43 context maps; no coded_block_flag (presence is
+    the CBP bit). ``coeffs``: 64 scan-ordered levels, at least one != 0."""
+    nz = [i for i, v in enumerate(coeffs) if v]
+    last = nz[-1]
+    for i in range(63):
+        sig = 1 if coeffs[i] else 0
+        enc.encode(cx["sig5", _SIG8_MAP[i]], sig)
+        if sig:
+            enc.encode(cx["last5", _LAST8_MAP[i]], 1 if i == last else 0)
+            if i == last:
+                break
+    neq1 = ngt1 = 0
+    for i in reversed(nz):
+        v = abs(int(coeffs[i])) - 1
+        ctx0 = 0 if ngt1 > 0 else min(4, 1 + neq1)
+        ctx1 = 5 + min(4, ngt1)
+        prefix = min(v, 14)
+        for b in range(prefix):
+            enc.encode(cx["abs5", ctx0 if b == 0 else ctx1], 1)
+        if prefix < 14:
+            enc.encode(cx["abs5", ctx0 if prefix == 0 else ctx1], 0)
+        else:
+            _write_egk(enc, v - 14, 0)
+        enc.encode_bypass(1 if coeffs[i] < 0 else 0)
+        if v == 0:
+            neq1 += 1
+        else:
+            ngt1 += 1
+
+
+def _decode_block8(dec, cx):
+    """Inverse of _encode_block8; returns 64 scan-ordered levels."""
+    out = np.zeros(64, np.int32)
+    sig = [0] * 64
+    found_last = False
+    for i in range(63):
+        sig[i] = dec.decode(cx["sig5", _SIG8_MAP[i]])
+        if sig[i] and dec.decode(cx["last5", _LAST8_MAP[i]]):
+            found_last = True
+            break
+    if not found_last:
+        sig[63] = 1
+    nz = [i for i in range(64) if sig[i]]
+    neq1 = ngt1 = 0
+    for i in reversed(nz):
+        ctx0 = 0 if ngt1 > 0 else min(4, 1 + neq1)
+        ctx1 = 5 + min(4, ngt1)
+        v = 0
+        while v < 14 and dec.decode(cx["abs5", ctx0 if v == 0 else ctx1]):
             v += 1
         if v == 14:
             v += _read_egk(dec, 0)
@@ -532,6 +624,8 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     luma = data["luma"]
     cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
     cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
+    t8 = data.get("t8")          # (nMBy, nMBx) bool; luma rows 4b..4b+4
+    #                              hold 8x8 block b's 64-scan when set
     valid = np.ones((n_mby, n_mbx), bool)
     mv_xy = np.stack([mv[..., 1], mv[..., 0]], axis=-1)
 
@@ -593,12 +687,18 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)],
                            1 if cbp_c == 2 else 0)
             st.cbp_chroma[mby, mbx] = cbp_c
+            t8f = bool(t8[mby, mbx]) if t8 is not None else False
+            if cbp_l > 0 and pp.transform_8x8:
+                enc.encode(cx["t8flag", st.t8_ctx(mbx, mby)],
+                           1 if t8f else 0)
+            st.t8[mby, mbx] = t8f
             if cbp_l or cbp_c:
                 enc.encode(cx["qp_delta", 0], 0)
             _p_residual(enc, cx, st, mbx, mby, encode=True, cbp_l=cbp_l,
                         cbp_c=cbp_c, luma=luma[mby, mbx],
                         cdc=np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]]),
-                        cac=np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]]))
+                        cac=np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]]),
+                        t8=t8f)
             last = mby == n_mby - 1 and mbx == n_mbx - 1
             enc.encode_terminate(1 if last else 0)
     return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes() + enc.flush(),
@@ -606,23 +706,41 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 
 
 def _p_residual(ed, cx, st, mbx, mby, *, encode, cbp_l, cbp_c,
-                luma=None, cdc=None, cac=None):
-    """LumaLevel4x4 + chroma residual walk for an inter MB."""
+                luma=None, cdc=None, cac=None, t8=False):
+    """LumaLevel4x4 (or 8x8 when ``t8``) + chroma residual walk for an
+    inter MB. With t8, luma rows 4b..4b+4 hold 8x8 block b's 64-scan."""
     if not encode:
         luma = np.zeros((16, 16), np.int32)
         cdc = np.zeros((2, 4), np.int32)
         cac = np.zeros((2, 4, 16), np.int32)
-    for blk in range(16):
-        b8 = (blk // 4)                # LUMA_BLK_ORDER groups by 8x8
-        if (cbp_l >> b8) & 1:
-            if encode:
-                _encode_block(ed, cx, st, [int(x) for x in luma[blk]],
-                              CAT_LUMA4, mbx, mby, blk, False)
+    if t8:
+        for b8 in range(4):
+            bit = (cbp_l >> b8) & 1
+            if bit:
+                if encode:
+                    scan = [int(x)
+                            for x in luma[4 * b8:4 * b8 + 4].reshape(64)]
+                    _encode_block8(ed, cx, scan)
+                else:
+                    luma[4 * b8:4 * b8 + 4] = \
+                        _decode_block8(ed, cx).reshape(4, 16)
+            # neighbor cbf state: every 4x4 position of the 8x8 block
+            # carries its coded_block_flag (spec 9.3.3.1.1.9 for t8
+            # neighbors)
+            gy, gx = 4 * mby + 2 * (b8 // 2), 4 * mbx + 2 * (b8 % 2)
+            st.cbf_l4[gy:gy + 2, gx:gx + 2] = bit
+    else:
+        for blk in range(16):
+            b8 = (blk // 4)            # LUMA_BLK_ORDER groups by 8x8
+            if (cbp_l >> b8) & 1:
+                if encode:
+                    _encode_block(ed, cx, st, [int(x) for x in luma[blk]],
+                                  CAT_LUMA4, mbx, mby, blk, False)
+                else:
+                    luma[blk] = _decode_block(ed, cx, st, 16, CAT_LUMA4,
+                                              mbx, mby, blk, False)
             else:
-                luma[blk] = _decode_block(ed, cx, st, 16, CAT_LUMA4,
-                                          mbx, mby, blk, False)
-        else:
-            st.set_cbf(CAT_LUMA4, mbx, mby, blk, 0)
+                st.set_cbf(CAT_LUMA4, mbx, mby, blk, 0)
     if cbp_c:
         for c in range(2):
             if encode:
@@ -684,10 +802,12 @@ def parse_islice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int):
 
 
 def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
-                       on_skip, on_inter):
+                       on_skip, on_inter, transform_8x8: bool = False):
     """Parse a P-slice CABAC payload. Calls on_skip(mbx, mby) for P_Skip
-    MBs and on_inter(mbx, mby, mvd_xy, luma, cdc, cac) for coded MBs, in
-    raster order (so callbacks can maintain mv prediction state)."""
+    MBs and on_inter(mbx, mby, mvd_xy, luma, cdc, cac, t8) for coded MBs,
+    in raster order (so callbacks can maintain mv prediction state).
+    ``t8``: with transform_8x8 PPS mode, luma rows 4b..4b+4 hold 8x8
+    block b's 64-coefficient scan instead of four 4x4 scans."""
     dec = CabacDecoder(payload)
     cx = H264CabacContexts(qp, pslice=True)
     st = MbState(n_mby, n_mbx)
@@ -721,13 +841,18 @@ def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
                     cbp_c = 2 if dec.decode(
                         cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
                 st.cbp_chroma[mby, mbx] = cbp_c
+                t8f = False
+                if cbp_l > 0 and transform_8x8:
+                    t8f = bool(dec.decode(cx["t8flag",
+                                             st.t8_ctx(mbx, mby)]))
+                st.t8[mby, mbx] = t8f
                 if cbp_l or cbp_c:
                     if dec.decode(cx["qp_delta", 0]):
                         raise ValueError("mb_qp_delta != 0 unsupported")
                 luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
                                              encode=False, cbp_l=cbp_l,
-                                             cbp_c=cbp_c)
-                on_inter(mbx, mby, (mvd_x, mvd_y), luma, cdc, cac)
+                                             cbp_c=cbp_c, t8=t8f)
+                on_inter(mbx, mby, (mvd_x, mvd_y), luma, cdc, cac, t8f)
             last = mby == n_mby - 1 and mbx == n_mbx - 1
             term = dec.decode_terminate()
             if term != (1 if last else 0):

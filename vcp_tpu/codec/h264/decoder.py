@@ -254,6 +254,9 @@ class H264Decoder:
                 (sp.mb_height, sp.mb_width, 2, 4), np.int32)
             ctx["p_cac"] = np.zeros(
                 (sp.mb_height, sp.mb_width, 2, 4, 16), np.int32)
+            # transform_size_8x8 per MB: luma rows 4b..4b+4 of p_z_luma
+            # hold 8x8 block b's 64-scan instead of four 4x4 scans
+            ctx["p_t8"] = np.zeros((sp.mb_height, sp.mb_width), bool)
             intra_queue: list = []
         if is_b:
             ctx["b_mode"] = np.zeros((sp.mb_height, sp.mb_width), np.int32)
@@ -286,7 +289,7 @@ class H264Decoder:
                 def on_skip(mbx, mby):
                     self._decode_pskip(ctx, mbx, mby)
 
-                def on_inter(mbx, mby, mvd, luma, cdc, cac):
+                def on_inter(mbx, mby, mvd, luma, cdc, cac, t8=False):
                     pred = pf.mv_pred_dec(mvs, mv_valid, mbx, mby,
                                       sp.mb_width)
                     mvs[mby, mbx] = (pred[0] + mvd[0], pred[1] + mvd[1])
@@ -294,11 +297,20 @@ class H264Decoder:
                     ctx["p_z_luma"][mby, mbx] = luma
                     ctx["p_cdc"][mby, mbx] = cdc
                     ctx["p_cac"][mby, mbx] = cac
-                    for blk in range(16):
-                        oy = int(LUMA_BLK_ORDER[blk, 0])
-                        ox = int(LUMA_BLK_ORDER[blk, 1])
-                        nz_y.nz[4 * mby + oy, 4 * mbx + ox] = \
-                            int(np.count_nonzero(luma[blk]))
+                    ctx["p_t8"][mby, mbx] = t8
+                    if t8:
+                        for b8 in range(4):
+                            n = int(np.count_nonzero(
+                                luma[4 * b8:4 * b8 + 4]))
+                            gy = 4 * mby + 2 * (b8 // 2)
+                            gx = 4 * mbx + 2 * (b8 % 2)
+                            nz_y.nz[gy:gy + 2, gx:gx + 2] = n
+                    else:
+                        for blk in range(16):
+                            oy = int(LUMA_BLK_ORDER[blk, 0])
+                            ox = int(LUMA_BLK_ORDER[blk, 1])
+                            nz_y.nz[4 * mby + oy, 4 * mbx + ox] = \
+                                int(np.count_nonzero(luma[blk]))
                     for c, nzc in ((0, nz_cb), (1, nz_cr)):
                         for blk in range(4):
                             oy = int(CHROMA_BLK_ORDER[blk, 0])
@@ -307,7 +319,8 @@ class H264Decoder:
                                 int(np.count_nonzero(cac[c, blk]))
 
                 CS.parse_pslice_cabac(payload, qp, sp.mb_height,
-                                      sp.mb_width, on_skip, on_inter)
+                                      sp.mb_width, on_skip, on_inter,
+                                      transform_8x8=pp.transform_8x8)
         else:
             if is_b:
                 self._decode_mbs_b_cavlc(ctx, n_mbs)
@@ -345,6 +358,16 @@ class H264Decoder:
             from ...ops import deblock as dbf
             from ...ops.transform import CHROMA_QP_FULL
             nz = (nz_y.nz > 0)
+            t8g = ctx.get("p_t8")
+            if t8g is not None and t8g.any():
+                # deblock bS tests residual presence per TRANSFORM block:
+                # for 8x8-transform MBs expand nz to 8x8 granularity
+                # (nz_y keeps per-4x4 totals for CAVLC nC contexts)
+                nzb = nz.reshape(sp.mb_height, 2, 2, sp.mb_width, 2, 2)
+                nz8 = np.repeat(np.repeat(nzb.any(axis=(2, 5)), 2, axis=1),
+                                2, axis=3).reshape(nz.shape)
+                t8px = np.repeat(np.repeat(t8g, 4, 0), 4, 1)
+                nz = np.where(t8px, nz8, nz)
             # fold the PPS chroma_qp_index_offset into the lookup table
             cq = np.asarray(CHROMA_QP_FULL)[
                 np.clip(np.arange(52) + pp.chroma_qp_index_offset, 0, 51)]
@@ -352,7 +375,8 @@ class H264Decoder:
                     np.stack([ctx["use0"], ctx["use1"]], axis=-1))
                    if is_b else mvs)
             yf, uf, vf = dbf.deblock_frame_host(
-                y, u, v, qp_mb, intra_mb, nz, mvq, cq)
+                y, u, v, qp_mb, intra_mb, nz, mvq, cq,
+                t8=ctx.get("p_t8"))
             y = np.asarray(yf)
             u = np.asarray(uf)
             v = np.asarray(vf)

@@ -47,6 +47,7 @@ class EncoderConfig:
     deblock: bool = True           # in-loop filter (VCP_DEBLOCK=0 disables)
     cabac: bool = True             # CABAC entropy (VCP_CABAC=0 -> CAVLC)
     bframes: int = 0               # B pictures between anchors (-bf)
+    transform8: bool = False       # High-profile adaptive 8x8 transform
     params: EncodeParams | None = None   # original preset args (rate control)
 
     @classmethod
@@ -59,6 +60,8 @@ class EncoderConfig:
             cfg.deblock = False
         if os.environ.get("VCP_CABAC") == "0":
             cfg.cabac = False
+        if os.environ.get("VCP_T8"):
+            cfg.transform8 = os.environ["VCP_T8"] != "0"
         if params.bframes >= 0:
             cfg.bframes = max(0, min(8, params.bframes))
         if os.environ.get("VCP_BFRAMES"):
@@ -89,11 +92,17 @@ class H264Encoder:
             # B pictures: Main profile, poc_type 0, both anchors in the
             # DPB (libx264 conventions, see codec.h264.bframe)
             self.sp = headers.SeqParams(
-                width=cfg.width, height=cfg.height, profile_idc=77,
+                width=cfg.width, height=cfg.height,
+                profile_idc=100 if cfg.transform8 else 77,
                 poc_type=0, num_ref_frames=2)
+        elif cfg.transform8:
+            # adaptive 8x8 transform -> High profile
+            self.sp = headers.SeqParams(width=cfg.width, height=cfg.height,
+                                        profile_idc=100)
         else:
             self.sp = headers.SeqParams(width=cfg.width, height=cfg.height)
-        self.pp = headers.PicParams(init_qp=26, cabac=cfg.cabac)
+        self.pp = headers.PicParams(init_qp=26, cabac=cfg.cabac,
+                                    transform_8x8=cfg.transform8)
         self.frame_index = 0
         self.idr_count = 0
         self._recon = None          # (y, u, v) uint8 planes, device-resident
@@ -175,9 +184,12 @@ class H264Encoder:
                                        self.cfg.effort),
                                    deblock=self.cfg.deblock,
                                    subpel=pframe.subpel_for_effort(
-                                       self.cfg.effort))
+                                       self.cfg.effort),
+                                   t8=self.cfg.transform8)
         data = {k: np.asarray(out[k]) for k in
                 ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+        if self.cfg.transform8:
+            data["t8"] = np.asarray(out["t8"])
         self._last_p_data = data
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         return pframe.write_pslice(self.sp, self.pp,
@@ -275,7 +287,8 @@ class H264Encoder:
                     gop_ops.encode_pchunk_delta(
                         sy, su, sv, idx_arr, tile_arr, *recon, qp, qpc,
                         sr, lam, h16, w16, cfg.deblock,
-                        pframe.subpel_for_effort(cfg.effort))
+                        pframe.subpel_for_effort(cfg.effort),
+                        cfg.transform8)
                 t_dispatch += time.monotonic() - t0
             else:
                 buf = gop_ops.pack_frames(
@@ -283,7 +296,8 @@ class H264Encoder:
                 (bitmap, counts, meta, payload, ry, ru, rv) = \
                     gop_ops.encode_pchunk_sparse(
                         buf, *recon, qp, qpc, sr, lam, h16, w16,
-                        cfg.deblock, pframe.subpel_for_effort(cfg.effort))
+                        cfg.deblock, pframe.subpel_for_effort(cfg.effort),
+                        cfg.transform8)
             recon = (ry.astype("uint8"), ru.astype("uint8"),
                      rv.astype("uint8"))
             # one flat fetch buffer per chunk, streamed to the host in
@@ -407,9 +421,11 @@ class H264Encoder:
             ayp, aup, avp = self._pad(*frames[a])
             pout = pframe.encode_pframe(
                 ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
-                deblock=cfg.deblock, subpel=subpel)
+                deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8)
             pdata = {kk: np.asarray(pout[kk]) for kk in
                      ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+            if cfg.transform8:
+                pdata["t8"] = np.asarray(pout["t8"])
             out.append((pframe.write_pslice(
                 self.sp, self.pp, frame_num=k, qp=qp, data=pdata,
                 deblock=cfg.deblock, cabac=cfg.cabac,

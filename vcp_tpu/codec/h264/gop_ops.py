@@ -30,14 +30,17 @@ from ...ops import transform as tf
 from .frame_ops import LUMA_BLK_ORDER, _zigzag
 
 # per-MB int16 words in the packed layout:
-#   [mv 2 | cb_dc 4 | cr_dc 4 | luma 16x16 | cb_ac 4x16 | cr_ac 4x16]
-# The 10 meta words lead so the 384 block words form one contiguous
-# payload (the sparse fetch path gathers it row-wise without a copy).
+#   [mv 2 | cb_dc 4 | cr_dc 4 | flags 1 | pad 1 | luma 16x16 | cb_ac 4x16
+#    | cr_ac 4x16]
+# flags bit 0 = transform_size_8x8 (luma words hold four 64-coeff 8x8
+# scans, rows 4b..4b+4 each, instead of sixteen 4x4 scans). The 12 meta
+# words lead so the 384 block words form one contiguous payload (the
+# sparse fetch path gathers it row-wise without a copy).
 MB_WORDS_MV = 2
 MB_WORDS_LUMA = 256
 MB_WORDS_CDC = 4
 MB_WORDS_CAC = 64
-MB_META = MB_WORDS_MV + 2 * MB_WORDS_CDC                  # 10
+MB_META = MB_WORDS_MV + 2 * MB_WORDS_CDC + 2              # 12
 MB_PAYLOAD = MB_WORDS_LUMA + 2 * MB_WORDS_CAC             # 384
 MB_WORDS = MB_META + MB_PAYLOAD
 
@@ -91,12 +94,12 @@ def decimate_keep_mask(z_zz, extra: int = 0):
 
 
 def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
-           subpel: int = 1, deblock: bool = False):
+           subpel: int = 1, deblock: bool = False, t8: bool = False):
     """One P frame; returns (packed int16 (nMB, MB_WORDS), recon planes).
     MVs are in QUARTER-pel units throughout."""
-    packed, recon_y, recon_u, recon_v, nz4, mv = _pstep_core(
+    packed, recon_y, recon_u, recon_v, nz4, mv, t8g = _pstep_core(
         cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
-        subpel=subpel)
+        subpel=subpel, t8=t8)
     if deblock:
         from ...ops import deblock as dbf
         h, w = cur_y.shape
@@ -105,18 +108,20 @@ def _pstep(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
         intra = jnp.zeros((n_mby, n_mbx), bool)
         recon_y, recon_u, recon_v = dbf.deblock_frame(
             recon_y, recon_u, recon_v, qp_mb, intra, nz4, mv,
-            tf.CHROMA_QP_FULL, no_strong=True, qp_scalar=qp)
+            tf.CHROMA_QP_FULL, no_strong=True, qp_scalar=qp,
+            t8=t8g if t8 else None)
     return packed, recon_y, recon_u, recon_v
 
 
 def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
-                subpel: int = 1, row0=0):
+                subpel: int = 1, row0=0, t8: bool = False):
     """Band-parametrized P step shared by single-chip and tile-sharded
     paths: ``cur_*`` may be a horizontal band starting at frame row
     ``row0`` against the taller full-frame references (multi-chip mesh,
     parallel.mesh.encode_pchunk_sharded). ``row0=0`` with matching shapes
     is the whole-frame case. Deblocking (frame-global) is NOT applied
-    here; returns (packed, recon bands pre-deblock, nz4 grid, mvq)."""
+    here; returns (packed, recon bands pre-deblock, nz4 grid, mvq, t8
+    grid)."""
     h, w = cur_y.shape
     n_mby, n_mbx = h // 16, w // 16
     # the Pallas search kernel is whole-frame only; a traced (band) row0
@@ -163,27 +168,34 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
                                                sr // 2 + 2, row0c)
 
     (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
-     recon_y, recon_u, recon_v, nz4) = _residual_recon(
-        cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc)
+     recon_y, recon_u, recon_v, nz4, t8g) = _residual_recon(
+        cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc, t8=t8)
     packed = jnp.concatenate([
         mv.reshape(n_mby, n_mbx, 2),
-        cb_dc, cr_dc, z_luma, cb_ac, cr_ac,
+        cb_dc, cr_dc,
+        t8g.astype(jnp.int32)[..., None],
+        jnp.zeros((n_mby, n_mbx, 1), jnp.int32),
+        z_luma, cb_ac, cr_ac,
     ], axis=-1).astype(jnp.int16).reshape(-1)
-    return packed, recon_y, recon_u, recon_v, nz4, mv
+    return packed, recon_y, recon_u, recon_v, nz4, mv, t8g
 
 
 def _residual_recon(cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
-                    decimate_extra: int = 0):
+                    decimate_extra: int = 0, t8: bool = False):
     """Inter residual: transform/quantize/reconstruct given prediction
     planes. Shared by the P step and the B step (the only difference
     between them is how the prediction is formed). Returns zig-zagged
-    level arrays, recon planes, and the nz4 grid for deblocking.
+    level arrays, recon planes, the nz4 grid for deblocking, and the
+    per-MB transform_size_8x8 grid (all-False when ``t8`` is off).
     ``decimate_extra`` raises the dead-MB threshold (non-reference B
     pictures drop marginal residuals more aggressively — nothing
-    propagates from them)."""
+    propagates from them). ``t8`` (static) enables the High-profile
+    adaptive 8x8 luma transform: both paths are computed and each MB
+    picks by rate-distortion cost (SSD + lambda2 * bits estimate)."""
     h, w = cur_y.shape
     n_mby, n_mbx = h // 16, w // 16
-    coef = tf.fdct4(tf.to_blocks4(cur_y - pred_y))
+    diff = cur_y - pred_y
+    coef = tf.fdct4(tf.to_blocks4(diff))
     z = tf.quant4(coef, qp, intra=False)
     zb = z.reshape(n_mby, 4, n_mbx, 4, 4, 4).transpose(0, 2, 1, 3, 4, 5)
     by, bx = LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]
@@ -198,6 +210,55 @@ def _residual_recon(cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
     recon_y = jnp.clip(pred_y + tf.from_blocks4(tf.idct4(tf.dequant4(z, qp))),
                        0, 255)
     z_luma = z_zz.reshape(n_mby, n_mbx, 256)
+    t8_grid = jnp.zeros((n_mby, n_mbx), bool)
+
+    if t8:
+        from ...ops import transform8 as t8ops
+        z8 = t8ops.quant8(t8ops.fdct8(t8ops.to_blocks8(diff)), qp,
+                          intra=False)              # (H/8, W/8, 8, 8)
+        scan8 = t8ops.zigzag8(z8)                   # (H/8, W/8, 64)
+        # per-MB scans (nMBy, nMBx, 4, 64), 8x8 blocks in raster order
+        scan_mb = scan8.reshape(n_mby, 2, n_mbx, 2, 64) \
+            .transpose(0, 2, 1, 3, 4).reshape(n_mby, n_mbx, 4, 64)
+        # dead-MB decimation on the 8x8 path too (16-coeff chunks of the
+        # scans keep the run structure the score models)
+        keep8 = decimate_keep_mask(
+            scan_mb.reshape(n_mby, n_mbx, 16, 16), extra=decimate_extra)
+        scan_mb = scan_mb * keep8[..., None, None]
+        z8k = t8ops.unzigzag8_jnp(
+            scan_mb.reshape(n_mby, n_mbx, 2, 2, 64)
+            .transpose(0, 2, 1, 3, 4).reshape(n_mby * 2, n_mbx * 2, 64))
+        recon8_y = jnp.clip(
+            pred_y + t8ops.from_blocks8(
+                t8ops.idct8(t8ops.dequant8(z8k, qp))), 0, 255)
+
+        # RD choice per MB: SSD + lambda2 * bits-proxy. lambda2 follows
+        # the x264 convention 0.9 * 2^((qp-12)/3); the bits proxy charges
+        # ~2*log2(|z|)+1.7 bits per nonzero level plus per-coded-block
+        # overhead (4x4 blocks carry more sig-map/cbf overhead).
+        lam2 = 0.9 * jnp.power(2.0, (qp - 12) / 3.0)
+
+        def mb_ssd(rec):
+            d = (cur_y - rec).astype(jnp.float32)
+            return (d * d).reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
+
+        def bits_proxy(levels, per_block_words: int, blk_over: float):
+            a = jnp.abs(levels.astype(jnp.float32))
+            lb = jnp.where(a > 0, 2.0 * jnp.log2(a + 1.0) + 1.7, 0.0)
+            grp = lb.reshape(n_mby, n_mbx, -1, per_block_words)
+            nzblk = jnp.any(grp > 0, axis=-1).astype(jnp.float32)
+            return grp.sum(axis=(-1, -2)) + blk_over * nzblk.sum(axis=-1)
+
+        bits4 = bits_proxy(z_zz, 16, 3.0)
+        bits8 = bits_proxy(scan_mb, 64, 6.0)
+        cost4 = mb_ssd(recon_y) + lam2 * bits4
+        cost8 = mb_ssd(recon8_y) + lam2 * bits8
+        has8 = jnp.any(scan_mb != 0, axis=(-1, -2))
+        t8_grid = (cost8 < cost4) & has8
+        t8_px = jnp.repeat(jnp.repeat(t8_grid, 16, 0), 16, 1)
+        recon_y = jnp.where(t8_px, recon8_y, recon_y)
+        z_luma = jnp.where(t8_grid[..., None],
+                           scan_mb.reshape(n_mby, n_mbx, 256), z_luma)
 
     def chroma(cur, pred):
         hc, wc = cur.shape
@@ -220,8 +281,15 @@ def _residual_recon(cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
     cr_dc, cr_ac, recon_v = chroma(cur_v, pred_v)
 
     nz4 = jnp.any(z != 0, axis=(-1, -2))        # (H/4, W/4) for deblock
+    if t8:
+        # deblock residual presence per TRANSFORM block: 8x8 nz expanded
+        # to the 4x4 grid for t8 MBs
+        nz8 = jnp.any(z8k != 0, axis=(-1, -2))  # (H/8, W/8)
+        nz8x = jnp.repeat(jnp.repeat(nz8, 2, 0), 2, 1)
+        t8_px4 = jnp.repeat(jnp.repeat(t8_grid, 4, 0), 4, 1)
+        nz4 = jnp.where(t8_px4, nz8x, nz4)
     return (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
-            recon_y, recon_u, recon_v, nz4)
+            recon_y, recon_u, recon_v, nz4, t8_grid)
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +432,7 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
     pred_v = sel_c(p0v, p1v)
 
     (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
-     recon_y, recon_u, recon_v, nz4) = _residual_recon(
+     recon_y, recon_u, recon_v, nz4, _t8g) = _residual_recon(
         cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
         decimate_extra=3)
 
@@ -389,10 +457,10 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
     }
 
 
-@functools.partial(jax.jit, static_argnums=(8, 10, 11))
+@functools.partial(jax.jit, static_argnums=(8, 10, 11, 12))
 def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
                   qp, qpc, sr: int, lam, deblock: bool = False,
-                  subpel: int = 1):
+                  subpel: int = 1, t8: bool = False):
     """Encode N consecutive P frames in one device call.
 
     ys: (N, H, W) int32; refs: (H, W) int32 (previous recon).
@@ -407,7 +475,7 @@ def encode_pchunk(ys, us, vs, ref_y, ref_u, ref_v,
         cy, cu, cv = xs
         packed, ry, ru, rv = _pstep(cy, cu, cv, ref_y, ref_u, ref_v,
                                     qp, qpc, sr, lam, subpel=subpel,
-                                    deblock=deblock)
+                                    deblock=deblock, t8=t8)
         return (ry, ru, rv), packed
 
     (ry, ru, rv), packed = jax.lax.scan(
@@ -517,7 +585,7 @@ def _sparsify_packed(packed, f: int, n_mb: int, n_mbx: int):
     meta_all = jnp.concatenate([
         arr.reshape(f * n_mb, MB_WORDS)[:, :MB_META],
         _flag_words(blkflags),                     # (F*nMB, 2): 24 bits
-        jnp.zeros((f * n_mb, 4), jnp.int16),
+        jnp.zeros((f * n_mb, 2), jnp.int16),
     ], axis=1)
     mcount, meta = _compact_rows(active, meta_all)
     bcount, payload_c = _compact_rows(blocky, payload)
@@ -525,14 +593,15 @@ def _sparsify_packed(packed, f: int, n_mb: int, n_mbx: int):
     return bitmap, counts, meta, payload_c
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11, 12))
 def encode_pchunk_sparse(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
                          h: int, w: int, deblock: bool = False,
-                         subpel: int = 1):
+                         subpel: int = 1, t8: bool = False):
     """Sparse-output variant of encode_pchunk_packed."""
     packed, ry, ru, rv = encode_pchunk_packed.__wrapped__(
-        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel)
+        buf, ref_y, ref_u, ref_v, qp, qpc, sr, lam, h, w, deblock, subpel,
+        t8)
     f = packed.shape[0]
     n_mb = (h // 16) * (w // 16)
     bitmap, counts, meta, payload = _sparsify_packed(packed, f, n_mb,
@@ -667,13 +736,13 @@ def unpack_sparse_chunk(bitmap_h: np.ndarray, meta_h: np.ndarray,
     n_mb = n_mby * n_mbx
     active = _unpack_bits(bitmap_h, n_mb)          # (F, nMB)
     metas = meta_h[:mcount]
-    blkflags = _unpack_bits(metas[:, 10:12], BLOCKS_PER_MB)
+    blkflags = _unpack_bits(metas[:, MB_META:MB_META + 2], BLOCKS_PER_MB)
     blocky = blkflags.any(axis=1)
     payloads = payload_h[:bcount]
 
     # dense per-chunk arrays, scattered from the compact streams
-    meta_d = np.zeros((f, n_mb, 10), np.int16)
-    meta_d[active] = metas[:, :10]
+    meta_d = np.zeros((f, n_mb, MB_META), np.int16)
+    meta_d[active] = metas[:, :MB_META]
     pay_d = np.zeros((f, n_mb, MB_PAYLOAD), np.int16)
     act_idx = np.nonzero(active.reshape(-1))[0]
     pay_d.reshape(-1, MB_PAYLOAD)[act_idx[blocky]] = payloads
@@ -682,7 +751,7 @@ def unpack_sparse_chunk(bitmap_h: np.ndarray, meta_h: np.ndarray,
     for i in range(f):
         m = meta_d[i]
         blk = pay_d[i]
-        out.append({
+        d = {
             "active": active[i].reshape(n_mby, n_mbx),
             "mv": m[:, :2].reshape(n_mby, n_mbx, 2).astype(np.int32),
             "cb_dc": m[:, 2:6].reshape(n_mby, n_mbx, 4),
@@ -690,15 +759,19 @@ def unpack_sparse_chunk(bitmap_h: np.ndarray, meta_h: np.ndarray,
             "luma": blk[:, :256].reshape(n_mby, n_mbx, 16, 16),
             "cb_ac": blk[:, 256:320].reshape(n_mby, n_mbx, 4, 16),
             "cr_ac": blk[:, 320:384].reshape(n_mby, n_mbx, 4, 16),
-        })
+        }
+        t8 = m[:, 10].reshape(n_mby, n_mbx).astype(bool)
+        if t8.any():
+            d["t8"] = t8
+        out.append(d)
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(6, 8, 9, 10, 11, 12))
 def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
                          qp, qpc, sr: int, lam,
                          h: int, w: int, deblock: bool = False,
-                         subpel: int = 1):
+                         subpel: int = 1, t8: bool = False):
     """encode_pchunk taking ONE packed uint8 planar buffer
     (N, h*w*3//2) — a single host→device transfer per chunk."""
     n = buf.shape[0]
@@ -708,7 +781,7 @@ def encode_pchunk_packed(buf, ref_y, ref_u, ref_v,
     us = buf[:, hw:hw + cw].reshape(n, h // 2, w // 2)
     vs = buf[:, hw + cw:].reshape(n, h // 2, w // 2)
     return encode_pchunk.__wrapped__(ys, us, vs, ref_y, ref_u, ref_v,
-                                     qp, qpc, sr, lam, deblock, subpel)
+                                     qp, qpc, sr, lam, deblock, subpel, t8)
 
 
 def pack_frames(batch: list) -> np.ndarray:
@@ -851,12 +924,12 @@ def source_tiles(yp, up, vp, h: int, w: int):
     return sy, su, sv
 
 
-@functools.partial(jax.jit, static_argnums=(10, 12, 13, 14, 15))
+@functools.partial(jax.jit, static_argnums=(10, 12, 13, 14, 15, 16))
 def encode_pchunk_delta(sy, su, sv, idx, tiles,
                         ref_y, ref_u, ref_v,
                         qp, qpc, sr: int, lam,
                         h: int, w: int, deblock: bool = False,
-                        subpel: int = 1):
+                        subpel: int = 1, t8: bool = False):
     """encode_pchunk_sparse fed by delta tiles instead of raw frames.
 
     sy/su/sv: carried MB-tiled source (previous frame, device-resident);
@@ -876,7 +949,8 @@ def encode_pchunk_delta(sy, su, sv, idx, tiles,
         cy, cu, cv = _tiled_to_planes(sy, su, sv, n_mby, n_mbx)
         packed, ry, ru, rv = _pstep(
             cy.astype(jnp.int32), cu.astype(jnp.int32), cv.astype(jnp.int32),
-            ry, ru, rv, qp, qpc, sr, lam, subpel=subpel, deblock=deblock)
+            ry, ru, rv, qp, qpc, sr, lam, subpel=subpel, deblock=deblock,
+            t8=t8)
         return (sy, su, sv, ry, ru, rv), packed
 
     (sy, su, sv, ry, ru, rv), packed = jax.lax.scan(
@@ -916,8 +990,13 @@ def unpack_frame(packed: np.ndarray, n_mby: int, n_mbx: int) -> dict:
     mv = take(2).astype(np.int32)
     cb_dc = take(4)
     cr_dc = take(4)
+    t8 = take(1)[..., 0].astype(bool)
+    take(1)                                  # pad word
     luma = take(256).reshape(n_mby, n_mbx, 16, 16)
     cb_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
     cr_ac = take(64).reshape(n_mby, n_mbx, 4, 16)
-    return {"mv": mv, "luma": luma, "cb_dc": cb_dc, "cb_ac": cb_ac,
-            "cr_dc": cr_dc, "cr_ac": cr_ac}
+    out = {"mv": mv, "luma": luma, "cb_dc": cb_dc, "cb_ac": cb_ac,
+           "cr_dc": cr_dc, "cr_ac": cr_ac}
+    if t8.any():
+        out["t8"] = t8
+    return out

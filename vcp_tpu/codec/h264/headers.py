@@ -53,6 +53,8 @@ class PicParams:
     deblocking_filter_control_present: bool = True
     cabac: bool = False            # entropy_coding_mode_flag
     num_ref_l0: int = 1            # num_ref_idx_l0_default_active
+    transform_8x8: bool = False    # PPS ext transform_8x8_mode_flag
+    weighted_pred: bool = False    # weighted_pred_flag (parse only)
 
 
 def write_sps(sp: SeqParams) -> bytes:
@@ -62,6 +64,12 @@ def write_sps(sp: SeqParams) -> bytes:
     bw.u(8, 0b11000000 if sp.profile_idc == 66 else 0)
     bw.u(8, sp.level_idc)
     bw.ue(sp.sps_id)
+    if sp.profile_idc >= 100:      # High: chroma/bit-depth/scaling fields
+        bw.ue(1)                   # chroma_format_idc 4:2:0
+        bw.ue(0)                   # bit_depth_luma_minus8
+        bw.ue(0)                   # bit_depth_chroma_minus8
+        bw.u(1, 0)                 # qpprime_y_zero_transform_bypass_flag
+        bw.u(1, 0)                 # seq_scaling_matrix_present_flag
     bw.ue(sp.log2_max_frame_num - 4)
     bw.ue(sp.poc_type)             # 2 unless B frames (then 0)
     if sp.poc_type == 0:
@@ -104,6 +112,10 @@ def write_pps(pp: PicParams) -> bytes:
     bw.u(1, 1 if pp.deblocking_filter_control_present else 0)
     bw.u(1, 0)                     # constrained_intra_pred_flag
     bw.u(1, 0)                     # redundant_pic_cnt_present_flag
+    if pp.transform_8x8:           # High-profile PPS extension
+        bw.u(1, 1)                 # transform_8x8_mode_flag
+        bw.u(1, 0)                 # pic_scaling_matrix_present_flag
+        bw.se(pp.chroma_qp_index_offset)  # second_chroma_qp_index_offset
     bw.rbsp_trailing_bits()
     return nal_unit(NAL_PPS, bw.to_bytes(), nal_ref_idc=3, long_start=True)
 
@@ -212,13 +224,25 @@ def parse_pps(rbsp: bytes) -> PicParams:
         raise ValueError("slice groups unsupported")
     num_ref_l0 = br.ue() + 1
     br.ue()
-    br.u(1)
+    weighted_pred = bool(br.u(1))
     br.u(2)
     init_qp = br.se() + 26
     br.se()
     chroma_off = br.se()
     deblock_present = bool(br.u(1))
+    constrained_intra = br.u(1)
+    if constrained_intra:
+        raise ValueError("constrained_intra_pred unsupported")
+    br.u(1)                                    # redundant_pic_cnt_present
+    transform_8x8 = False
+    if br.more_rbsp_data():                    # High-profile PPS extension
+        transform_8x8 = bool(br.u(1))
+        if br.u(1):
+            raise ValueError("pic scaling matrices unsupported")
+        br.se()                                # second_chroma_qp_index_offset
     return PicParams(pps_id=pps_id, sps_id=sps_id, init_qp=init_qp,
                      chroma_qp_index_offset=chroma_off,
                      deblocking_filter_control_present=deblock_present,
-                     cabac=cabac, num_ref_l0=num_ref_l0)
+                     cabac=cabac, num_ref_l0=num_ref_l0,
+                     transform_8x8=transform_8x8,
+                     weighted_pred=weighted_pred)

@@ -54,10 +54,10 @@ def lam_for_qp(qp: int) -> int:
 # Device step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(8, 10, 11))
+@functools.partial(jax.jit, static_argnums=(8, 10, 11, 12))
 def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                           qp, qpc, sr: int, lam, deblock: bool = False,
-                          subpel: int = 1):
+                          subpel: int = 1, t8: bool = False):
     """Single-frame P step. Thin wrapper over gop_ops._pstep (the single
     source of truth for P-frame math). MVs in quarter-pel units."""
     from . import gop_ops
@@ -68,15 +68,16 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
 
     packed, recon_y, recon_u, recon_v = gop_ops._pstep(
         y, u, v, ref_y, ref_u, ref_v, qp, qpc, sr, lam, subpel=subpel,
-        deblock=deblock)
+        deblock=deblock, t8=t8)
     arr = packed.reshape(n_mby, n_mbx, gop_ops.MB_WORDS).astype(jnp.int32)
     return {
         "mv": arr[..., :2],
         "cb_dc": arr[..., 2:6],
         "cr_dc": arr[..., 6:10],
-        "luma": arr[..., 10:266].reshape(n_mby, n_mbx, 16, 16),
-        "cb_ac": arr[..., 266:330].reshape(n_mby, n_mbx, 4, 16),
-        "cr_ac": arr[..., 330:394].reshape(n_mby, n_mbx, 4, 16),
+        "t8": arr[..., 10].astype(bool),
+        "luma": arr[..., 12:268].reshape(n_mby, n_mbx, 16, 16),
+        "cb_ac": arr[..., 268:332].reshape(n_mby, n_mbx, 4, 16),
+        "cr_ac": arr[..., 332:396].reshape(n_mby, n_mbx, 4, 16),
         "recon_y": recon_y.astype(jnp.uint8),
         "recon_u": recon_u.astype(jnp.uint8),
         "recon_v": recon_v.astype(jnp.uint8),
@@ -84,11 +85,12 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
 
 
 def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
-                  deblock: bool = False, subpel: int = 1):
+                  deblock: bool = False, subpel: int = 1,
+                  t8: bool = False):
     lam = lam_for_qp(qp)
     return _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                                  qp, qpc, search_range, lam, deblock,
-                                 subpel)
+                                 subpel, t8)
 
 
 # ---------------------------------------------------------------------------
@@ -171,9 +173,16 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     ``cabac=True`` routes to the CABAC syntax layer."""
     from ... import native
     lib = native.get_lib()
+    t8 = data.get("t8")
+    has_t8 = t8 is not None and bool(np.asarray(t8).any())
     if cabac:
         assert pp.cabac, "pp.cabac must match the slice entropy mode"
-        if lib is not None:
+        if lib is not None and hasattr(lib, "vcp_write_pslice_cabac_t8") \
+                and pp.transform_8x8:
+            return _write_pslice_cabac_native(
+                lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
+                deblock=deblock, poc_lsb=poc_lsb, t8=True)
+        if lib is not None and not has_t8 and not pp.transform_8x8:
             return _write_pslice_cabac_native(
                 lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
                 deblock=deblock, poc_lsb=poc_lsb)
@@ -181,7 +190,7 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
         return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
                                   data=data, deblock=deblock,
                                   poc_lsb=poc_lsb)
-    if lib is not None:
+    if lib is not None and not has_t8 and not pp.transform_8x8:
         return _write_pslice_native(lib, sp, pp, frame_num=frame_num,
                                     qp=qp, data=data, deblock=deblock,
                                     poc_lsb=poc_lsb)
@@ -227,7 +236,8 @@ def _write_pslice_native(lib, sp, pp, *, frame_num, qp, data,
 
 
 def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
-                               deblock=False, poc_lsb=0) -> bytes:
+                               deblock=False, poc_lsb=0,
+                               t8: bool = False) -> bytes:
     import ctypes
     from .entropy import _nal_from_rbsp_native
     n_mby, n_mbx = sp.mb_height, sp.mb_width
@@ -238,14 +248,23 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
             for k in ("luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")]
     cap = n_mby * n_mbx * 2048 + 4096
     out = np.empty(cap, np.uint8)
-    n = lib.vcp_write_pslice_cabac(
-        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
-        0 if deblock else 1,
-        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
-        _active_ptr(data),
-        mv_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    common = (n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
+              frame_num, 0 if deblock else 1,
+              sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+              _active_ptr(data))
+    tail = tuple(a.ctypes.data_as(i32p) for a in (mv_xy, *arrs)) \
+        + (out.ctypes.data_as(u8p), cap)
+    if t8:
+        t8a = data.get("t8")
+        t8a = np.ascontiguousarray(
+            t8a if t8a is not None
+            else np.zeros((n_mby, n_mbx), bool), np.uint8)
+        n = lib.vcp_write_pslice_cabac_t8(
+            *common, t8a.ctypes.data_as(u8p), *tail)
+    else:
+        n = lib.vcp_write_pslice_cabac(*common, *tail)
     if n < 0:
         raise RuntimeError("native cabac pslice buffer overflow")
     return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
@@ -268,6 +287,7 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     nz_y = NzContext(4 * n_mby, 4 * n_mbx)
     nz_cb = NzContext(2 * n_mby, 2 * n_mbx)
     nz_cr = NzContext(2 * n_mby, 2 * n_mbx)
+    t8 = data.get("t8")                     # 8x8-transform flags (or None)
     valid = np.ones((n_mby, n_mbx), bool)   # all MBs inter in this encoder
     # sparse-fetch chunks carry only ACTIVE MBs; the rest are skips whose
     # MV we re-derive here (spec 8.4.1.1 — same rule the device used to
@@ -307,13 +327,16 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
             bw.se(m[0] - pred[0])           # mvd_l0 x (mv already 1/4-pel)
             bw.se(m[1] - pred[1])
             bw.ue(CBP_INTER_TO_CODE[cbp])
+            t8f = bool(t8[mby, mbx]) if t8 is not None else False
+            if (cbp & 15) > 0 and pp.transform_8x8:
+                bw.u(1, 1 if t8f else 0)    # transform_size_8x8_flag
             if cbp:
                 bw.se(0)                    # mb_qp_delta
             _write_p_residual(bw, mbx, mby, cbp,
                               luma[mby, mbx],
                               (cb_dc[mby, mbx], cr_dc[mby, mbx]),
                               (cb_ac[mby, mbx], cr_ac[mby, mbx]),
-                              nz_y, nz_cb, nz_cr)
+                              nz_y, nz_cb, nz_cr, t8=t8f)
     if skip_run:
         bw.ue(skip_run)
     bw.rbsp_trailing_bits()
@@ -327,19 +350,37 @@ def _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby):
 
 
 def _write_p_residual(bw, mbx, mby, cbp, z_luma, chroma_dc, chroma_ac,
-                      nz_y, nz_cb, nz_cr):
+                      nz_y, nz_cb, nz_cr, t8: bool = False):
     cbp_luma = cbp & 15
     cbp_chroma = cbp >> 4
-    for blk in range(16):
-        oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
-        by, bx = 4 * mby + oy, 4 * mbx + ox
-        if cbp_luma & (1 << (blk // 4)):
-            nc = nz_y.nc(by, bx)
-            total = encode_residual_block(
-                bw, [int(x) for x in z_luma[blk]], nc)
-        else:
-            total = 0
-        nz_y.set(by, bx, total)
+    if t8:
+        # interleaved CAVLC transport: z_luma rows 4b..4b+4 hold the 8x8
+        # block's 64-scan; sub-block k = scan positions 4*i + k
+        for b8 in range(4):
+            scan64 = np.asarray(z_luma[4 * b8:4 * b8 + 4]).reshape(64)
+            subs = scan64.reshape(16, 4).T
+            for k in range(4):
+                blk = 4 * b8 + k
+                oy = int(LUMA_BLK_ORDER[blk, 0])
+                ox = int(LUMA_BLK_ORDER[blk, 1])
+                by, bx = 4 * mby + oy, 4 * mbx + ox
+                if cbp_luma & (1 << b8):
+                    total = encode_residual_block(
+                        bw, [int(x) for x in subs[k]], nz_y.nc(by, bx))
+                else:
+                    total = 0
+                nz_y.set(by, bx, total)
+    else:
+        for blk in range(16):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            if cbp_luma & (1 << (blk // 4)):
+                nc = nz_y.nc(by, bx)
+                total = encode_residual_block(
+                    bw, [int(x) for x in z_luma[blk]], nc)
+            else:
+                total = 0
+            nz_y.set(by, bx, total)
     if cbp_chroma:
         for c in range(2):
             encode_residual_block(bw, [int(x) for x in chroma_dc[c]], -1)
@@ -539,12 +580,19 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
         raise DecodeError(f"P mb_type {mb_type} unsupported")
     br = ctx["br"]
     sp = ctx["sp"]
+    pp = ctx["pp"]
     mvs, valid = ctx["mvs"], ctx["mv_valid"]
     mvd_x, mvd_y = br.se(), br.se()
     pred = mv_pred_dec(mvs, valid, mbx, mby, sp.mb_width)
     mv = (pred[0] + mvd_x, pred[1] + mvd_y)   # quarter-pel units
     code = br.ue()
     cbp = CBP_TABLE[code][1]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    t8 = False
+    if cbp_luma and pp.transform_8x8:
+        t8 = bool(br.u(1))                    # transform_size_8x8_flag
+        if "p_t8" in ctx:
+            ctx["p_t8"][mby, mbx] = t8
     if cbp:
         delta = br.se()
         if delta:
@@ -552,18 +600,38 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
             # inter QP (adaptive-quant streams) is a decode gap
             raise DecodeError("per-MB qp_delta in P slices unsupported")
 
-    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
     z_luma = ctx["p_z_luma"][mby, mbx]
     nz_y = ctx["nz_y"]
-    for blk in range(16):
-        oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
-        by, bx = 4 * mby + oy, 4 * mbx + ox
-        total = 0
-        if cbp_luma & (1 << (blk // 4)):
-            coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
-            z_luma[blk] = coeffs
-            total = int(np.count_nonzero(coeffs))
-        nz_y.nz[by, bx] = total
+    if t8:
+        # CAVLC 8x8 transport (spec 8.5.6): four interleaved 4x4 blocks
+        # per 8x8; sub-block k carries scan positions 4*i + k. Each is a
+        # normal CAVLC block at its 4x4 position (nC context included);
+        # the merged 64-scan lands in z_luma rows 4*b8..4*b8+4.
+        for b8 in range(4):
+            subs = np.zeros((4, 16), np.int64)
+            for k in range(4):
+                blk = 4 * b8 + k
+                oy = int(LUMA_BLK_ORDER[blk, 0])
+                ox = int(LUMA_BLK_ORDER[blk, 1])
+                by, bx = 4 * mby + oy, 4 * mbx + ox
+                total = 0
+                if cbp_luma & (1 << b8):
+                    coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
+                    subs[k] = coeffs
+                    total = int(np.count_nonzero(coeffs))
+                nz_y.nz[by, bx] = total
+            scan64 = subs.T.reshape(64)       # scan[4*i + k] = subs[k][i]
+            z_luma[4 * b8:4 * b8 + 4] = scan64.reshape(4, 16)
+    else:
+        for blk in range(16):
+            oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            total = 0
+            if cbp_luma & (1 << (blk // 4)):
+                coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
+                z_luma[blk] = coeffs
+                total = int(np.count_nonzero(coeffs))
+            nz_y.nz[by, bx] = total
     cdc = ctx["p_cdc"][mby, mbx]
     cac = ctx["p_cac"][mby, mbx]
     if cbp_chroma:
@@ -632,6 +700,21 @@ def recon_p_frame(ctx, ref):
         wq_flat.reshape(n_mby, n_mbx, 16, 4, 4), qp))
     res_plane = res[:, :, _BLK_GRID].transpose(0, 2, 4, 1, 3, 5) \
         .reshape(h, w)
+    t8 = ctx.get("p_t8")
+    if t8 is not None and t8.any():
+        # 8x8-transform MBs: rows 4b..4b+4 of p_z_luma are block b's
+        # 64-scan; batch-invert with the High-profile pair and overwrite
+        # those MBs' residual in the plane
+        from ...ops import transform8 as t8ops
+        sel = np.nonzero(t8)
+        scans = z[sel].reshape(-1, 4, 64)
+        blocks = t8ops.unzigzag8_np(scans)
+        r8 = t8ops.idct8_np(t8ops.dequant8_np(blocks, qp))
+        r8 = r8.reshape(-1, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4) \
+            .reshape(-1, 16, 16)
+        res_mb = res_plane.reshape(n_mby, 16, n_mbx, 16).swapaxes(1, 2)
+        res_mb[sel] = r8
+        res_plane = res_mb.swapaxes(1, 2).reshape(h, w)
     mask = np.repeat(np.repeat(inter, 16, 0), 16, 1)
     out_y = np.clip(pred + res_plane, 0, 255)
     y[mask] = out_y[mask]

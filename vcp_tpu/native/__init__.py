@@ -38,6 +38,10 @@ def _configure(lib) -> None:
     lib.vcp_write_pslice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32,
         u8p, i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+    lib.vcp_write_pslice_cabac_t8.restype = i64
+    lib.vcp_write_pslice_cabac_t8.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32, i32, i32,
+        u8p, u8p, i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
     lib.vcp_deblock_frame.restype = None
     lib.vcp_deblock_frame.argtypes = [
         i32p, i32p, i32p, i32, i32, i32p, i32p, i32p, i32p]

@@ -207,6 +207,19 @@ void cabac_slice_header(HdrWriter& bw, bool is_idr, int frame_num_bits,
 // Residual block categories (ctxBlockCat).
 enum { CAT_I16_DC = 0, CAT_I16_AC, CAT_LUMA4, CAT_CHROMA_DC, CAT_CHROMA_AC };
 
+// ctxBlockCat 5 (LumaLevel8x8): Table 9-43 sig/last ctxIdxInc per scan
+// position (frame-coded) — mirrors cabac_syntax._SIG8_MAP/_LAST8_MAP.
+const uint8_t SIG8_MAP[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+const uint8_t LAST8_MAP[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
+
 // All slice contexts, spec-initialized (9.3.1.1, Tables 9-12..9-33 via
 // tables_gen.h; cabac_init_idc=0 for P slices) in a global ctxIdx pool.
 // Named slots are POINTERS into the pool so spec context sharing (e.g.
@@ -218,6 +231,7 @@ struct H264Ctxs {
     Ctx *qp_delta[1], *cbp_l[4], *cbp_c[8];
     Ctx *mvd[2][7];                      // [comp][ctx]
     Ctx *cbf[5][4], *sig[5][15], *last[5][15], *absl[5][10];
+    Ctx *sig8[15], *last8[9], *abs8[10], *t8flag[3];  // cat 5 (8x8)
 
     H264Ctxs(int slice_qp, bool pslice) {
         const int8_t (*tab)[2] = pslice ? CTX_INIT_P0 : CTX_INIT_I;
@@ -257,6 +271,10 @@ struct H264Ctxs {
             for (int j = 0; j < 10; j++)
                 absl[c][j] = &g[227 + ABS_OFF[c] + j];
         }
+        for (int j = 0; j < 15; j++) sig8[j] = &g[402 + j];
+        for (int j = 0; j < 9; j++) last8[j] = &g[417 + j];
+        for (int j = 0; j < 10; j++) abs8[j] = &g[426 + j];
+        for (int j = 0; j < 3; j++) t8flag[j] = &g[399 + j];
     }
 };
 
@@ -268,7 +286,7 @@ const int CBLK_X[4] = {0, 1, 0, 1};
 
 struct MbState {
     int n_mby, n_mbx;
-    std::vector<uint8_t> avail, skip, intra;
+    std::vector<uint8_t> avail, skip, intra, t8;
     std::vector<int32_t> chroma_mode, cbp_luma8, cbp_chroma;
     std::vector<int32_t> absmvd;     // (n_mby, n_mbx, 2)
     std::vector<int8_t> cbf_l4;      // (4*n_mby, 4*n_mbx)
@@ -279,7 +297,8 @@ struct MbState {
     MbState(int h, int w)
         : n_mby(h), n_mbx(w),
           avail((size_t)h * w, 0), skip((size_t)h * w, 0),
-          intra((size_t)h * w, 0), chroma_mode((size_t)h * w, 0),
+          intra((size_t)h * w, 0), t8((size_t)h * w, 0),
+          chroma_mode((size_t)h * w, 0),
           cbp_luma8((size_t)4 * h * w, 0), cbp_chroma((size_t)h * w, 0),
           absmvd((size_t)2 * h * w, 0),
           cbf_l4((size_t)16 * h * w, 0), cbf_i16dc((size_t)h * w, 0),
@@ -327,6 +346,13 @@ struct MbState {
         int ca = (a && cbp_chroma[mb(mbx - 1, mby)] == 2) ? 1 : 0;
         int cb = (b && cbp_chroma[mb(mbx, mby - 1)] == 2) ? 1 : 0;
         return 4 + ca + 2 * cb;
+    }
+    int t8_ctx(int mbx, int mby) const {
+        int ca = (mbx > 0 && avail[mb(mbx - 1, mby)] &&
+                  t8[mb(mbx - 1, mby)]) ? 1 : 0;
+        int cb = (mby > 0 && avail[mb(mbx, mby - 1)] &&
+                  t8[mb(mbx, mby - 1)]) ? 1 : 0;
+        return ca + cb;
     }
     int mvd_ctx(int mbx, int mby, int comp) const {
         int s = 0;
@@ -507,10 +533,61 @@ void mb_i16_residual(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx,
     }
 }
 
-// Inter residual walk (cabac_syntax._p_residual, encode side).
+// LumaLevel8x8 block (cabac_syntax._encode_block8): Table 9-43 maps,
+// no coded_block_flag.
+void encode_block8(CabacEnc& e, H264Ctxs& cx, const int32_t* coeffs) {
+    int nz[64], total = 0;
+    for (int i = 0; i < 64; i++)
+        if (coeffs[i]) nz[total++] = i;
+    int last = nz[total - 1];
+    for (int i = 0; i < 63; i++) {
+        int sig = coeffs[i] ? 1 : 0;
+        e.encode(*cx.sig8[SIG8_MAP[i]], sig);
+        if (sig) {
+            e.encode(*cx.last8[LAST8_MAP[i]], i == last ? 1 : 0);
+            if (i == last) break;
+        }
+    }
+    int neq1 = 0, ngt1 = 0;
+    for (int j = total - 1; j >= 0; j--) {
+        int i = nz[j];
+        int32_t cv = coeffs[i];
+        int v = (cv < 0 ? -cv : cv) - 1;
+        int ctx0 = ngt1 > 0 ? 0 : (1 + neq1 < 4 ? 1 + neq1 : 4);
+        int ctx1 = 5 + (ngt1 < 4 ? ngt1 : 4);
+        int prefix = v < 14 ? v : 14;
+        for (int b = 0; b < prefix; b++)
+            e.encode(*cx.abs8[b == 0 ? ctx0 : ctx1], 1);
+        if (prefix < 14)
+            e.encode(*cx.abs8[prefix == 0 ? ctx0 : ctx1], 0);
+        else
+            write_egk(e, (uint32_t)(v - 14), 0);
+        e.bypass(cv < 0 ? 1 : 0);
+        if (v == 0) neq1++;
+        else ngt1++;
+    }
+}
+
+// Inter residual walk (cabac_syntax._p_residual, encode side). With
+// ``t8`` the luma rows 4b..4b+4 hold 8x8 block b's 64-scan.
 void p_residual(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx, int mby,
                 int cbp_l, int cbp_c, const int32_t* luma,
-                const int32_t* cdc[2], const int32_t* cac[2]) {
+                const int32_t* cdc[2], const int32_t* cac[2],
+                bool t8 = false) {
+    if (t8) {
+        for (int b8 = 0; b8 < 4; b8++) {
+            int bit = (cbp_l >> b8) & 1;
+            if (bit) encode_block8(e, cx, luma + b8 * 64);
+            // every 4x4 position of the 8x8 carries its cbf (spec
+            // 9.3.3.1.1.9 for transform-8x8 neighbors)
+            int gy = 4 * mby + 2 * (b8 / 2), gx = 4 * mbx + 2 * (b8 % 2);
+            int w4 = 4 * st.n_mbx;
+            for (int dy = 0; dy < 2; dy++)
+                for (int dx = 0; dx < 2; dx++)
+                    st.cbf_l4[(size_t)(gy + dy) * w4 + gx + dx] =
+                        (int8_t)bit;
+        }
+    } else {
     for (int blk = 0; blk < 16; blk++) {
         int b8 = blk / 4;
         if ((cbp_l >> b8) & 1)
@@ -518,6 +595,7 @@ void p_residual(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx, int mby,
                          mbx, mby, blk, false, 0);
         else
             st.set_cbf(CAT_LUMA4, mbx, mby, blk, 0, 0);
+    }
     }
     if (cbp_c) {
         for (int c = 0; c < 2; c++)
@@ -659,14 +737,15 @@ int64_t vcp_write_islice_cabac(
 // CABAC P slice. mv layout: (n_mby, n_mbx, 2) [x, y] quarter-pel, as for
 // vcp_write_pslice; ``active`` nullable, same semantics (sparse-fetch
 // skip MBs whose P_Skip MV is re-derived here).
-int64_t vcp_write_pslice_cabac(
+static int64_t write_pslice_cabac_impl(
     int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
     int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
     const uint8_t* active,
     const int32_t* mv_xy, const int32_t* luma,
     const int32_t* cb_dc, const int32_t* cb_ac,
     const int32_t* cr_dc, const int32_t* cr_ac,
-    uint8_t* out, int64_t out_cap) {
+    uint8_t* out, int64_t out_cap,
+    const uint8_t* t8, int transform_8x8) {
     HdrWriter bw;
     cabac_slice_header(bw, false, frame_num_bits, frame_num, 0, qp, init_qp,
                        deblock_idc, poc_bits, poc_lsb);
@@ -752,8 +831,14 @@ int64_t vcp_write_pslice_cabac(
                 e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
                          cbp_c == 2 ? 1 : 0);
             st.cbp_chroma[mb] = cbp_c;
+            bool t8f = t8 && t8[mb];
+            if (cbp_l > 0 && transform_8x8) {
+                e.encode(*cx.t8flag[st.t8_ctx(mbx, mby)], t8f ? 1 : 0);
+            }
+            st.t8[mb] = t8f ? 1 : 0;
             if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
-            p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac);
+            p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac,
+                       t8f);
             e.terminate(last ? 1 : 0);
         }
     }
@@ -762,6 +847,37 @@ int64_t vcp_write_pslice_cabac(
     if ((int64_t)buf.size() > out_cap) return -1;
     std::memcpy(out, buf.data(), buf.size());
     return (int64_t)buf.size();
+}
+
+int64_t vcp_write_pslice_cabac(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    const uint8_t* active,
+    const int32_t* mv_xy, const int32_t* luma,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    return write_pslice_cabac_impl(
+        n_mby, n_mbx, qp, init_qp, frame_num_bits, frame_num, deblock_idc,
+        poc_bits, poc_lsb, active, mv_xy, luma, cb_dc, cb_ac, cr_dc, cr_ac,
+        out, out_cap, nullptr, 0);
+}
+
+// High-profile variant: ``t8`` (nullable) flags transform-8x8 MBs and
+// transform_8x8_mode_flag is ON in the PPS (the flag is coded for every
+// MB with luma residual).
+int64_t vcp_write_pslice_cabac_t8(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    const uint8_t* active, const uint8_t* t8,
+    const int32_t* mv_xy, const int32_t* luma,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    return write_pslice_cabac_impl(
+        n_mby, n_mbx, qp, init_qp, frame_num_bits, frame_num, deblock_idc,
+        poc_bits, poc_lsb, active, mv_xy, luma, cb_dc, cb_ac, cr_dc, cr_ac,
+        out, out_cap, t8, 1);
 }
 
 }  // extern "C"

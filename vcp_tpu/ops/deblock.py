@@ -223,21 +223,26 @@ def _repeat_rows(block_vals, factor):
     return jnp.repeat(block_vals, factor, axis=1)
 
 
-def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp):
+def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp,
+                    t8=None):
     """Boundary strengths for all internal luma edges in one direction.
 
     intra_mb: (nMBy, nMBx) bool; nz_blk: (H/4, W/4) bool (block has
     residual); mvq: (nMBy, nMBx, 2) quarter-pel, OR — for B pictures —
     a tuple ``(mv0, mv1, use)`` with mv0/mv1 (nMBy, nMBx, 2) per-list
     quarter-pel MVs and use (nMBy, nMBx, 2) bool list-usage flags
-    (L0-only / L1-only / Bi per MB). Returns (n_edges, H/4 or W/4)
-    int32 — transposed appropriately so edge e's values run along the
-    edge.
+    (L0-only / L1-only / Bi per MB). ``t8`` (nMBy, nMBx) bool flags
+    transform_size_8x8 MBs, whose interior 4-offset edges are not
+    filtered (spec 8.7: luma edges fall on the transform-block grid).
+    Returns (n_edges, H/4 or W/4) int32 — transposed appropriately so
+    edge e's values run along the edge.
     """
     two_list = isinstance(mvq, tuple)
     if not vertical:
         intra_mb = intra_mb.T
         nz_blk = nz_blk.T
+        if t8 is not None:
+            t8 = t8.T
         if two_list:
             mvq = tuple(xp.swapaxes(a, 0, 1) for a in mvq)
         else:
@@ -273,6 +278,13 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp):
         intra_e,
         xp.where(is_mb_edge, 4, 3),
         xp.where(nz_e, 2, xp.where(mv_diff, 1, 0)))
+    if t8 is not None:
+        # interior 4-offset edges of 8x8-transform MBs are not filtered:
+        # edge j (at x = 4(j+1)) is interior-odd when (j+1) % 2 == 1,
+        # and belongs to MB column (j+1) // 4
+        t8_e = xp.repeat(xp.repeat(t8, 4, 0), 4, 1)[:, :-1]  # per edge
+        interior_odd = xp.asarray(((j + 1) % 2 == 1)[None, :])
+        bs = xp.where(t8_e & interior_odd, 0, bs)
     return bs.T.astype(xp.int32)          # (n_edges, bh)
 
 
@@ -537,7 +549,7 @@ def _wavefront_chroma_np(u, v, vthr, hthr, n_mby, n_mbx):
 
 
 def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
-                       chroma_qp_table):
+                       chroma_qp_table, t8=None):
     """Pure-NumPy deblock for the host validation decoder — same spec
     order as deblock_frame, zero XLA involvement."""
     y = np.asarray(y, np.int64)
@@ -560,10 +572,12 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
         al, be, tc = lookup_tables(bs, qp, xp=np)
         return np.stack([bs, al, be, tc]).astype(np.int64)
 
-    bs_v = compute_bs_luma(intra_mb, nz_y, mvq, True, xp=np)
+    if t8 is not None:
+        t8 = np.asarray(t8)
+    bs_v = compute_bs_luma(intra_mb, nz_y, mvq, True, xp=np, t8=t8)
     qp_v = compute_qp_edges(qp_mb, True, False, xp=np)
     vthr = grid_v(bs_v, qp_v, 4)
-    bs_h = compute_bs_luma(intra_mb, nz_y, mvq, False, xp=np)
+    bs_h = compute_bs_luma(intra_mb, nz_y, mvq, False, xp=np, t8=t8)
     qp_h = compute_qp_edges(qp_mb, False, False, xp=np)
     hthr = np.swapaxes(grid_v(bs_h, qp_h, 4), 1, 2)
 
@@ -594,7 +608,7 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
 
 
 def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
-                  no_strong: bool = False, qp_scalar=None):
+                  no_strong: bool = False, qp_scalar=None, t8=None):
     """Apply the full in-loop filter to one reconstructed frame in SPEC
     ORDER (8.7: per-MB raster, vertical edges then horizontal, each edge
     reading previously filtered samples) — realized as a skewed-diagonal
@@ -626,8 +640,8 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
     if (no_strong and qp_scalar is not None
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("VCP_PALLAS_DEBLOCK", "1") != "0"):
-        bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True)
-        bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False)
+        bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True, t8=t8)
+        bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False, t8=t8)
         return _deblock_pallas_fast(y, u, v, bs_v, bs_h, qp_scalar,
                                     chroma_qp_table, n_mby, n_mbx)
 
@@ -647,11 +661,11 @@ def deblock_frame(y, u, v, qp_mb, intra_mb, nz_y, mvq, chroma_qp_table,
         return jnp.repeat(thr, rep, axis=1)
 
     # --- luma thresholds, keyed by edge position
-    bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True)
+    bs_v = compute_bs_luma(intra_mb, nz_y, mvq, vertical=True, t8=t8)
     qp_v = compute_qp_edges(qp_mb, True, False)
     vthr = grid_v(bs_v, qp_v, 4)             # (4, H, W/4)
 
-    bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False)
+    bs_h = compute_bs_luma(intra_mb, nz_y, mvq, vertical=False, t8=t8)
     qp_h = compute_qp_edges(qp_mb, False, False)
     # horizontal: same construction, then transpose to (4, H/4, W)
     hthr = jnp.swapaxes(grid_v(bs_h, qp_h, 4), 1, 2)

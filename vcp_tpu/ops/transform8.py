@@ -223,6 +223,14 @@ def zigzag8(blocks):
     return flat[..., ZIGZAG_8x8]
 
 
+def unzigzag8_jnp(scan):
+    """(..., 64) scan-order levels → (..., 8, 8) blocks (device)."""
+    inv = np.zeros(64, np.int64)
+    inv[ZIGZAG_8x8] = np.arange(64)
+    out = scan[..., inv]
+    return out.reshape(*scan.shape[:-1], 8, 8)
+
+
 def unzigzag8_np(scan):
     """(..., 64) scan-order levels → (..., 8, 8) coefficient blocks."""
     scan = np.asarray(scan)

@@ -103,7 +103,7 @@ def encode_pchunk_sharded(mesh: Mesh, ys, us, vs, ref_y, ref_u, ref_v,
             def step(carry, xs):
                 ref_y, ref_u, ref_v = carry
                 cy, cu, cv = xs
-                packed, by, bu, bv, nz4, mv = _pstep_core(
+                packed, by, bu, bv, nz4, mv, _t8 = _pstep_core(
                     cy, cu, cv, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
                     subpel=subpel, row0=row0)
                 # recon bands -> full planes over ICI (next frame's ref)
