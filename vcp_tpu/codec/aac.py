@@ -177,8 +177,17 @@ class AacEncoder:
         return (block.T @ self.basis)                       # (ch, 1024)
 
     def _pick_scalefac(self, specs: np.ndarray) -> int:
-        """Smallest quantization error whose frame fits the bit budget."""
+        """Smallest quantization error whose frame fits the bit budget.
+        The search floor keeps max|q| inside the 8191 level range —
+        below it the quantizer clamp saturates the dominant lines
+        (audible distortion the bit budget can't see)."""
         lo, hi = 0, 255
+        maxabs = float(np.max(np.abs(specs)))
+        if maxabs > 0:
+            # (maxabs * 2^(-(sf-100)/4))^0.75 <= 8191
+            lo = max(0, int(np.ceil(
+                100 + 4 * (np.log2(maxabs) - np.log2(8191.0) * 4 / 3))))
+            lo = min(lo, 255)
         budget = self._bit_budget
         best = 255
         for _ in range(12):

@@ -78,17 +78,42 @@ def encode_pcm_track(pcm, rate: int, bitrate: int = 128000) -> m.AudioTrack:
     return track
 
 
+def reencode_aac_track(track: m.AudioTrack, bitrate: int) -> m.AudioTrack:
+    """AAC → PCM → AAC at the requested bitrate (the `-c:a aac -b:a N`
+    path over AAC sources, ref internal/config/config.go:44-48), using
+    the in-repo AAC-LC decoder (codec.aac_decode) and encoder."""
+    import numpy as np
+
+    from .aac_decode import AacDecoder
+
+    dec = AacDecoder(rate=track.sample_rate,
+                     channels=max(1, track.channels))
+    frames = [dec.decode_frame(s.data) for s in track.samples]
+    if not frames:
+        return track
+    pcm = np.concatenate(frames, axis=0)
+    pcm = np.clip(np.round(pcm), -32768, 32767).astype(np.int16)
+    return encode_pcm_track(pcm, track.sample_rate, bitrate)
+
+
 def audio_track_for(input_path: str, params) -> m.AudioTrack | None:
-    """Best audio track for the output: AAC passthrough when the input
-    already carries AAC, else AAC-LC re-encode of raw PCM (WAV)."""
+    """Best audio track for the output: AAC passthrough for `-c:a copy`
+    (or when no bitrate is requested), AAC→AAC re-encode at the target
+    bitrate otherwise, AAC-LC encode of raw PCM (WAV) sources."""
+    br = getattr(params, "audio_bitrate", 0)
     track = extract_aac_track(input_path)
     if track is not None:
+        codec = getattr(params, "audio_codec", "copy")
+        if codec == "aac" and br:
+            try:
+                return reencode_aac_track(track, br)
+            except Exception:
+                return track          # unsupported AAC tool: passthrough
         return track
     from .wav import is_wav, read_wav
     if is_wav(input_path):
         pcm, rate = read_wav(input_path)
-        br = getattr(params, "audio_bitrate", 0) or 128000
-        return encode_pcm_track(pcm, rate, br)
+        return encode_pcm_track(pcm, rate, br or 128000)
     return None
 
 
