@@ -50,6 +50,23 @@ def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0,
     return size, 10 * np.log10(255.0 ** 2 / mse)
 
 
+def encode_ours_hevc(frames, qp: int, effort: int = 6):
+    from vcp_tpu.codec.h265 import decoder as hdec
+    from vcp_tpu.codec.h265.encoder import HevcEncoder, HevcEncoderConfig
+
+    h, w = frames[0][0].shape
+    enc = HevcEncoder(HevcEncoderConfig(width=w, height=h, qp=qp,
+                                        gop_size=len(frames),
+                                        effort=effort))
+    aus = [enc.encode_frame(*f)[0] for f in frames]
+    bs = enc.headers_annexb() + b"".join(aus)
+    dec = list(hdec.decode_annexb(bs))
+    mse = np.mean([np.mean((np.asarray(d[0], float)
+                            - f[0].astype(float)) ** 2)
+                   for d, f in zip(dec, frames)])
+    return len(bs), 10 * np.log10(255.0 ** 2 / mse)
+
+
 def bd_rate(r1, p1, r2, p2):
     """Bjontegaard delta-rate of curve 2 vs curve 1 (negative = curve 2
     needs fewer bits at equal quality). r*: bitrates, p*: PSNRs."""
@@ -70,8 +87,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--qps", default="22,26,30,34,38")
     ap.add_argument("--bframes", type=int, default=0)
-    ap.add_argument("--t8", action="store_true")
+    ap.add_argument("--t8", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--effort", type=int, default=6)
+    ap.add_argument("--codec", choices=("h264", "hevc"), default="h264")
     ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))
     args = ap.parse_args(argv)
     qps = [int(q) for q in args.qps.split(",")]
@@ -84,36 +103,41 @@ def main(argv=None):
              "Committed golden clips; libx264-medium numbers from the "
              "checked-in encodes (tests/golden/meta.json). Luma PSNR.",
              ""]
+    refkey = "x264" if args.codec == "h264" else "x265"
     for name, m in meta.items():
         frames = load_clip(name)
         n = m["n"]
         ours = []
         for qp in qps:
-            size, ps = encode_ours(frames, qp, bframes=args.bframes,
-                                   t8=args.t8, effort=args.effort)
+            if args.codec == "hevc":
+                size, ps = encode_ours_hevc(frames, qp,
+                                            effort=args.effort)
+            else:
+                size, ps = encode_ours(frames, qp, bframes=args.bframes,
+                                       t8=args.t8, effort=args.effort)
             kbps = size * 8 * fps / n / 1000.0
             ours.append((kbps, ps))
             print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB",
                   flush=True)
         x264 = [(v["bytes"] * 8 * fps / n / 1000.0, v["luma_psnr"])
-                for v in m["x264"].values()]
+                for v in m[refkey].values()]
         bd = bd_rate([r for r, _ in x264], [p for _, p in x264],
                      [r for r, _ in ours], [p for _, p in ours])
-        report[name] = {"ours": ours, "x264_medium": x264,
-                        "bd_rate_vs_x264_pct": round(bd, 1)}
+        report[name] = {"ours": ours, f"{refkey}_medium": x264,
+                        f"bd_rate_vs_{refkey}_pct": round(bd, 1)}
         lines += [f"## {name}", "",
                   "| encoder | kbps | luma PSNR (dB) |", "|---|---|---|"]
         for (r, p), qp in zip(ours, qps):
             lines.append(f"| ours qp{qp} | {r:.1f} | {p:.2f} |")
-        for (r, p), crf in zip(x264, m["x264"].keys()):
-            lines.append(f"| x264-medium crf{crf} | {r:.1f} | {p:.2f} |")
+        for (r, p), crf in zip(x264, m[refkey].keys()):
+            lines.append(f"| {refkey}-medium crf{crf} | {r:.1f} | {p:.2f} |")
         lines += ["",
-                  f"**BD-rate vs libx264 medium: {bd:+.1f}%** "
+                  f"**BD-rate vs lib{refkey} medium: {bd:+.1f}%** "
                   "(positive = ours needs that many % more bits at equal "
                   "PSNR)", ""]
     with open(args.out, "w") as fh:
         fh.write("\n".join(lines))
-    print(json.dumps({k: v["bd_rate_vs_x264_pct"]
+    print(json.dumps({k: v[f"bd_rate_vs_{refkey}_pct"]
                       for k, v in report.items()}))
     return 0
 

@@ -134,3 +134,52 @@ def test_hevc_presets_dispatch(tmp_path):
         size = executor.execute(y4m, out, args)
         assert size > 0, name
         assert len(list(decode_mp4(out))) == 2, name
+
+
+def test_subpel_mvs_conformant_and_used():
+    """Quarter-pel HEVC ME: on half-pel panning content the refinement
+    must pick fractional MVs, the own decoder must reproduce the device
+    recon, and ffmpeg (when available) must agree bit-exactly."""
+    import numpy as np
+    from vcp_tpu.codec.h265 import syntax
+    from vcp_tpu.codec.h265 import decoder as hdec
+    from vcp_tpu.codec.h265.encoder import HevcEncoder, HevcEncoderConfig
+    from vcp_tpu.utils.bitstream import BitReader, emulation_remove
+    from vcp_tpu.codec.h265 import headers as hh
+
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(40 + ((xx * 5 + yy * 3) % 173), 0, 255)
+    frames = []
+    for t in range(3):
+        # 0.5 px/frame pan: odd frames sit mid-way between integer shifts
+        if t % 2 == 0:
+            y = np.roll(base, t // 2, 1)
+        else:
+            y = ((np.roll(base, t // 2, 1)
+                  + np.roll(base, t // 2 + 1, 1) + 1) // 2)
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        frames.append((y.astype(np.uint8), u, v))
+    enc = HevcEncoder(HevcEncoderConfig(width=w, height=h, qp=27,
+                                        gop_size=3))
+    aus = [enc.encode_frame(*f)[0] for f in frames]
+    bs = enc.headers_annexb() + b"".join(aus)
+    decoded = list(hdec.decode_annexb(bs))
+    assert len(decoded) == 3
+    # fractional MVs present in the last P slice
+    nal = aus[-1]
+    body = emulation_remove(nal[6:])   # skip start code + 2-byte header
+    br = BitReader(body)
+    hh.parse_slice_header(br, enc.hp, hh.NAL_TRAIL_R)
+    _, _, _, _, mv = syntax.decode_slice_data(
+        body[br.pos // 8:], enc.hp.qp + 0 if False else 27, False,
+        h // 32, w // 32)
+    assert (np.asarray(mv) % 4 != 0).any(), "no fractional MVs picked"
+    import av_oracle as O
+    if O.get_oracle() is not None:
+        theirs = O.decode_video("hevc", bs)
+        for o, t in zip(decoded, theirs):
+            np.testing.assert_array_equal(np.asarray(o[0]), t[0])
+            np.testing.assert_array_equal(np.asarray(o[1]), t[1])
+            np.testing.assert_array_equal(np.asarray(o[2]), t[2])

@@ -60,6 +60,10 @@ class EncoderConfig:
             cfg.deblock = False
         if os.environ.get("VCP_CABAC") == "0":
             cfg.cabac = False
+        # High-profile adaptive 8x8: on for the quality presets (the
+        # libx264-medium bar implies High profile), off for the speed
+        # presets where its ~20% device cost buys little
+        cfg.transform8 = cfg.cabac and params.effort >= 5
         if os.environ.get("VCP_T8"):
             cfg.transform8 = os.environ["VCP_T8"] != "0"
         if params.bframes >= 0:

@@ -369,13 +369,6 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
     mv1, p1y, mc1 = _search_mc_luma(cur_y, r1y, sr, lam, subpel)
     pby = (p0y + p1y + 1) >> 1
 
-    def mb_sad(pred):
-        d = jnp.abs(cur_y - pred)
-        return d.reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
-
-    def mv_rate(mv):
-        return (jnp.abs(mv[..., 0]) >> 1) + (jnp.abs(mv[..., 1]) >> 1) + 2
-
     # Uniform-MV candidate: the frame-dominant motion per list (median
     # over MBs, snapped to the sub-pel grid in use). Per-MB search
     # overfits noise with random small MVs that defeat B_Skip (spatial
@@ -396,16 +389,41 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
     pu1 = mc1(mv1_u)
     pub = (pu0 + pu1 + 1) >> 1
 
-    c0 = mb_sad(p0y) + lam * mv_rate(mv0)
-    c1 = mb_sad(p1y) + lam * mv_rate(mv1)
-    cbi = mb_sad(pby) + lam * (mv_rate(mv0) + mv_rate(mv1))
+    # Rate-distortion mode decision: per candidate prediction, quantize
+    # the real residual and charge SSD(recon) + lambda2 * (level-bits
+    # proxy + mv bits) — the same currency the t8 decision uses, instead
+    # of the round-2 SAD+|mv| heuristic that could not convert B modes
+    # into BD-rate on noisy content.
+    lam2 = 0.9 * jnp.power(2.0, (qp - 12) / 3.0)
+
+    def cand_cost(pred):
+        coefc = tf.fdct4(tf.to_blocks4(cur_y - pred))
+        zc = tf.quant4(coefc, qp, intra=False)
+        rec = jnp.clip(
+            pred + tf.from_blocks4(tf.idct4(tf.dequant4(zc, qp))), 0, 255)
+        d = (cur_y - rec).astype(jnp.float32)
+        dist = (d * d).reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
+        a = jnp.abs(zc.astype(jnp.float32))
+        lb = jnp.where(a > 0, 2.0 * jnp.log2(a + 1.0) + 1.7, 0.0)
+        bits = lb.reshape(n_mby, 4, n_mbx, 4, 16).sum(axis=(1, 3, 4))
+        return dist + lam2 * bits
+
+    def mv_bits(mv):
+        a = jnp.abs(mv).astype(jnp.float32)
+        return (2.0 * jnp.log2(a[..., 0] + 1.0)
+                + 2.0 * jnp.log2(a[..., 1] + 1.0) + 2.0)
+
+    c0 = cand_cost(p0y) + lam2 * (mv_bits(mv0) + 3.0)
+    c1 = cand_cost(p1y) + lam2 * (mv_bits(mv1) + 3.0)
+    cbi = cand_cost(pby) + lam2 * (mv_bits(mv0) + mv_bits(mv1) + 5.0)
     # frame-level choice of ONE uniform mode (mode uniformity across a
-    # region is what lets spatial direct skip it)
-    su0 = mb_sad(pu0)
-    sub = mb_sad(pub)
-    use_ub = jnp.sum(sub) < jnp.sum(su0)
+    # region is what lets spatial direct skip it); its mv cost ~0 since
+    # in-region mvd collapses to the median prediction / B_Skip
+    cu0 = cand_cost(pu0)
+    cub = cand_cost(pub)
+    use_ub = jnp.sum(cub) < jnp.sum(cu0)
     pu = jnp.where(use_ub, pub, pu0)
-    cu = jnp.where(use_ub, sub, su0) + lam * 2   # mvd ~0 in-region
+    cu = jnp.where(use_ub, cub, cu0) + lam2 * 1.0
 
     best_exp = jnp.minimum(cbi, jnp.minimum(c0, c1))
     pick_u = cu <= best_exp

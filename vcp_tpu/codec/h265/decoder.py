@@ -140,19 +140,29 @@ class HevcDecoder:
                 top_u[None, :] + row_u, 0, 255)
             rec_v[by * 16:by * 16 + 16] = np.clip(
                 top_v[None, :] + row_v, 0, 255)
-        return rec_y, rec_u, rec_v
+        from ...ops.deblock_hevc import deblock_frame_hevc
+        return deblock_frame_hevc(rec_y, rec_u, rec_v, qp, qpc,
+                                  intra=True, xp=np)
 
     def _recon_inter(self, ly, lu, lv, mv, qp, qpc):
+        # mv is QUARTER-pel (dy, dx)
+        from .frame_ops import mc_chroma_q_np, mc_luma_q_np
         ref_y, ref_u, ref_v = self.recon
-        pred_y = mc_luma_np(ref_y, mv)
-        pred_u = mc_chroma_np(ref_u, mv)
-        pred_v = mc_chroma_np(ref_v, mv)
+        pred_y = mc_luma_q_np(ref_y, mv)
+        pred_u = mc_chroma_q_np(ref_u, mv)
+        pred_v = mc_chroma_q_np(ref_v, mv)
         res_y = _blocks_to_plane(th.inv_np(th.dequant_np(ly, qp, 5), 5))
         res_u = _blocks_to_plane(th.inv_np(th.dequant_np(lu, qpc, 4), 4))
         res_v = _blocks_to_plane(th.inv_np(th.dequant_np(lv, qpc, 4), 4))
-        return (np.clip(pred_y + res_y, 0, 255),
-                np.clip(pred_u + res_u, 0, 255),
-                np.clip(pred_v + res_v, 0, 255))
+        rec_y = np.clip(pred_y + res_y, 0, 255)
+        rec_u = np.clip(pred_u + res_u, 0, 255)
+        rec_v = np.clip(pred_v + res_v, 0, 255)
+        from ...ops.deblock_hevc import deblock_frame_hevc
+        nby, nbx = rec_y.shape[0] // 32, rec_y.shape[1] // 32
+        nz32 = np.any(np.asarray(ly) != 0, axis=(-1, -2)).reshape(nby, nbx)
+        return deblock_frame_hevc(rec_y, rec_u, rec_v, qp, qpc,
+                                  intra=False, nz32=nz32,
+                                  mv=np.asarray(mv), xp=np)
 
 
 def decode_mp4(path: str):

@@ -42,6 +42,26 @@ LOG2_CTU = 5
 _TAPS0 = (0, 64, 0, 0)
 _TAPS4 = (-4, 36, 36, -4)
 
+# normative luma 8-tap interpolation filters per quarter phase
+# (spec 8.5.4.2.2.1, Table 8-10) and chroma 4-tap per 1/8 phase
+# (Table 8-11).
+LUMA_TAPS = (
+    (0, 0, 0, 64, 0, 0, 0, 0),
+    (-1, 4, -10, 58, 17, -5, 1, 0),
+    (-1, 4, -11, 40, 40, -11, 4, -1),
+    (0, 1, -5, 17, 58, -10, 4, -1),
+)
+CHROMA_TAPS = (
+    (0, 64, 0, 0),
+    (-2, 58, 10, -2),
+    (-4, 54, 16, -2),
+    (-6, 46, 28, -4),
+    (-4, 36, 36, -4),
+    (-4, 28, 46, -6),
+    (-2, 16, 54, -4),
+    (-2, 10, 58, -2),
+)
+
 
 def _tq(res, qp: int, log2: int, intra: bool):
     """Transform+quant+recon for batched residual blocks.
@@ -54,6 +74,15 @@ def _tq(res, qp: int, log2: int, intra: bool):
 
 @functools.partial(jax.jit, static_argnames=("qp", "qpc"))
 def encode_iframe(y, u, v, qp: int, qpc: int):
+    out = _encode_iframe_core(y, u, v, qp, qpc)
+    from ...ops.deblock_hevc import deblock_frame_hevc
+    ry, ru, rv = deblock_frame_hevc(out["recon_y"], out["recon_u"],
+                                    out["recon_v"], qp, qpc, intra=True)
+    out["recon_y"], out["recon_u"], out["recon_v"] = ry, ru, rv
+    return out
+
+
+def _encode_iframe_core(y, u, v, qp: int, qpc: int):
     """Intra frame. Planes are int32, padded to CTU multiples.
     Returns dict with levels (int16) and recon planes (int32)."""
     h, w = y.shape
@@ -200,16 +229,137 @@ def _mc_chroma(ref_c, mv, sr: int):
     return (acc + 2048) >> 12
 
 
+def _luma_frac_planes(ref, pad: int):
+    """Edge-padded ref → dict[(fy, fx)] of CLIPPED 8-bit fractional
+    planes at origin offset ``pad`` (spec 8.5.4.2.2.1: 14-bit separable
+    intermediates, horizontal pass first, final (v + 32) >> 6)."""
+    rp = jnp.pad(ref, pad, mode="edge").astype(jnp.int32)
+
+    def conv(a, taps, axis):
+        acc = jnp.zeros_like(a[3:-4] if axis == 0 else a[:, 3:-4])
+        for i, t in enumerate(taps):
+            if t == 0:
+                continue
+            sl = (slice(i, a.shape[0] - 7 + i) if axis == 0
+                  else (slice(None), slice(i, a.shape[1] - 7 + i)))
+            acc = acc + t * a[sl]
+        return acc
+
+    planes = {(0, 0): rp[3:-4, 3:-4]}
+    hmid = {}
+    for fx in (1, 2, 3):
+        hv = conv(rp, LUMA_TAPS[fx], axis=1)       # (Hp, W') 14-bit
+        hmid[fx] = hv
+        planes[(0, fx)] = jnp.clip((hv[3:-4] + 32) >> 6, 0, 255)
+    for fy in (1, 2, 3):
+        vv = conv(rp, LUMA_TAPS[fy], axis=0)
+        planes[(fy, 0)] = jnp.clip((vv[:, 3:-4] + 32) >> 6, 0, 255)
+        for fx in (1, 2, 3):
+            bv = conv(hmid[fx], LUMA_TAPS[fy], axis=0) >> 6
+            planes[(fy, fx)] = jnp.clip((bv + 32) >> 6, 0, 255)
+    return planes
+
+
+def _mc_luma_q(planes, mvq, pad: int):
+    """Quarter-pel luma MC: per-CTU select-accumulate over the 16
+    fractional planes. All planes share shape (H + 2*pad - 7,
+    W + 2*pad - 7) with the frame origin at offset pad - 3."""
+    po = pad - 3
+    p00 = planes[(0, 0)]
+    hp = p00.shape[0] - (2 * pad - 7)
+    wp = p00.shape[1] - (2 * pad - 7)
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, CTU, 0), CTU, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, CTU, 0), CTU, 1)
+    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, CTU, 0), CTU, 1)
+    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, CTU, 0), CTU, 1)
+    rows = jnp.arange(hp)[:, None] + iy + po
+    cols = jnp.arange(wp)[None, :] + ix + po
+    acc = jnp.zeros((hp, wp), jnp.int32)
+    for (py, px), pl in planes.items():
+        m = (fy == py) & (fx == px)
+        acc = acc + jnp.where(m, pl[rows, cols], 0)
+    return acc
+
+
+def _mc_chroma_q(ref_c, mvq, pad: int):
+    """1/8-pel chroma MC with the normative 4-tap filters (chroma MV =
+    luma quarter-pel MV; phase = mv & 7 on the chroma grid)."""
+    hc, wc = ref_c.shape
+    rp = jnp.pad(ref_c, pad, mode="edge").astype(jnp.int32)
+    c = CTU // 2
+    dyi = jnp.repeat(jnp.repeat(mvq[..., 0] >> 3, c, 0), c, 1)
+    dxi = jnp.repeat(jnp.repeat(mvq[..., 1] >> 3, c, 0), c, 1)
+    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 7, c, 0), c, 1)
+    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 7, c, 0), c, 1)
+    rows = jnp.arange(hc)[:, None] + dyi + pad
+    cols = jnp.arange(wc)[None, :] + dxi + pad
+    taps = jnp.asarray(CHROMA_TAPS, jnp.int32)      # (8 phases, 4)
+    wy = taps[fy]                                   # (hc, wc, 4)
+    wx = taps[fx]
+    # horizontal 4-tap at 4 rows, then vertical combine; 14-bit rule
+    # collapses to the combined (acc + 2048) >> 12 for 8-bit inputs
+    acc = jnp.zeros((hc, wc), jnp.int32)
+    for i in range(4):
+        row_acc = jnp.zeros((hc, wc), jnp.int32)
+        for j in range(4):
+            row_acc = row_acc + wx[..., j] * rp[rows + (i - 1),
+                                                cols + (j - 1)]
+        acc = acc + wy[..., i] * row_acc
+    return (acc + 2048) >> 12
+
+
+def _refine_subpel(cur, planes, mv_full, pad: int, lam):
+    """Half- then quarter-pel refinement around the full-pel winner,
+    per-CTU SAD over the fractional planes. Returns quarter-pel MVs."""
+    h, w = cur.shape
+    nby, nbx = h // CTU, w // CTU
+    cur_b = cur.reshape(nby, CTU, nbx, CTU)
+
+    def sad_of(mvq):
+        pred = _mc_luma_q(planes, mvq, pad)
+        return jnp.abs(cur_b - pred.reshape(nby, CTU, nbx, CTU)
+                       ).sum(axis=(1, 3))
+
+    def stage(mvq, step):
+        best = sad_of(mvq)
+        out = mvq
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dy == 0 and dx == 0:
+                    continue
+                cand = mvq + jnp.asarray([dy, dx], jnp.int32)
+                s = sad_of(cand) + lam
+                better = s < best
+                best = jnp.where(better, s, best)
+                out = jnp.where(better[..., None], cand, out)
+        return out
+
+    mvq = mv_full * 4
+    mvq = stage(mvq, 2)
+    return stage(mvq, 1)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("qp", "qpc", "sr", "lam"))
+                   static_argnames=("qp", "qpc", "sr", "lam", "subpel"))
 def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp: int, qpc: int,
-                  sr: int, lam: int):
-    """Inter (P) frame: one 32x32 2Nx2N PU per CTU, full-pel MVs."""
+                  sr: int, lam: int, subpel: bool = True):
+    """Inter (P) frame: one 32x32 2Nx2N PU per CTU; quarter-pel MVs
+    (full-pel search + half/quarter refinement over the normative 8-tap
+    planes) when ``subpel``; ``mv`` in the output is QUARTER-pel."""
     h, w = y.shape
-    mv = _search_fullpel(y, ref_y, sr, lam)
-    pred_y = _mc_luma(ref_y, mv, sr)
-    pred_u = _mc_chroma(ref_u, mv, sr)
-    pred_v = _mc_chroma(ref_v, mv, sr)
+    mv_full = _search_fullpel(y, ref_y, sr, lam)
+    if subpel:
+        pad = sr + 4
+        planes = _luma_frac_planes(ref_y, pad)
+        mv = _refine_subpel(y, planes, mv_full, pad, lam)
+        pred_y = _mc_luma_q(planes, mv, pad)
+        pred_u = _mc_chroma_q(ref_u, mv, sr // 2 + 2)
+        pred_v = _mc_chroma_q(ref_v, mv, sr // 2 + 2)
+    else:
+        mv = mv_full * 4
+        pred_y = _mc_luma(ref_y, mv_full, sr)
+        pred_u = _mc_chroma(ref_u, mv_full, sr)
+        pred_v = _mc_chroma(ref_v, mv_full, sr)
 
     zy, rry = _tq(th.to_blocks(y - pred_y, 32), qp, 5, False)
     zu, rru = _tq(th.to_blocks(u - pred_u, 16), qpc, 4, False)
@@ -217,6 +367,11 @@ def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp: int, qpc: int,
     rec_y = jnp.clip(pred_y + th.from_blocks(rry), 0, 255)
     rec_u = jnp.clip(pred_u + th.from_blocks(rru), 0, 255)
     rec_v = jnp.clip(pred_v + th.from_blocks(rrv), 0, 255)
+    from ...ops.deblock_hevc import deblock_frame_hevc
+    nby, nbx = h // CTU, w // CTU
+    nz32 = jnp.any(zy != 0, axis=(-1, -2)).reshape(nby, nbx)
+    rec_y, rec_u, rec_v = deblock_frame_hevc(
+        rec_y, rec_u, rec_v, qp, qpc, intra=False, nz32=nz32, mv=mv)
     return {
         "mv": mv,
         "levels_y": zy.astype(jnp.int16),
@@ -259,4 +414,75 @@ def mc_chroma_np(ref_c: np.ndarray, mv: np.ndarray) -> np.ndarray:
             wx = np.where(fx == 1, _TAPS4[j], _TAPS0[j])
             cj = np.clip(cols + (j - 1), 0, wc - 1)
             acc += wy * wx * ref_c[ri, cj]
+    return ((acc + 2048) >> 12).astype(np.int32)
+
+
+def mc_luma_q_np(ref: np.ndarray, mvq: np.ndarray) -> np.ndarray:
+    """NumPy twin of the quarter-pel luma MC (plane construction +
+    per-CTU select), bit-exact with _mc_luma_q over _luma_frac_planes."""
+    h, w = ref.shape
+    pad = int(np.abs(mvq).max() // 4) + 5
+    rp = np.pad(ref, pad, mode="edge").astype(np.int64)
+
+    def conv(a, taps, axis):
+        n = a.shape[axis] - 7
+        acc = np.zeros((n, a.shape[1]) if axis == 0
+                       else (a.shape[0], n), np.int64)
+        for i, t in enumerate(taps):
+            if t == 0:
+                continue
+            sl = (slice(i, i + n) if axis == 0
+                  else (slice(None), slice(i, i + n)))
+            acc += t * a[sl]
+        return acc
+
+    planes = {(0, 0): rp[3:-4, 3:-4]}
+    hmid = {}
+    for fx in (1, 2, 3):
+        hv = conv(rp, LUMA_TAPS[fx], axis=1)
+        hmid[fx] = hv
+        planes[(0, fx)] = np.clip((hv[3:-4] + 32) >> 6, 0, 255)
+    for fy in (1, 2, 3):
+        vv = conv(rp, LUMA_TAPS[fy], axis=0)
+        planes[(fy, 0)] = np.clip((vv[:, 3:-4] + 32) >> 6, 0, 255)
+        for fx in (1, 2, 3):
+            bv = conv(hmid[fx], LUMA_TAPS[fy], axis=0) >> 6
+            planes[(fy, fx)] = np.clip((bv + 32) >> 6, 0, 255)
+
+    po = pad - 3
+    iy = np.repeat(np.repeat(mvq[..., 0] >> 2, CTU, 0), CTU, 1)
+    ix = np.repeat(np.repeat(mvq[..., 1] >> 2, CTU, 0), CTU, 1)
+    fy = np.repeat(np.repeat(mvq[..., 0] & 3, CTU, 0), CTU, 1)
+    fx = np.repeat(np.repeat(mvq[..., 1] & 3, CTU, 0), CTU, 1)
+    rows = np.arange(h)[:, None] + iy + po
+    cols = np.arange(w)[None, :] + ix + po
+    out = np.zeros((h, w), np.int64)
+    for (py, px), pl in planes.items():
+        m = (fy == py) & (fx == px)
+        if m.any():
+            out[m] = pl[rows[m], cols[m]]
+    return out.astype(np.int32)
+
+
+def mc_chroma_q_np(ref_c: np.ndarray, mvq: np.ndarray) -> np.ndarray:
+    """NumPy twin of _mc_chroma_q (1/8-pel 4-tap chroma MC)."""
+    hc, wc = ref_c.shape
+    pad = int(np.abs(mvq).max() // 8) + 3
+    rp = np.pad(ref_c, pad, mode="edge").astype(np.int64)
+    c = CTU // 2
+    dyi = np.repeat(np.repeat(mvq[..., 0] >> 3, c, 0), c, 1)
+    dxi = np.repeat(np.repeat(mvq[..., 1] >> 3, c, 0), c, 1)
+    fy = np.repeat(np.repeat(mvq[..., 0] & 7, c, 0), c, 1)
+    fx = np.repeat(np.repeat(mvq[..., 1] & 7, c, 0), c, 1)
+    rows = np.arange(hc)[:, None] + dyi + pad
+    cols = np.arange(wc)[None, :] + dxi + pad
+    taps = np.asarray(CHROMA_TAPS, np.int64)
+    wy = taps[fy]
+    wx = taps[fx]
+    acc = np.zeros((hc, wc), np.int64)
+    for i in range(4):
+        row_acc = np.zeros((hc, wc), np.int64)
+        for j in range(4):
+            row_acc += wx[..., j] * rp[rows + (i - 1), cols + (j - 1)]
+        acc += wy[..., i] * row_acc
     return ((acc + 2048) >> 12).astype(np.int32)

@@ -176,7 +176,9 @@ def write_pps(p: HevcParams) -> bytes:
     bw.u(1, 1)                       # pps_loop_filter_across_slices_enabled
     bw.u(1, 1)                       # deblocking_filter_control_present
     bw.u(1, 0)                       # deblocking_filter_override_enabled
-    bw.u(1, 1)                       # pps_deblocking_filter_disabled_flag
+    bw.u(1, 0)                       # pps_deblocking_filter_disabled_flag
+    bw.se(0)                         # pps_beta_offset_div2
+    bw.se(0)                         # pps_tc_offset_div2
     bw.u(1, 0)                       # pps_scaling_list_data_present_flag
     bw.u(1, 0)                       # lists_modification_present_flag
     bw.ue(0)                         # log2_parallel_merge_level_minus2
@@ -255,7 +257,9 @@ def write_slice_header(bw: BitWriter, p: HevcParams, *, is_idr: bool,
         bw.ue(4)                     # five_minus_max_num_merge_cand (=1)
     qp = slice_qp if slice_qp is not None else p.qp
     bw.se(qp - p.qp)                 # slice_qp_delta (vs pps init_qp)
-    # deblock disabled in PPS, override off; no SAO, no extensions
+    # deblock ON in PPS (no override): with loop_filter_across_slices
+    # enabled and the filter active, the slice flag is present
+    bw.u(1, 1)                       # slice_loop_filter_across_slices
     bw.u(1, 1)                       # alignment_bit_equal_to_one
     bw.byte_align(0)
 
@@ -281,6 +285,7 @@ def parse_slice_header(br, p: HevcParams, nal_type: int):
         br.u(1)                      # num_ref_idx_active_override_flag
         br.ue()                      # five_minus_max_num_merge_cand
     slice_qp = p.qp + br.se()
+    br.u(1)                          # slice_loop_filter_across_slices
     br.u(1)                          # alignment bit
     br.byte_align()
     return slice_type, slice_qp, poc_lsb

@@ -126,8 +126,8 @@ def _decode_mvd(dec: CabacDecoder, cx: HevcContexts):
 def encode_slice_data(slice_qp: int, is_idr: bool, levels_y, levels_u,
                       levels_v, mv=None) -> bytes:
     """CABAC payload for one single-slice frame. levels_* are
-    (nby, nbx, N, N) int arrays; mv is (nby, nbx, 2) full-pel (dy, dx)
-    for P slices."""
+    (nby, nbx, N, N) int arrays; mv is (nby, nbx, 2) QUARTER-pel
+    (dy, dx) for P slices."""
     nby, nbx = levels_y.shape[:2]
     enc = CabacEncoder()
     cx = HevcContexts(slice_qp, init_type=0 if is_idr else 1)
@@ -171,9 +171,9 @@ def encode_slice_data(slice_qp: int, is_idr: bool, levels_y, levels_u,
                 enc.encode(cx["pred_mode", 0], 0)   # inter
                 enc.encode(cx["part_mode", 0], 1)   # 2Nx2N
                 enc.encode(cx["merge_flag", 0], 0)
-                # quarter-pel MV as (x, y); device mv is full-pel (dy,dx)
-                mx = int(mv[by, bx, 1]) * 4
-                my = int(mv[by, bx, 0]) * 4
+                # quarter-pel MV as (x, y); device mv is quarter (dy,dx)
+                mx = int(mv[by, bx, 1])
+                my = int(mv[by, bx, 0])
                 cands = amvp_candidates(mvq, by, bx, nbx)
                 costs = [abs(mx - c[0]) + abs(my - c[1]) for c in cands]
                 flag = 1 if costs[1] < costs[0] else 0
@@ -259,9 +259,7 @@ def decode_slice_data(data: bytes, slice_qp: int, is_idr: bool,
                 mx = cands[flag][0] + dx
                 my = cands[flag][1] + dy
                 mvq[by, bx] = (mx, my)
-                assert mx % 4 == 0 and my % 4 == 0, \
-                    "this engine emits full-pel MVs only"
-                mv[by, bx] = (my // 4, mx // 4)
+                mv[by, bx] = (my, mx)           # quarter-pel (dy, dx)
                 if dec.decode(cx["rqt_root_cbf", 0]):
                     cbf_u = dec.decode(cx["cbf_chroma", 0])
                     cbf_v = dec.decode(cx["cbf_chroma", 0])
