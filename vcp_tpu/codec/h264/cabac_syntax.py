@@ -125,6 +125,8 @@ class MbState:
         self.skip = np.zeros((n_mby, n_mbx), bool)
         self.intra = np.zeros((n_mby, n_mbx), bool)
         self.t8 = np.zeros((n_mby, n_mbx), bool)   # transform_size_8x8
+        self.i_nxn = np.zeros((n_mby, n_mbx), bool)  # I_NxN mb_type
+        self.last_qp_delta = 0
         self.chroma_mode = np.zeros((n_mby, n_mbx), np.int32)
         self.cbp_luma8 = np.zeros((2 * n_mby, 2 * n_mbx), np.int32)
         self.cbp_chroma = np.zeros((n_mby, n_mbx), np.int32)
@@ -145,12 +147,13 @@ class MbState:
 
     def mbt_i_ctx(self, mbx, mby):
         a, b = self._nb(mbx, mby)
-        # condTerm = 1 when neighbor exists and is not I_4x4 (ours never
-        # are); unavailable -> 0
+        # condTerm = 1 when neighbor exists, is intra and not I_NxN
         ca = 1 if (a and self.avail[a[1], a[0]]
-                   and self.intra[a[1], a[0]]) else 0
+                   and self.intra[a[1], a[0]]
+                   and not self.i_nxn[a[1], a[0]]) else 0
         cb = 1 if (b and self.avail[b[1], b[0]]
-                   and self.intra[b[1], b[0]]) else 0
+                   and self.intra[b[1], b[0]]
+                   and not self.i_nxn[b[1], b[0]]) else 0
         return ca + cb
 
     def skip_ctx(self, mbx, mby):
@@ -450,6 +453,38 @@ def _encode_mb_i16(enc, cx, st, mbx, mby, pred_mode, chroma_mode,
     st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = \
         1 if cbp_luma15 else 0
     st.cbp_chroma[mby, mbx] = cbp_chroma
+
+
+def _decode_qp_delta(dec, cx, st) -> int:
+    """mb_qp_delta (9.3.2.7 + 9.3.3.1.1.5): unary bins, ctx 60+last!=0,
+    61, 62...; code k → (-1)^(k+1) * ceil(k/2)."""
+    b0 = 1 if getattr(st, "last_qp_delta", 0) != 0 else 0
+    k = 0
+    if dec.decode(cx.g[60 + b0]):
+        k = 1
+        if dec.decode(cx.g[62]):
+            k = 2
+            while dec.decode(cx.g[63]):
+                k += 1
+    st.last_qp_delta = k
+    if k == 0:
+        return 0
+    return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _decode_intra_nxn_modes(dec, cx, n_blocks: int):
+    """prev_intra_pred_mode_flag (ctx 68) + rem (3 bypass-free bins,
+    ctx 69) per block; returns list of (prev_flag, rem or None)."""
+    out = []
+    for _ in range(n_blocks):
+        if dec.decode(cx.g[68]):
+            out.append(None)                # use predicted mode
+        else:
+            rem = (dec.decode(cx.g[69])
+                   | (dec.decode(cx.g[69]) << 1)
+                   | (dec.decode(cx.g[69]) << 2))
+            out.append(rem)
+    return out
 
 
 def _decode_mb_i16(dec, cx, st, mbx, mby):
@@ -773,26 +808,166 @@ def _p_residual(ed, cx, st, mbx, mby, *, encode, cbp_l, cbp_c,
 # Slice parsers (decoder side)
 # ---------------------------------------------------------------------------
 
-def parse_islice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int):
-    """Parse an I-slice CABAC payload. Returns rows of parsed-MB dicts
-    compatible with H264Decoder's recon path, plus the luma-nz grid for
-    deblocking."""
+def _decode_chroma_mode(dec, cx, st, mbx, mby) -> int:
+    cm_ctx = st.chroma_mode_ctx(mbx, mby)
+    chroma_mode = 0
+    if dec.decode(cx["chroma_mode", cm_ctx]):
+        chroma_mode = 1
+        while chroma_mode < 3 and dec.decode(cx["chroma_mode", 3]):
+            chroma_mode += 1
+    return chroma_mode
+
+
+def _decode_cbp(dec, cx, st, mbx, mby) -> int:
+    cbp_l = 0
+    for b8 in range(4):
+        bit = dec.decode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)])
+        cbp_l |= bit << b8
+        st.cbp_luma8[2 * mby + b8 // 2, 2 * mbx + b8 % 2] = bit
+    cbp_c = 0
+    if dec.decode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)]):
+        cbp_c = 2 if dec.decode(
+            cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
+    st.cbp_chroma[mby, mbx] = cbp_c
+    return cbp_l | (cbp_c << 4)
+
+
+def _parse_i_nxn(dec, cx, st, mbx, mby, i4g, transform_8x8: bool):
+    """I_NxN macroblock after the mb_type prefix bin: transform flag,
+    per-block intra modes (predicted against the 4x4 mode grid ``i4g``),
+    chroma mode, CBP, residuals. Returns the parsed dict (qp filled by
+    the caller)."""
+    st.intra[mby, mbx] = True
+    st.i_nxn[mby, mbx] = True
+    t8f = False
+    if transform_8x8:
+        t8f = bool(dec.decode(cx["t8flag", st.t8_ctx(mbx, mby)]))
+    st.t8[mby, mbx] = t8f
+    raw = _decode_intra_nxn_modes(dec, cx, 4 if t8f else 16)
+    modes = np.zeros(16, np.int8)
+    if t8f:
+        for b8 in range(4):
+            oy, ox = 2 * (b8 // 2), 2 * (b8 % 2)
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            if bx == 0 or by == 0:
+                # spec 8.3.1.1: an UNAVAILABLE neighbor forces DC
+                pred = 2
+            else:
+                a = i4g[by, bx - 1]   # -1 = decoded but not I_NxN -> DC
+                b = i4g[by - 1, bx]
+                pred = min(a if a >= 0 else 2, b if b >= 0 else 2)
+            rem = raw[b8]
+            mode = pred if rem is None else (rem if rem < pred else rem + 1)
+            modes[4 * b8:4 * b8 + 4] = mode
+            i4g[by:by + 2, bx:bx + 2] = mode
+    else:
+        for blk in range(16):
+            oy = int(LUMA_BLK_ORDER[blk, 0])
+            ox = int(LUMA_BLK_ORDER[blk, 1])
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            if bx == 0 or by == 0:
+                pred = 2             # unavailable neighbor -> DC (8.3.1.1)
+            else:
+                a = i4g[by, bx - 1]
+                b = i4g[by - 1, bx]
+                pred = min(a if a >= 0 else 2, b if b >= 0 else 2)
+            rem = raw[blk]
+            mode = pred if rem is None else (rem if rem < pred else rem + 1)
+            modes[blk] = mode
+            i4g[by, bx] = mode
+    chroma_mode = _decode_chroma_mode(dec, cx, st, mbx, mby)
+    st.chroma_mode[mby, mbx] = chroma_mode
+    cbp = _decode_cbp(dec, cx, st, mbx, mby)
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    if cbp:
+        delta = _decode_qp_delta(dec, cx, st)
+    else:
+        delta = 0
+        st.last_qp_delta = 0     # inferred mb_qp_delta = 0 (9.3.3.1.1.5)
+
+    luma = np.zeros((16, 16), np.int32)
+    if t8f:
+        for b8 in range(4):
+            bit = (cbp_l >> b8) & 1
+            if bit:
+                luma[4 * b8:4 * b8 + 4] = \
+                    _decode_block8(dec, cx).reshape(4, 16)
+            gy, gx = 4 * mby + 2 * (b8 // 2), 4 * mbx + 2 * (b8 % 2)
+            st.cbf_l4[gy:gy + 2, gx:gx + 2] = bit
+    else:
+        for blk in range(16):
+            b8 = blk // 4
+            if (cbp_l >> b8) & 1:
+                luma[blk] = _decode_block(dec, cx, st, 16, CAT_LUMA4,
+                                          mbx, mby, blk, True)
+            else:
+                st.set_cbf(CAT_LUMA4, mbx, mby, blk, 0)
+    cdc = np.zeros((2, 4), np.int32)
+    cac = np.zeros((2, 4, 16), np.int32)
+    if cbp_c:
+        for c in range(2):
+            cdc[c] = _decode_block(dec, cx, st, 4, CAT_CHROMA_DC,
+                                   mbx, mby, 0, True, c)
+    else:
+        for c in range(2):
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c)
+    for c in range(2):
+        for blk in range(4):
+            if cbp_c == 2:
+                cac[c, blk, 1:] = _decode_block(dec, cx, st, 15,
+                                                CAT_CHROMA_AC, mbx, mby,
+                                                blk, True, c)
+            else:
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c)
+    return dict(kind="i8" if t8f else "i4", modes=modes, luma=luma,
+                chroma_mode=chroma_mode, cdc=cdc, cac=cac), delta
+
+
+def parse_islice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
+                       transform_8x8: bool = False):
+    """Parse an I-slice CABAC payload: I_16x16 and I_NxN (4x4/8x8)
+    macroblocks with per-MB mb_qp_delta. Returns rows of parsed-MB
+    dicts compatible with H264Decoder's recon path, plus the MbState
+    (cbf grids double as the deblock nz source)."""
     dec = CabacDecoder(payload)
     cx = H264CabacContexts(qp)
     st = MbState(n_mby, n_mbx)
     rows = [[None] * n_mbx for _ in range(n_mby)]
+    i4g = np.full((4 * n_mby, 4 * n_mbx), -1, np.int8)
+    cur_qp = qp
     for mby in range(n_mby):
         for mbx in range(n_mbx):
-            pred_mode, chroma_mode, cbp_l15, cbp_c = _decode_mb_i16(
-                dec, cx, st, mbx, mby)
-            if dec.decode(cx["qp_delta", 0]):
-                raise ValueError("mb_qp_delta != 0 unsupported")
-            dc_zz, ac, cdc, cac = _mb_i16_residual(
-                dec, cx, st, mbx, mby, encode=False,
-                cbp_luma15=cbp_l15, cbp_chroma=cbp_c)
-            rows[mby][mbx] = dict(pred_mode=pred_mode,
-                                  chroma_mode=chroma_mode,
-                                  dc_zz=dc_zz, ac=ac, cdc=cdc, cac=cac)
+            b0 = st.mbt_i_ctx(mbx, mby)
+            if dec.decode(cx["mbt_i", b0]) == 0:
+                parsed, delta = _parse_i_nxn(dec, cx, st, mbx, mby, i4g,
+                                             transform_8x8)
+                cur_qp = (cur_qp + delta + 52) % 52
+                parsed["qp"] = cur_qp
+            else:
+                if dec.decode_terminate():
+                    raise ValueError("I_PCM unsupported in CABAC slices")
+                cbp_l15 = dec.decode(cx["mbt_i_tail", 0])
+                cbp_c = 0
+                if dec.decode(cx["mbt_i_tail", 1]):
+                    cbp_c = 2 if dec.decode(cx["mbt_i_tail", 2]) else 1
+                pred_mode = (dec.decode(cx["mbt_i_tail", 3]) << 1) | \
+                    dec.decode(cx["mbt_i_tail", 4])
+                chroma_mode = _decode_chroma_mode(dec, cx, st, mbx, mby)
+                st.intra[mby, mbx] = True
+                st.chroma_mode[mby, mbx] = chroma_mode
+                st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = \
+                    1 if cbp_l15 else 0
+                st.cbp_chroma[mby, mbx] = cbp_c
+                cur_qp = (cur_qp + _decode_qp_delta(dec, cx, st) + 52) % 52
+                dc_zz, ac, cdc, cac = _mb_i16_residual(
+                    dec, cx, st, mbx, mby, encode=False,
+                    cbp_luma15=bool(cbp_l15), cbp_chroma=cbp_c)
+                rows[mby][mbx] = dict(pred_mode=pred_mode,
+                                      chroma_mode=chroma_mode,
+                                      dc_zz=dc_zz, ac=ac, cdc=cdc,
+                                      cac=cac, qp=cur_qp)
+            if rows[mby][mbx] is None:
+                rows[mby][mbx] = parsed
             st.avail[mby, mbx] = True
             last = mby == n_mby - 1 and mbx == n_mbx - 1
             term = dec.decode_terminate()

@@ -277,12 +277,18 @@ class H264Decoder:
             payload = rbsp[br.pos // 8:]
             if is_i:
                 rows, st = CS.parse_islice_cabac(
-                    payload, qp, sp.mb_height, sp.mb_width)
+                    payload, qp, sp.mb_height, sp.mb_width,
+                    transform_8x8=pp.transform_8x8)
                 i_rows = rows
                 intra_mb[:, :] = True
                 nz_y.nz[:, :] = st.cbf_l4
                 nz_cb.nz[:, :] = st.cbf_c4[0]
                 nz_cr.nz[:, :] = st.cbf_c4[1]
+                for mby in range(sp.mb_height):
+                    for mbx in range(sp.mb_width):
+                        qp_mb[mby, mbx] = rows[mby][mbx].get("qp", qp)
+                if st.t8.any():
+                    ctx["p_t8"] = st.t8    # 8x8 deblock edge semantics
             elif is_b:
                 self._parse_bslice_cabac(ctx, payload, qp)
             else:
@@ -640,6 +646,8 @@ class H264Decoder:
     def _recon_intra_mb(self, ctx, mbx, mby, parsed):
         if parsed.get("kind") == "i4":
             return self._recon_i4x4_mb(ctx, mbx, mby, parsed)
+        if parsed.get("kind") == "i8":
+            return self._recon_i8x8_mb(ctx, mbx, mby, parsed)
         pred_mode = parsed["pred_mode"]
         chroma_mode = parsed["chroma_mode"]
         dc_zz, ac = parsed["dc_zz"], parsed["ac"]
@@ -710,6 +718,185 @@ class H264Decoder:
                 pred.astype(np.int64) + res, 0, 255)
         self._recon_intra_chroma(ctx, mbx, mby, parsed["chroma_mode"],
                                  parsed["cdc"], parsed["cac"], qpc)
+
+    def _recon_i8x8_mb(self, ctx, mbx, mby, parsed):
+        """Reconstruct an I_NxN MB with transform_size_8x8: four 8x8
+        blocks in raster order, spec 8.3.2 prediction over FILTERED
+        reference samples + the High-profile 8x8 inverse transform."""
+        from ...ops import transform8 as t8ops
+        y = ctx["y"]
+        sp = ctx["sp"]
+        qp = parsed["qp"]
+        qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
+        frame_w = 16 * sp.mb_width
+        luma = parsed["luma"]
+        for b8 in range(4):
+            r0 = 16 * mby + 8 * (b8 // 2)
+            c0 = 16 * mbx + 8 * (b8 % 2)
+            pred = self._intra8_pred(y, r0, c0,
+                                     int(parsed["modes"][4 * b8]), frame_w)
+            scan = np.asarray(luma[4 * b8:4 * b8 + 4]).reshape(64)
+            wq = t8ops.unzigzag8_np(scan)
+            res = t8ops.idct8_np(t8ops.dequant8_np(wq[None], qp))[0]
+            y[r0:r0 + 8, c0:c0 + 8] = np.clip(
+                pred.astype(np.int64) + res, 0, 255)
+        self._recon_intra_chroma(ctx, mbx, mby, parsed["chroma_mode"],
+                                 parsed["cdc"], parsed["cac"], qpc)
+
+    def _intra8_pred(self, y, r0, c0, mode, frame_w):
+        """Spec 8.3.2: 8x8 luma prediction — reference samples are
+        low-pass filtered (8.3.2.2.1) before every mode."""
+        top_ok = r0 > 0
+        left_ok = c0 > 0
+        tl_ok = top_ok and left_ok
+        t = np.zeros(16, np.int64)
+        if top_ok:
+            t[:8] = y[r0 - 1, c0:c0 + 8]
+            # top-right: inside the frame AND already decoded (not across
+            # the right MB boundary from the bottom half of the MB)
+            tr_ok = (c0 + 8 < frame_w
+                     and not (r0 % 16 == 8 and (c0 + 8) % 16 == 0))
+            if tr_ok:
+                t[8:] = y[r0 - 1, c0 + 8:c0 + 16]
+            else:
+                t[8:] = t[7]
+        le = y[r0:r0 + 8, c0 - 1].astype(np.int64) if left_ok \
+            else np.zeros(8, np.int64)
+        m = int(y[r0 - 1, c0 - 1]) if tl_ok else 0
+
+        # ---- reference filtering (8.3.2.2.1)
+        ft = t.copy()
+        if top_ok:
+            ft[0] = ((m + 2 * t[0] + t[1] + 2) >> 2) if tl_ok \
+                else ((3 * t[0] + t[1] + 2) >> 2)
+            for x in range(1, 15):
+                ft[x] = (t[x - 1] + 2 * t[x] + t[x + 1] + 2) >> 2
+            ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+        fle = le.copy()
+        if left_ok:
+            fle[0] = ((m + 2 * le[0] + le[1] + 2) >> 2) if tl_ok \
+                else ((3 * le[0] + le[1] + 2) >> 2)
+            for yy in range(1, 7):
+                fle[yy] = (le[yy - 1] + 2 * le[yy] + le[yy + 1] + 2) >> 2
+            fle[7] = (le[6] + 3 * le[7] + 2) >> 2
+        fm = ((t[0] + 2 * m + le[0] + 2) >> 2) if tl_ok else m
+
+        t, le, m = ft, fle, fm
+        out = np.zeros((8, 8), np.int64)
+        if mode == 0:                                  # Vertical
+            if not top_ok:
+                raise DecodeError("i8 V without top")
+            return np.broadcast_to(t[:8], (8, 8)).copy()
+        if mode == 1:                                  # Horizontal
+            if not left_ok:
+                raise DecodeError("i8 H without left")
+            return np.broadcast_to(le[:, None], (8, 8)).copy()
+        if mode == 2:                                  # DC
+            if top_ok and left_ok:
+                dc = (int(t[:8].sum()) + int(le.sum()) + 8) >> 4
+            elif top_ok:
+                dc = (int(t[:8].sum()) + 4) >> 3
+            elif left_ok:
+                dc = (int(le.sum()) + 4) >> 3
+            else:
+                dc = 128
+            out[:] = dc
+            return out
+        if mode == 3:                                  # Diagonal down-left
+            for yy in range(8):
+                for xx in range(8):
+                    if xx == 7 and yy == 7:
+                        out[yy, xx] = (t[14] + 3 * t[15] + 2) >> 2
+                    else:
+                        i = xx + yy
+                        out[yy, xx] = (t[i] + 2 * t[i + 1]
+                                       + t[i + 2] + 2) >> 2
+            return out
+        if mode == 4:                                  # Diagonal down-right
+            for yy in range(8):
+                for xx in range(8):
+                    if xx > yy:
+                        i = xx - yy
+                        a = m if i == 1 else t[i - 2]
+                        out[yy, xx] = (a + 2 * (t[i - 1] if i >= 1 else m)
+                                       + t[i] + 2) >> 2
+                    elif xx < yy:
+                        i = yy - xx
+                        a = m if i == 1 else le[i - 2]
+                        out[yy, xx] = (a + 2 * (le[i - 1] if i >= 1 else m)
+                                       + le[i] + 2) >> 2
+                    else:
+                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
+            return out
+        if mode == 5:                                  # Vertical-right
+            for yy in range(8):
+                for xx in range(8):
+                    z = 2 * xx - yy
+                    if z >= 0 and z % 2 == 0:
+                        i = xx - (yy >> 1)
+                        a = m if i == 0 else t[i - 1]
+                        out[yy, xx] = (a + t[i] + 1) >> 1
+                    elif z >= 0:
+                        i = xx - (yy >> 1)
+                        a = m if i == 1 else t[i - 2]
+                        b = m if i == 0 else t[i - 1]
+                        out[yy, xx] = (a + 2 * b + t[i] + 2) >> 2
+                    elif z == -1:
+                        out[yy, xx] = (le[0] + 2 * m + t[0] + 2) >> 2
+                    else:
+                        i = yy - 2 * xx
+                        out[yy, xx] = (le[i - 1] + 2 * le[i - 2]
+                                       + (le[i - 3] if i >= 3 else m)
+                                       + 2) >> 2
+            return out
+        if mode == 6:                                  # Horizontal-down
+            for yy in range(8):
+                for xx in range(8):
+                    z = 2 * yy - xx
+                    if z >= 0 and z % 2 == 0:
+                        i = yy - (xx >> 1)
+                        a = m if i == 0 else le[i - 1]
+                        out[yy, xx] = (a + le[i] + 1) >> 1
+                    elif z >= 0:
+                        i = yy - (xx >> 1)
+                        a = m if i == 1 else le[i - 2]
+                        b = m if i == 0 else le[i - 1]
+                        out[yy, xx] = (a + 2 * b + le[i] + 2) >> 2
+                    elif z == -1:
+                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
+                    else:
+                        i = xx - 2 * yy
+                        out[yy, xx] = (t[i - 1] + 2 * t[i - 2]
+                                       + (t[i - 3] if i >= 3 else m)
+                                       + 2) >> 2
+            return out
+        if mode == 7:                                  # Vertical-left
+            for yy in range(8):
+                for xx in range(8):
+                    i = xx + (yy >> 1)
+                    if yy % 2 == 0:
+                        out[yy, xx] = (t[i] + t[i + 1] + 1) >> 1
+                    else:
+                        out[yy, xx] = (t[i] + 2 * t[i + 1]
+                                       + t[i + 2] + 2) >> 2
+            return out
+        if mode == 8:                                  # Horizontal-up
+            for yy in range(8):
+                for xx in range(8):
+                    z = xx + 2 * yy
+                    if z > 13:
+                        out[yy, xx] = le[7]
+                    elif z == 13:
+                        out[yy, xx] = (le[6] + 3 * le[7] + 2) >> 2
+                    elif z % 2 == 0:
+                        i = yy + (xx >> 1)
+                        out[yy, xx] = (le[i] + le[i + 1] + 1) >> 1
+                    else:
+                        i = yy + (xx >> 1)
+                        out[yy, xx] = (le[i] + 2 * le[i + 1]
+                                       + le[i + 2] + 2) >> 2
+            return out
+        raise DecodeError(f"i8 mode {mode} unsupported")
 
     # within-MB decode order of 4x4 blocks, by (row, col) offsets
     _BLK_DECODE_ORDER = None
