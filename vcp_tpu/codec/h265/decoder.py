@@ -95,6 +95,9 @@ class HevcDecoder:
         hp = self.hp
         h, w = hp.height, hp.width
         nby, nbx = h // 32, w // 32
+        modes, cmodes = modes if isinstance(modes, tuple) else (modes, None)
+        if cmodes is None:
+            cmodes = np.full((nby, nbx), -1, np.int32)
         rec_y = np.zeros((h, w), np.int32)
         rec_u = np.zeros((h // 2, w // 2), np.int32)
         rec_v = np.zeros((h // 2, w // 2), np.int32)
@@ -124,18 +127,24 @@ class HevcDecoder:
             rec_v[0:16, bx * 16:bx * 16 + 16] = np.clip(
                 dcv + res_v[0, bx], 0, 255)
 
-        # rows >= 1: Vertical, vectorized per CTU row
+        # rows >= 1: top-only modes (Vertical 26 + positive angular
+        # 27..34), per CTU row — prediction from the final row above
+        from .frame_ops import top_mode_preds_np
         for by in range(1, nby):
-            if np.any(modes[by] != MODE_VER):
+            if np.any((modes[by] < 26) | (modes[by] > 34)):
                 raise HevcDecodeError("unsupported intra mode below row 0")
-            top_y = rec_y[by * 32 - 1]
+            if np.any((cmodes[by] != -1) & (cmodes[by] != MODE_VER)):
+                raise HevcDecodeError("unsupported chroma intra mode")
+            preds = top_mode_preds_np(rec_y[by * 32 - 1], nbx)
+            sel = np.stack([preds[int(modes[by, bx]) - 26, bx]
+                            for bx in range(nbx)])        # (nbx, 32, 32)
+            py = sel.transpose(1, 0, 2).reshape(32, w)
             top_u = rec_u[by * 16 - 1]
             top_v = rec_v[by * 16 - 1]
             row_y = res_y[by].transpose(1, 0, 2).reshape(32, w)
             row_u = res_u[by].transpose(1, 0, 2).reshape(16, w // 2)
             row_v = res_v[by].transpose(1, 0, 2).reshape(16, w // 2)
-            rec_y[by * 32:by * 32 + 32] = np.clip(
-                top_y[None, :] + row_y, 0, 255)
+            rec_y[by * 32:by * 32 + 32] = np.clip(py + row_y, 0, 255)
             rec_u[by * 16:by * 16 + 16] = np.clip(
                 top_u[None, :] + row_u, 0, 255)
             rec_v[by * 16:by * 16 + 16] = np.clip(

@@ -145,8 +145,10 @@ class HevcEncoder:
         levels_y = np.asarray(out["levels_y"], np.int32)
         levels_u = np.asarray(out["levels_u"], np.int32)
         levels_v = np.asarray(out["levels_v"], np.int32)
+        imodes = np.asarray(out["modes"]) if is_idr else None
         payload = syntax.encode_slice_data(qp, is_idr, levels_y,
-                                           levels_u, levels_v, mv)
+                                           levels_u, levels_v, mv,
+                                           modes=imodes)
         bw = BitWriter()
         headers.write_slice_header(bw, self.hp, is_idr=is_idr,
                                    poc_lsb=self.poc & 0xFF, slice_qp=qp)

@@ -126,7 +126,12 @@ def _encode_iframe_core(y, u, v, qp: int, qpc: int):
     levels_v = zv0[None]
     rec_y, rec_u, rec_v = rec_y0, rec_u0, rec_v0
 
-    # ---- CTU rows >= 1: Vertical mode, scan over rows ----
+    modes = jnp.full((1, nbx), 1, jnp.int32)     # row 0: DC
+
+    # ---- CTU rows >= 1: per-CTU choice among the TOP-ONLY modes
+    # (Vertical 26 and the positive angular family 27..34) — all predict
+    # from the final row above (+ corner), so each CTU row stays one
+    # fully-vectorized scan step. Chroma keeps Vertical.
     if nby > 1:
         rows_y = y[32:].reshape(nby - 1, 32, w)
         rows_u = u[16:].reshape(nby - 1, 16, wc)
@@ -135,7 +140,14 @@ def _encode_iframe_core(y, u, v, qp: int, qpc: int):
         def vstep(carry, rows):
             bot_y, bot_u, bot_v = carry
             ry_, ru_, rv_ = rows
-            py = jnp.broadcast_to(bot_y, (32, w))
+            preds, mode_ids = _top_mode_preds(bot_y, nbx)   # (M,nbx,32,32)
+            cur_b = ry_.reshape(32, nbx, 32).transpose(1, 0, 2)
+            sads = jnp.abs(cur_b[None] - preds).sum(axis=(2, 3))
+            best = jnp.argmin(sads, axis=0)                 # (nbx,)
+            mode_row = jnp.asarray(mode_ids)[best]
+            py_b = jnp.take_along_axis(
+                preds, best[None, :, None, None], axis=0)[0]
+            py = py_b.transpose(1, 0, 2).reshape(32, w)
             pu = jnp.broadcast_to(bot_u, (16, wc))
             pv = jnp.broadcast_to(bot_v, (16, wc))
             zy, rry = _tq(th.to_blocks(ry_ - py, 32), qp, 5, True)
@@ -145,10 +157,11 @@ def _encode_iframe_core(y, u, v, qp: int, qpc: int):
             rec_ur = jnp.clip(pu + th.from_blocks(rru), 0, 255)
             rec_vr = jnp.clip(pv + th.from_blocks(rrv), 0, 255)
             return ((rec_yr[-1], rec_ur[-1], rec_vr[-1]),
-                    (zy[0], zu[0], zv[0], rec_yr, rec_ur, rec_vr))
+                    (zy[0], zu[0], zv[0], rec_yr, rec_ur, rec_vr,
+                     mode_row))
 
         init_v = (rec_y0[-1], rec_u0[-1], rec_v0[-1])
-        _, (zyr, zur, zvr, recy, recu, recv) = lax.scan(
+        _, (zyr, zur, zvr, recy, recu, recv, mrows) = lax.scan(
             vstep, init_v, (rows_y, rows_u, rows_v))
         levels_y = jnp.concatenate([levels_y, zyr], axis=0)
         levels_u = jnp.concatenate([levels_u, zur], axis=0)
@@ -156,13 +169,66 @@ def _encode_iframe_core(y, u, v, qp: int, qpc: int):
         rec_y = jnp.concatenate([rec_y0, recy.reshape(-1, w)], axis=0)
         rec_u = jnp.concatenate([rec_u0, recu.reshape(-1, wc)], axis=0)
         rec_v = jnp.concatenate([rec_v0, recv.reshape(-1, wc)], axis=0)
+        modes = jnp.concatenate([modes, mrows], axis=0)
 
     return {
         "levels_y": levels_y.astype(jnp.int16),
         "levels_u": levels_u.astype(jnp.int16),
         "levels_v": levels_v.astype(jnp.int16),
+        "modes": modes,
         "recon_y": rec_y, "recon_u": rec_u, "recon_v": rec_v,
     }
+
+
+# intraPredAngle for the positive vertical family (spec Table 8-5).
+ANG_MODES = (26, 27, 28, 29, 30, 31, 32, 33, 34)
+ANG_ANGLE = (0, 2, 5, 9, 13, 17, 21, 26, 32)
+
+
+def _ctu_top_refs(bot_y, nbx: int):
+    """Per-CTU top reference rows from the final row above: returns
+    (corner (nbx,), top64 (nbx, 64)) with spec substitution (top-right
+    beyond the frame replicates the last available sample)."""
+    w = bot_y.shape[0]
+    ext = jnp.concatenate([bot_y, jnp.broadcast_to(bot_y[-1], (32,))])
+    idx = (32 * jnp.arange(nbx)[:, None]
+           + jnp.arange(64)[None, :])
+    # frame-edge clamp realizes the replicate-last substitution for the
+    # right-most CTU (available samples end at w-1)
+    top64 = ext[jnp.clip(idx, 0, w + 31)]
+    top64 = jnp.where(idx < w, top64,
+                      jnp.broadcast_to(bot_y[-1], top64.shape))
+    cidx = jnp.clip(32 * jnp.arange(nbx) - 1, 0, w - 1)
+    corner = bot_y[cidx]           # bx=0: substitution -> first available
+    return corner, top64
+
+
+def _top_mode_preds(bot_y, nbx: int):
+    """Candidate predictions for the top-only intra modes: returns
+    (preds (M, nbx, 32, 32), mode_ids). Mode 26 uses unfiltered refs
+    (filterFlag=0: minDistVerHor=0); 27..34 use the [1 2 1] filtered
+    top row (spec 8.4.4.2.3, strong smoothing off in the SPS)."""
+    corner, top = _ctu_top_refs(bot_y, nbx)
+    # filtered top (pF[63] stays unfiltered per spec); one extra column
+    # so mode 34's zero-weight b-term slice stays in bounds
+    pf = jnp.concatenate([
+        ((corner + 2 * top[:, 0] + top[:, 1] + 2) >> 2)[:, None],
+        (top[:, :-2] + 2 * top[:, 1:-1] + top[:, 2:] + 2) >> 2,
+        top[:, -1:], top[:, -1:],
+    ], axis=1)
+    top = jnp.concatenate([top, top[:, -1:]], axis=1)
+    preds = []
+    for mode, ang in zip(ANG_MODES, ANG_ANGLE):
+        ref = top if mode == 26 else pf
+        rows = []
+        for yy in range(32):
+            ii = ((yy + 1) * ang) >> 5
+            ff = ((yy + 1) * ang) & 31
+            a = ref[:, ii:ii + 32]
+            b = ref[:, ii + 1:ii + 33]
+            rows.append(((32 - ff) * a + ff * b + 16) >> 5)
+        preds.append(jnp.stack(rows, axis=1))       # (nbx, 32, 32)
+    return jnp.stack(preds), ANG_MODES
 
 
 def _search_fullpel(cur, ref, sr: int, lam: int):
@@ -486,3 +552,34 @@ def mc_chroma_q_np(ref_c: np.ndarray, mvq: np.ndarray) -> np.ndarray:
             row_acc += wx[..., j] * rp[rows + (i - 1), cols + (j - 1)]
         acc += wy[..., i] * row_acc
     return ((acc + 2048) >> 12).astype(np.int32)
+
+
+def top_mode_preds_np(bot_y: np.ndarray, nbx: int) -> np.ndarray:
+    """NumPy twin of _top_mode_preds: (9, nbx, 32, 32) predictions for
+    modes 26..34 from the final row above (bit-exact)."""
+    w = bot_y.shape[0]
+    bot_y = bot_y.astype(np.int64)
+    ext = np.concatenate([bot_y, np.full(32, bot_y[-1], np.int64)])
+    idx = 32 * np.arange(nbx)[:, None] + np.arange(64)[None, :]
+    top = ext[np.clip(idx, 0, w + 31)]
+    top = np.where(idx < w, top, bot_y[-1])
+    cidx = np.clip(32 * np.arange(nbx) - 1, 0, w - 1)
+    corner = bot_y[cidx]
+    pf = np.concatenate([
+        ((corner + 2 * top[:, 0] + top[:, 1] + 2) >> 2)[:, None],
+        (top[:, :-2] + 2 * top[:, 1:-1] + top[:, 2:] + 2) >> 2,
+        top[:, -1:], top[:, -1:],
+    ], axis=1)
+    top = np.concatenate([top, top[:, -1:]], axis=1)
+    preds = []
+    for mode, ang in zip(ANG_MODES, ANG_ANGLE):
+        ref = top if mode == 26 else pf
+        rows = []
+        for yy in range(32):
+            ii = ((yy + 1) * ang) >> 5
+            ff = ((yy + 1) * ang) & 31
+            a = ref[:, ii:ii + 32]
+            b = ref[:, ii + 1:ii + 33]
+            rows.append(((32 - ff) * a + ff * b + 16) >> 5)
+        preds.append(np.stack(rows, axis=1))
+    return np.stack(preds)

@@ -124,10 +124,11 @@ def _decode_mvd(dec: CabacDecoder, cx: HevcContexts):
 # ---------------------------------------------------------------------------
 
 def encode_slice_data(slice_qp: int, is_idr: bool, levels_y, levels_u,
-                      levels_v, mv=None) -> bytes:
+                      levels_v, mv=None, modes=None) -> bytes:
     """CABAC payload for one single-slice frame. levels_* are
     (nby, nbx, N, N) int arrays; mv is (nby, nbx, 2) QUARTER-pel
-    (dy, dx) for P slices."""
+    (dy, dx) for P slices; ``modes`` the per-CTU luma intra mode for I
+    slices (None = the row0-DC/rows-V legacy scheme)."""
     nby, nbx = levels_y.shape[:2]
     enc = CabacEncoder()
     cx = HevcContexts(slice_qp, init_type=0 if is_idr else 1)
@@ -145,18 +146,40 @@ def encode_slice_data(slice_qp: int, is_idr: bool, levels_y, levels_u,
             cbf_v = bool(np.any(zv))
 
             if is_idr:
-                mode = MODE_DC if by == 0 else MODE_VER
+                if modes is not None:
+                    mode = int(modes[by, bx])
+                else:
+                    mode = MODE_DC if by == 0 else MODE_VER
                 cand_a = int(lmode[by, bx - 1]) if bx > 0 else MODE_DC
                 cand_b = MODE_DC  # above PU is in another CTB row
                 mpm = luma_mpm(cand_a, cand_b)
-                assert mode in mpm  # true for the DC/Vertical scheme
-                idx = mpm.index(mode)
-                enc.encode(cx["prev_intra", 0], 1)
-                enc.encode_bypass(1 if idx else 0)
-                if idx:
-                    enc.encode_bypass(idx - 1)
+                if mode in mpm:
+                    idx = mpm.index(mode)
+                    enc.encode(cx["prev_intra", 0], 1)
+                    enc.encode_bypass(1 if idx else 0)
+                    if idx:
+                        enc.encode_bypass(idx - 1)
+                else:
+                    rem = mode - sum(1 for m in mpm if m < mode)
+                    enc.encode(cx["prev_intra", 0], 0)
+                    enc.encode_bypass_bits(rem, 5)
                 lmode[by, bx] = mode
-                enc.encode(cx["intra_chroma", 0], 0)  # DM mode
+                # chroma: DM when the luma mode IS the chroma prediction
+                # we run (DC on row 0, Vertical elsewhere); explicit
+                # Vertical from the candidate list otherwise
+                chroma_pred = MODE_DC if by == 0 else MODE_VER
+                if mode == chroma_pred:
+                    enc.encode(cx["intra_chroma", 0], 0)   # DM
+                else:
+                    enc.encode(cx["intra_chroma", 0], 1)
+                    # candModeList [planar, vertical, horiz, DC] with the
+                    # luma-mode entry substituted by 34 (7.4.9.11)
+                    cand = [0, 26, 10, 1]
+                    if mode in cand:
+                        cand[cand.index(mode)] = 34
+                    ci = cand.index(chroma_pred)
+                    enc.encode_bypass(ci >> 1)
+                    enc.encode_bypass(ci & 1)
                 enc.encode(cx["cbf_chroma", 0], 1 if cbf_u else 0)
                 enc.encode(cx["cbf_chroma", 0], 1 if cbf_v else 0)
                 enc.encode(cx["cbf_luma", 1], 1 if cbf_y else 0)
@@ -213,6 +236,7 @@ def decode_slice_data(data: bytes, slice_qp: int, is_idr: bool,
     levels_u = np.zeros((nby, nbx, 16, 16), np.int32)
     levels_v = np.zeros((nby, nbx, 16, 16), np.int32)
     modes = np.full((nby, nbx), MODE_DC, np.int32)
+    cmodes = np.full((nby, nbx), -1, np.int32)   # -1 = DM
     mvq = np.zeros((nby, nbx, 2), np.int32)
     mv = np.zeros((nby, nbx, 2), np.int32)
 
@@ -238,7 +262,14 @@ def decode_slice_data(data: bytes, slice_qp: int, is_idr: bool,
                         if mode >= m:
                             mode += 1
                 modes[by, bx] = mode
-                assert dec.decode(cx["intra_chroma", 0]) == 0
+                if dec.decode(cx["intra_chroma", 0]) == 0:
+                    cmodes[by, bx] = -1        # DM (= luma mode)
+                else:
+                    ci = (dec.decode_bypass() << 1) | dec.decode_bypass()
+                    cand = [0, 26, 10, 1]
+                    if mode in cand:
+                        cand[cand.index(mode)] = 34
+                    cmodes[by, bx] = cand[ci]
                 cbf_u = dec.decode(cx["cbf_chroma", 0])
                 cbf_v = dec.decode(cx["cbf_chroma", 0])
                 cbf_y = dec.decode(cx["cbf_luma", 1])
@@ -277,4 +308,4 @@ def decode_slice_data(data: bytes, slice_qp: int, is_idr: bool,
             last = by == nby - 1 and bx == nbx - 1
             term = dec.decode_terminate()
             assert term == (1 if last else 0), "slice CTU count mismatch"
-    return levels_y, levels_u, levels_v, modes, mv
+    return levels_y, levels_u, levels_v, (modes, cmodes), mv
