@@ -83,3 +83,25 @@ def test_t8_oracle_conformance(cabac):
     np.testing.assert_array_equal(frames[-1][0], ry)
     np.testing.assert_array_equal(frames[-1][1], ru)
     np.testing.assert_array_equal(frames[-1][2], rv)
+
+
+def test_t8_with_bframes_oracle_conformance():
+    """The quality-preset default shape — CABAC + adaptive 8x8 + B
+    pictures under a High PPS (transform_size_8x8_flag coded in P AND B
+    slices) — must decode bit-exactly in ffmpeg."""
+    import av_oracle
+    if av_oracle.get_oracle() is None:
+        pytest.skip("libavcodec oracle unavailable")
+    frames = synth_video(96, 64, 7)
+    enc = H264Encoder(EncoderConfig(width=96, height=64, qp=26,
+                                    gop_size=7, cabac=True, deblock=True,
+                                    effort=4, transform8=True, bframes=2))
+    out = enc.encode_gop(frames)
+    bs = enc.headers_annexb() + b"".join(s[0] for s in out)
+    theirs = av_oracle.decode_video("h264", bs)
+    ours = H264Decoder().decode_annexb(bs)
+    assert len(theirs) == len(ours) == 7
+    for o, t in zip(ours, theirs):
+        np.testing.assert_array_equal(np.asarray(o.y), t[0])
+        np.testing.assert_array_equal(np.asarray(o.u), t[1])
+        np.testing.assert_array_equal(np.asarray(o.v), t[2])

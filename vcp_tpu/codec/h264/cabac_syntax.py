@@ -1149,6 +1149,10 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)],
                            1 if cbp_c == 2 else 0)
             st.cbp_chroma[mby, mbx] = cbp_c
+            if cbp_l > 0 and pp.transform_8x8:
+                # B pictures keep the 4x4 transform; the flag must still
+                # be coded under a transform_8x8 PPS
+                enc.encode(cx["t8flag", st.t8_ctx(mbx, mby)], 0)
             if cbp_l or cbp_c:
                 enc.encode(cx["qp_delta", 0], 0)
             _p_residual(enc, cx, st, mbx, mby, encode=True, cbp_l=cbp_l,
@@ -1162,7 +1166,7 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 
 
 def parse_bslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
-                       on_mb, on_skip):
+                       on_mb, on_skip, transform_8x8: bool = False):
     """Parse a B-slice CABAC payload. Calls
     ``on_mb(mbx, mby, mode, mvd0, mvd1, luma, cdc, cac)`` for coded MBs
     and ``on_skip(mbx, mby)`` for B_Skip MBs, in raster order (mvd
@@ -1203,12 +1207,16 @@ def parse_bslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
                 cbp_c = 2 if dec.decode(
                     cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
             st.cbp_chroma[mby, mbx] = cbp_c
+            t8f = False
+            if cbp_l > 0 and transform_8x8:
+                t8f = bool(dec.decode(cx["t8flag", st.t8_ctx(mbx, mby)]))
+                st.t8[mby, mbx] = t8f
             if cbp_l or cbp_c:
                 if dec.decode(cx["qp_delta", 0]):
                     raise ValueError("mb_qp_delta != 0 unsupported")
             luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
                                          encode=False, cbp_l=cbp_l,
-                                         cbp_c=cbp_c)
+                                         cbp_c=cbp_c, t8=t8f)
             on_mb(mbx, mby, mode, mvds[0], mvds[1], luma, cdc, cac)
             last = mby == n_mby - 1 and mbx == n_mbx - 1
             term = dec.decode_terminate()

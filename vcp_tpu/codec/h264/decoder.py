@@ -508,7 +508,8 @@ class H264Decoder:
             bframe.decode_b_skip(ctx, mbx, mby)
 
         CS.parse_bslice_cabac(payload, qp, sp.mb_height, sp.mb_width,
-                              on_mb, on_skip)
+                              on_mb, on_skip,
+                              transform_8x8=self.pp.transform_8x8)
 
     # -- intra MBs --------------------------------------------------------
     def _decode_intra_mb(self, ctx, mbx, mby, mb_type):

@@ -142,8 +142,31 @@ def _encode_iframe_core(y, u, v, qp: int, qpc: int):
             ry_, ru_, rv_ = rows
             preds, mode_ids = _top_mode_preds(bot_y, nbx)   # (M,nbx,32,32)
             cur_b = ry_.reshape(32, nbx, 32).transpose(1, 0, 2)
-            sads = jnp.abs(cur_b[None] - preds).sum(axis=(2, 3))
-            best = jnp.argmin(sads, axis=0)                 # (nbx,)
+            # RD mode decision (true transform-domain cost — SAD alone
+            # overrates angular modes whose residuals quantize poorly):
+            # per mode, quantize the real residual and charge
+            # SSD(recon) + lambda2 * level-bits proxy (+ mode bits:
+            # angular modes usually pay the 5-bit rem escape + explicit
+            # chroma signalling).
+            lam2 = 0.9 * 2.0 ** ((qp - 12) / 3.0)
+
+            def mode_cost(pred):
+                zc, rr = _tq(cur_b - pred, qp, 5, True)
+                d = (cur_b - pred - rr).astype(jnp.float32)
+                dist = (d * d).sum(axis=(1, 2))
+                a = jnp.abs(zc.astype(jnp.float32))
+                bits = jnp.where(a > 0, 2.0 * jnp.log2(a + 1.0) + 1.7,
+                                 0.0).sum(axis=(1, 2))
+                return dist + lam2 * bits
+
+            costs = jnp.stack([mode_cost(preds[m])
+                               for m in range(len(mode_ids))])
+            # rem escape + chroma signalling + the MPM chain broken for
+            # the right neighbor — charged generously so angular only
+            # wins where it clearly beats Vertical
+            pen = jnp.asarray([0.0] + [20.0] * (len(mode_ids) - 1))
+            costs = costs + lam2 * pen[:, None]
+            best = jnp.argmin(costs, axis=0)                # (nbx,)
             mode_row = jnp.asarray(mode_ids)[best]
             py_b = jnp.take_along_axis(
                 preds, best[None, :, None, None], axis=0)[0]
