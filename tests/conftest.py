@@ -43,3 +43,18 @@ def redis_address(miniredis):
     """Fresh-db address for a test (flushes everything first)."""
     miniredis.engine.dbs.clear()
     return miniredis.address
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """XLA:CPU's in-process compiler state grows with every distinct jit
+    program; past a few hundred compilations in one long process it has
+    segfaulted inside backend_compile (LLVM JIT state). Dropping the
+    executable caches between test modules keeps the state bounded —
+    modules re-compile what they share, which is cheap on CPU."""
+    yield
+    import jax
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass

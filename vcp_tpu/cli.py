@@ -140,6 +140,15 @@ def _enable_jit_cache() -> None:
     val = os.environ.get("VCP_JIT_CACHE", "")
     if val == "0":
         return
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            # XLA:CPU executable serialization has segfaulted in the
+            # cache-write path (observed in CI); the cache only pays off
+            # for the minutes-long TPU compiles anyway
+            return
+    except Exception:
+        return
     if val:
         cache_dir = val
     else:
