@@ -32,7 +32,7 @@ def load_clip(name: str):
 
 
 def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0,
-                t8: bool = False, effort: int = 6):
+                t8: bool = False, effort: int = 6, parts: bool = False):
     from vcp_tpu.codec.h264.decoder import H264Decoder
     from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
 
@@ -40,7 +40,8 @@ def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0,
     enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
                                     gop_size=len(frames), cabac=cabac,
                                     deblock=True, effort=effort,
-                                    bframes=bframes, transform8=t8))
+                                    bframes=bframes, transform8=t8,
+                                    parts=parts))
     aus = [s[0] for s in enc.encode_gop(frames)]
     size = sum(len(a) for a in aus) + len(enc.headers_annexb())
     dec = H264Decoder().decode_annexb(
@@ -89,6 +90,11 @@ def main(argv=None):
     ap.add_argument("--bframes", type=int, default=0)
     ap.add_argument("--t8", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--parts", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="P_8x8 sub-partitions (quality-preset default; "
+                    "anchors only take effect with --bframes > 0 or the "
+                    "per-frame path)")
     ap.add_argument("--effort", type=int, default=6)
     ap.add_argument("--codec", choices=("h264", "hevc"), default="h264")
     ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))
@@ -114,7 +120,8 @@ def main(argv=None):
                                             effort=args.effort)
             else:
                 size, ps = encode_ours(frames, qp, bframes=args.bframes,
-                                       t8=args.t8, effort=args.effort)
+                                       t8=args.t8, effort=args.effort,
+                                       parts=args.parts)
             kbps = size * 8 * fps / n / 1000.0
             ours.append((kbps, ps))
             print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB",

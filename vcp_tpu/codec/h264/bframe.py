@@ -115,13 +115,20 @@ def _write_bslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 
     col_zero = np.asarray(data["col_zero"]) if "col_zero" in data \
         else np.zeros((n_mby, n_mbx), bool)
+    # colZero uniformity over the colocated MB's four 8x8 blocks: with a
+    # P_8x8 anchor the spec's per-block direct derivation can diverge
+    # inside one MB, so B_Skip is only emitted where it cannot (the
+    # MB-level direct_spatial is then exact)
+    col_safe = np.asarray(data["col_safe"]) if "col_safe" in data \
+        else np.ones((n_mby, n_mbx), bool)
     skip_run = 0
     for mby in range(n_mby):
         for mbx in range(n_mbx):
             md = int(mode[mby, mbx])
             cbp = int(cbp_luma[mby, mbx]) | (int(cbp_chroma[mby, mbx]) << 4)
-            if cbp == 0 and _skippable(mvs_xy, use, mbx, mby, n_mbx,
-                                       bool(col_zero[mby, mbx]), md):
+            if cbp == 0 and col_safe[mby, mbx] \
+                    and _skippable(mvs_xy, use, mbx, mby, n_mbx,
+                                   bool(col_zero[mby, mbx]), md):
                 skip_run += 1
                 _zero_nz(nz_y, nz_cb, nz_cr, mbx, mby)
                 continue

@@ -70,6 +70,8 @@ def _ctx_index_map(slice_type: str) -> dict:
         "mbt_i_tail": {"I": (6, 7, 8, 9, 10), "P": (18, 19, 19, 20, 20),
                        "B": (33, 34, 34, 35, 35)}[slice_type],
         "mbt_p": (14, 15, 16),
+        # P sub_mb_type (ctxIdxOffset 21, one ctx per binIdx)
+        "submbt_p": (21, 22, 23),
         # B mb_type (9.3.3.1.1.3): bin0 ctx 27+inc(0..2), bin1 ctx 30,
         # then 31 for the first '11'-suffix bin and 32 for the rest
         "mbt_b": (27, 28, 29),
@@ -130,9 +132,12 @@ class MbState:
         self.chroma_mode = np.zeros((n_mby, n_mbx), np.int32)
         self.cbp_luma8 = np.zeros((2 * n_mby, 2 * n_mbx), np.int32)
         self.cbp_chroma = np.zeros((n_mby, n_mbx), np.int32)
-        # per-list |mvd| for the mvd ctxIdxInc (9.3.3.1.1.7); P uses
-        # list 0 only
-        self.absmvd = np.zeros((n_mby, n_mbx, 2, 2), np.int32)
+        # per-list |mvd| for the mvd ctxIdxInc (9.3.3.1.1.7), kept on the
+        # 8x8 block grid so P_8x8 partitions address their true neighbor
+        # partitions; P uses list 0 only. For 16x16 MBs all four blocks
+        # carry the MB's mvd — neighbor lookups then match the per-MB
+        # derivation exactly.
+        self.absmvd = np.zeros((2 * n_mby, 2 * n_mbx, 2, 2), np.int32)
         # coded_block_flag grids
         self.cbf_l4 = np.zeros((4 * n_mby, 4 * n_mbx), np.int8)
         self.cbf_i16dc = np.zeros((n_mby, n_mbx), np.int8)
@@ -201,14 +206,21 @@ class MbState:
                    and self.t8[b[1], b[0]]) else 0
         return ca + cb
 
-    def mvd_ctx(self, mbx, mby, comp: int, lst: int = 0):
-        a, b = self._nb(mbx, mby)
+    def mvd_ctx(self, by, bx, comp: int, lst: int = 0):
+        """ctxIdxInc for mvd bin 0 (9.3.3.1.1.7); (by, bx) address the
+        current PARTITION's top-left 8x8 block. A = block to the left,
+        B = block above (availability via the containing MB)."""
         s = 0
-        if a and self.avail[a[1], a[0]]:
-            s += int(self.absmvd[a[1], a[0], lst, comp])
-        if b and self.avail[b[1], b[0]]:
-            s += int(self.absmvd[b[1], b[0], lst, comp])
+        if bx > 0 and self.avail[by >> 1, (bx - 1) >> 1]:
+            s += int(self.absmvd[by, bx - 1, lst, comp])
+        if by > 0 and self.avail[(by - 1) >> 1, bx >> 1]:
+            s += int(self.absmvd[by - 1, bx, lst, comp])
         return 0 if s < 3 else (1 if s <= 32 else 2)
+
+    def set_absmvd(self, by, bx, size: int, lst: int, vals):
+        """Record a partition's |mvd| over its ``size`` x ``size``
+        8x8-block footprint (2 = 16x16 MB, 1 = one 8x8)."""
+        self.absmvd[by:by + size, bx:bx + size, lst] = vals
 
     def cbf_ctx(self, cat: int, mbx, mby, blk: int, cur_intra: bool,
                 c: int = 0):
@@ -513,10 +525,11 @@ def _decode_mb_i16(dec, cx, st, mbx, mby):
     return pred_mode, chroma_mode, bool(cbp_luma15), int(cbp_chroma)
 
 
-def _encode_mvd_comp(enc, cx, st, mbx, mby, comp, mvd, lst=0):
+def _encode_mvd_comp(enc, cx, st, by, bx, comp, mvd, lst=0):
+    """(by, bx) = the partition's top-left 8x8 block coordinates."""
     name = "mvd_x" if comp == 0 else "mvd_y"
     v = abs(mvd)
-    b0 = st.mvd_ctx(mbx, mby, comp, lst)
+    b0 = st.mvd_ctx(by, bx, comp, lst)
     prefix = min(v, 9)
     ctx_of = lambda b: b0 if b == 0 else min(6, 2 + b)  # noqa: E731
     for b in range(prefix):
@@ -529,9 +542,10 @@ def _encode_mvd_comp(enc, cx, st, mbx, mby, comp, mvd, lst=0):
         enc.encode_bypass(1 if mvd < 0 else 0)
 
 
-def _decode_mvd_comp(dec, cx, st, mbx, mby, comp, lst=0):
+def _decode_mvd_comp(dec, cx, st, by, bx, comp, lst=0):
+    """(by, bx) = the partition's top-left 8x8 block coordinates."""
     name = "mvd_x" if comp == 0 else "mvd_y"
-    b0 = st.mvd_ctx(mbx, mby, comp, lst)
+    b0 = st.mvd_ctx(by, bx, comp, lst)
     ctx_of = lambda b: b0 if b == 0 else min(6, 2 + b)  # noqa: E731
     v = 0
     while v < 9 and dec.decode(cx[name, ctx_of(v)]):
@@ -643,8 +657,9 @@ def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                        qp: int, data: dict, deblock: bool = False,
                        poc_lsb: int = 0) -> bytes:
-    from .pframe import mv_pred, skip_mv
+    from .pframe import _mv8_grid_xy, mv_pred8, skip_mv8
     n_mby, n_mbx = sp.mb_height, sp.mb_width
+    nbx2 = 2 * n_mbx
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
                          slice_qp=qp, disable_deblocking=not deblock,
@@ -655,14 +670,13 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     cx = H264CabacContexts(qp, pslice=True)
     st = MbState(n_mby, n_mbx)
 
-    mv = data["mv"]
     luma = data["luma"]
     cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
     cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
     t8 = data.get("t8")          # (nMBy, nMBx) bool; luma rows 4b..4b+4
     #                              hold 8x8 block b's 64-scan when set
-    valid = np.ones((n_mby, n_mbx), bool)
-    mv_xy = np.stack([mv[..., 1], mv[..., 0]], axis=-1)
+    valid8 = np.ones((2 * n_mby, nbx2), bool)
+    mv_xy, parts = _mv8_grid_xy(data, n_mby, n_mbx)
 
     luma_nz = np.any(np.asarray(luma) != 0, axis=-1)
     quad_nz = luma_nz.reshape(n_mby, n_mbx, 4, 4).any(axis=-1)
@@ -676,19 +690,24 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     active = data.get("active")
     for mby in range(n_mby):
         for mbx in range(n_mbx):
+            part = bool(parts[mby, mbx])
             if active is not None and not active[mby, mbx]:
                 # sparse-fetch skip MB: derive its P_Skip MV in place
                 # (gop_ops.skip_mv_grid classified it with this rule)
-                mv_xy[mby, mbx] = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+                mv_xy[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = \
+                    skip_mv8(mv_xy, valid8, mbx, mby, nbx2)
                 cbp_l = cbp_c = 0
                 m = smv = None
                 is_skip = True
             else:
-                m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
+                m = (int(mv_xy[2 * mby, 2 * mbx, 0]),
+                     int(mv_xy[2 * mby, 2 * mbx, 1]))
                 cbp_l = int(cbp_luma[mby, mbx])
                 cbp_c = int(cbp_chroma[mby, mbx])
-                smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
-                is_skip = cbp_l == 0 and cbp_c == 0 and m == smv
+                is_skip = False
+                if not part:
+                    smv = skip_mv8(mv_xy, valid8, mbx, mby, nbx2)
+                    is_skip = cbp_l == 0 and cbp_c == 0 and m == smv
             enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
                        1 if is_skip else 0)
             st.avail[mby, mbx] = True
@@ -701,15 +720,34 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 last = mby == n_mby - 1 and mbx == n_mbx - 1
                 enc.encode_terminate(1 if last else 0)
                 continue
-            # mb_type P_L0_16x16 -> "000"
-            enc.encode(cx["mbt_p", 0], 0)
-            enc.encode(cx["mbt_p", 1], 0)
-            enc.encode(cx["mbt_p", 2], 0)
-            pred = mv_pred(mv_xy, valid, mbx, mby, n_mbx)
-            mvd = (m[0] - pred[0], m[1] - pred[1])
-            _encode_mvd_comp(enc, cx, st, mbx, mby, 0, mvd[0])
-            _encode_mvd_comp(enc, cx, st, mbx, mby, 1, mvd[1])
-            st.absmvd[mby, mbx, 0] = (abs(mvd[0]), abs(mvd[1]))
+            if part:
+                # mb_type P_8x8 -> "001" (Table 9-37; bin2 ctxIdxInc 2)
+                enc.encode(cx["mbt_p", 0], 0)
+                enc.encode(cx["mbt_p", 1], 0)
+                enc.encode(cx["mbt_p", 2], 1)
+                for _ in range(4):
+                    # sub_mb_type P_L0_8x8 -> "1"
+                    enc.encode(cx["submbt_p", 0], 1)
+                for q in range(4):
+                    by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+                    pred = mv_pred8(mv_xy, valid8, by, bx, 1, nbx2)
+                    mvd = (int(mv_xy[by, bx, 0]) - pred[0],
+                           int(mv_xy[by, bx, 1]) - pred[1])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 0, mvd[0])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 1, mvd[1])
+                    st.set_absmvd(by, bx, 1, 0,
+                                  (abs(mvd[0]), abs(mvd[1])))
+            else:
+                # mb_type P_L0_16x16 -> "000"
+                enc.encode(cx["mbt_p", 0], 0)
+                enc.encode(cx["mbt_p", 1], 0)
+                enc.encode(cx["mbt_p", 2], 0)
+                pred = mv_pred8(mv_xy, valid8, 2 * mby, 2 * mbx, 2, nbx2)
+                mvd = (m[0] - pred[0], m[1] - pred[1])
+                _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 0, mvd[0])
+                _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 1, mvd[1])
+                st.set_absmvd(2 * mby, 2 * mbx, 2, 0,
+                              (abs(mvd[0]), abs(mvd[1])))
             # coded_block_pattern: 4 luma bins + up to 2 chroma bins
             for b8 in range(4):
                 enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
@@ -999,11 +1037,31 @@ def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
                 if dec.decode(cx["mbt_p", 0]):
                     raise ValueError("intra MB in CABAC P slice "
                                      "unsupported")
-                if dec.decode(cx["mbt_p", 1]) or dec.decode(cx["mbt_p", 2]):
-                    raise ValueError("P mb_type != P_L0_16x16 unsupported")
-                mvd_x = _decode_mvd_comp(dec, cx, st, mbx, mby, 0)
-                mvd_y = _decode_mvd_comp(dec, cx, st, mbx, mby, 1)
-                st.absmvd[mby, mbx, 0] = (abs(mvd_x), abs(mvd_y))
+                part = False
+                if dec.decode(cx["mbt_p", 1]):
+                    raise ValueError("P 16x8/8x16 mb_type unsupported")
+                if dec.decode(cx["mbt_p", 2]):
+                    part = True          # "001" = P_8x8
+                if part:
+                    mvds = []
+                    for q in range(4):
+                        # sub_mb_type P_L0_8x8 -> "1"
+                        if not dec.decode(cx["submbt_p", 0]):
+                            raise ValueError(
+                                "sub_mb_type != P_L0_8x8 unsupported")
+                    for q in range(4):
+                        by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+                        dx = _decode_mvd_comp(dec, cx, st, by, bx, 0)
+                        dy = _decode_mvd_comp(dec, cx, st, by, bx, 1)
+                        st.set_absmvd(by, bx, 1, 0, (abs(dx), abs(dy)))
+                        mvds.append((dx, dy))
+                else:
+                    mvd_x = _decode_mvd_comp(dec, cx, st, 2 * mby,
+                                             2 * mbx, 0)
+                    mvd_y = _decode_mvd_comp(dec, cx, st, 2 * mby,
+                                             2 * mbx, 1)
+                    st.set_absmvd(2 * mby, 2 * mbx, 2, 0,
+                                  (abs(mvd_x), abs(mvd_y)))
                 cbp_l = 0
                 for b8 in range(4):
                     bit = dec.decode(cx["cbp_l",
@@ -1027,7 +1085,12 @@ def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
                 luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
                                              encode=False, cbp_l=cbp_l,
                                              cbp_c=cbp_c, t8=t8f)
-                on_inter(mbx, mby, (mvd_x, mvd_y), luma, cdc, cac, t8f)
+                if part:
+                    on_inter(mbx, mby, mvds, luma, cdc, cac, t8f,
+                             part=True)
+                else:
+                    on_inter(mbx, mby, (mvd_x, mvd_y), luma, cdc, cac,
+                             t8f)
             last = mby == n_mby - 1 and mbx == n_mbx - 1
             term = dec.decode_terminate()
             if term != (1 if last else 0):
@@ -1107,6 +1170,10 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
     col_zero = np.asarray(data["col_zero"]) if "col_zero" in data \
         else np.zeros((n_mby, n_mbx), bool)
+    # see bframe._write_bslice_py: no B_Skip where the colocated MB's
+    # per-8x8 colZero is non-uniform (P_8x8 anchors)
+    col_safe = np.asarray(data["col_safe"]) if "col_safe" in data \
+        else np.ones((n_mby, n_mbx), bool)
 
     from .bframe import _skippable
     for mby in range(n_mby):
@@ -1115,6 +1182,7 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
             cbp_l = int(cbp_luma[mby, mbx])
             cbp_c = int(cbp_chroma[mby, mbx])
             is_skip = (cbp_l == 0 and cbp_c == 0
+                       and bool(col_safe[mby, mbx])
                        and _skippable(mvs_xy, use, mbx, mby, n_mbx,
                                       bool(col_zero[mby, mbx]), md))
             enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
@@ -1135,9 +1203,12 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                      int(mvs_xy[lst][mby, mbx, 1]))
                 pred = mv_pred_dec(mvs_xy[lst], use[lst], mbx, mby, n_mbx)
                 mvd = (m[0] - pred[0], m[1] - pred[1])
-                _encode_mvd_comp(enc, cx, st, mbx, mby, 0, mvd[0], lst)
-                _encode_mvd_comp(enc, cx, st, mbx, mby, 1, mvd[1], lst)
-                st.absmvd[mby, mbx, lst] = (abs(mvd[0]), abs(mvd[1]))
+                _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 0,
+                                 mvd[0], lst)
+                _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 1,
+                                 mvd[1], lst)
+                st.set_absmvd(2 * mby, 2 * mbx, 2, lst,
+                              (abs(mvd[0]), abs(mvd[1])))
             for b8 in range(4):
                 enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
                            (cbp_l >> b8) & 1)
@@ -1193,9 +1264,12 @@ def parse_bslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
             for lst in range(2):
                 if (mode == 1 and lst == 0) or (mode == 0 and lst == 1):
                     continue
-                mvd_x = _decode_mvd_comp(dec, cx, st, mbx, mby, 0, lst)
-                mvd_y = _decode_mvd_comp(dec, cx, st, mbx, mby, 1, lst)
-                st.absmvd[mby, mbx, lst] = (abs(mvd_x), abs(mvd_y))
+                mvd_x = _decode_mvd_comp(dec, cx, st, 2 * mby, 2 * mbx,
+                                         0, lst)
+                mvd_y = _decode_mvd_comp(dec, cx, st, 2 * mby, 2 * mbx,
+                                         1, lst)
+                st.set_absmvd(2 * mby, 2 * mbx, 2, lst,
+                              (abs(mvd_x), abs(mvd_y)))
                 mvds[lst] = (mvd_x, mvd_y)
             cbp_l = 0
             for b8 in range(4):

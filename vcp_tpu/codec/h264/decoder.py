@@ -257,6 +257,12 @@ class H264Decoder:
             # transform_size_8x8 per MB: luma rows 4b..4b+4 of p_z_luma
             # hold 8x8 block b's 64-scan instead of four 4x4 scans
             ctx["p_t8"] = np.zeros((sp.mb_height, sp.mb_width), bool)
+            # MV field on the 8x8 block grid (P_8x8 partitions; 16x16
+            # MBs replicate their vector into all four blocks)
+            ctx["mvs8"] = np.zeros((2 * sp.mb_height, 2 * sp.mb_width, 2),
+                                   np.int32)
+            ctx["valid8"] = np.zeros((2 * sp.mb_height, 2 * sp.mb_width),
+                                     bool)
             intra_queue: list = []
         if is_b:
             ctx["b_mode"] = np.zeros((sp.mb_height, sp.mb_width), np.int32)
@@ -295,11 +301,27 @@ class H264Decoder:
                 def on_skip(mbx, mby):
                     self._decode_pskip(ctx, mbx, mby)
 
-                def on_inter(mbx, mby, mvd, luma, cdc, cac, t8=False):
-                    pred = pf.mv_pred_dec(mvs, mv_valid, mbx, mby,
-                                      sp.mb_width)
-                    mvs[mby, mbx] = (pred[0] + mvd[0], pred[1] + mvd[1])
-                    mv_valid[mby, mbx] = True
+                def on_inter(mbx, mby, mvd, luma, cdc, cac, t8=False,
+                             part=False):
+                    mv8, inter8 = ctx["mvs8"], ctx["valid8"]
+                    nbx2 = 2 * sp.mb_width
+                    if part:
+                        # P_8x8: mvd is a list of four per-partition mvds
+                        for q in range(4):
+                            by = 2 * mby + (q >> 1)
+                            bx = 2 * mbx + (q & 1)
+                            inter8[by, bx] = True
+                            pred = pf.mv_pred_dec8(mv8, inter8, by, bx,
+                                                   1, nbx2)
+                            mv8[by, bx] = (pred[0] + mvd[q][0],
+                                           pred[1] + mvd[q][1])
+                        mvs[mby, mbx] = mv8[2 * mby, 2 * mbx]
+                        mv_valid[mby, mbx] = True
+                    else:
+                        pred = pf.mv_pred_dec8(mv8, inter8, 2 * mby,
+                                               2 * mbx, 2, nbx2)
+                        mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+                        pf._set_mb_mv8(ctx, mbx, mby, mv)
                     ctx["p_z_luma"][mby, mbx] = luma
                     ctx["p_cdc"][mby, mbx] = cdc
                     ctx["p_cac"][mby, mbx] = cac
@@ -377,9 +399,15 @@ class H264Decoder:
             # fold the PPS chroma_qp_index_offset into the lookup table
             cq = np.asarray(CHROMA_QP_FULL)[
                 np.clip(np.arange(52) + pp.chroma_qp_index_offset, 0, 51)]
-            mvq = ((ctx["mvs0"], ctx["mvs1"],
-                    np.stack([ctx["use0"], ctx["use1"]], axis=-1))
-                   if is_b else mvs)
+            if is_b:
+                mvq = (ctx["mvs0"], ctx["mvs1"],
+                       np.stack([ctx["use0"], ctx["use1"]], axis=-1))
+            elif is_p:
+                # 8x8-block MV grid (bS granularity for P_8x8 partitions;
+                # pure-16x16 frames replicate, same result)
+                mvq = ctx["mvs8"]
+            else:
+                mvq = mvs
             yf, uf, vf = dbf.deblock_frame_host(
                 y, u, v, qp_mb, intra_mb, nz, mvq, cq,
                 t8=ctx.get("p_t8"))
@@ -395,8 +423,17 @@ class H264Decoder:
                         v.astype(np.uint8))
             # colZero grid for B spatial direct when this picture serves
             # as L1[0]: inter MB with both |mv| <= 1 quarter-pel
-            colz = (mv_valid & (np.abs(mvs) <= 1).all(-1)) if is_p \
-                else np.zeros(mv_valid.shape, bool)
+            if is_p:
+                # per-MB colZero: ALL four 8x8 blocks zero-motion (for
+                # P_8x8 anchors the encoder only emits B_Skip/direct
+                # where the colocated colZero is uniform, so the MB-level
+                # grid stays spec-exact wherever it is consulted)
+                z8 = (np.abs(ctx["mvs8"]) <= 1).all(-1)
+                nby, nbx = mv_valid.shape
+                colz = mv_valid & z8.reshape(nby, 2, nbx, 2).all(
+                    axis=(1, 3))
+            else:
+                colz = np.zeros(mv_valid.shape, bool)
             self.dpb.append((poc, self.ref, colz))
             if self.sp.num_ref_frames and \
                     len(self.dpb) > max(1, self.sp.num_ref_frames):

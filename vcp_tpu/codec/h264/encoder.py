@@ -48,6 +48,7 @@ class EncoderConfig:
     cabac: bool = True             # CABAC entropy (VCP_CABAC=0 -> CAVLC)
     bframes: int = 0               # B pictures between anchors (-bf)
     transform8: bool = False       # High-profile adaptive 8x8 transform
+    parts: bool = False            # P_8x8 sub-partitions (quality presets)
     params: EncodeParams | None = None   # original preset args (rate control)
 
     @classmethod
@@ -66,6 +67,12 @@ class EncoderConfig:
         cfg.transform8 = cfg.cabac and params.effort >= 5
         if os.environ.get("VCP_T8"):
             cfg.transform8 = os.environ["VCP_T8"] != "0"
+        # P_8x8 sub-partitions: quality presets only (x264 medium runs
+        # p8x8 analysis; the extra 8x8-granular search/MC costs device
+        # time the speed presets spend on throughput)
+        cfg.parts = params.effort >= 5
+        if os.environ.get("VCP_PARTS"):
+            cfg.parts = os.environ["VCP_PARTS"] != "0"
         if params.bframes >= 0:
             cfg.bframes = max(0, min(8, params.bframes))
         elif cfg.cabac and params.effort >= 5:
@@ -195,11 +202,15 @@ class H264Encoder:
                                    deblock=self.cfg.deblock,
                                    subpel=pframe.subpel_for_effort(
                                        self.cfg.effort),
-                                   t8=self.cfg.transform8)
+                                   t8=self.cfg.transform8,
+                                   parts=self.cfg.parts)
         data = {k: np.asarray(out[k]) for k in
                 ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
         if self.cfg.transform8:
             data["t8"] = np.asarray(out["t8"])
+        if self.cfg.parts:
+            data["mv8"] = np.asarray(out["mv8"])
+            data["parts"] = np.asarray(out["parts"])
         self._last_p_data = data
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         return pframe.write_pslice(self.sp, self.pp,
@@ -431,19 +442,35 @@ class H264Encoder:
             ayp, aup, avp = self._pad(*frames[a])
             pout = pframe.encode_pframe(
                 ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
-                deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8)
+                deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8,
+                parts=cfg.parts)
             pdata = {kk: np.asarray(pout[kk]) for kk in
                      ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
             if cfg.transform8:
                 pdata["t8"] = np.asarray(pout["t8"])
+            if cfg.parts:
+                pdata["mv8"] = np.asarray(pout["mv8"])
+                pdata["parts"] = np.asarray(pout["parts"])
             out.append((pframe.write_pslice(
                 self.sp, self.pp, frame_num=k, qp=qp, data=pdata,
                 deblock=cfg.deblock, cabac=cfg.cabac,
                 poc_lsb=2 * a), False, cts(a)))
             cur_recon = (pout["recon_y"], pout["recon_u"], pout["recon_v"])
             # colZero grid of the future anchor (L1[0]) for B_Skip
-            # spatial-direct derivation: inter MB with |mv| <= 1 qpel
-            col_zero = (np.abs(pdata["mv"]) <= 1).all(-1)
+            # spatial-direct derivation: inter MB with |mv| <= 1 qpel.
+            # With P_8x8 anchors colZero is per 8x8 block; the MB grid is
+            # ALL-four-zero, and col_safe masks out MBs where the four
+            # blocks disagree (no B_Skip there — spec derivation would
+            # split inside the MB).
+            if cfg.parts:
+                z8 = (np.abs(pdata["mv8"]) <= 1).all(-1)
+                zq = z8.reshape(self.sp.mb_height, 2,
+                                self.sp.mb_width, 2)
+                col_zero = zq.all(axis=(1, 3))
+                col_safe = col_zero | ~zq.any(axis=(1, 3))
+            else:
+                col_zero = (np.abs(pdata["mv"]) <= 1).all(-1)
+                col_safe = None
 
             for d in range(prev_a + 1, a):
                 byp, bup, bvp = self._pad(*frames[d])
@@ -455,6 +482,8 @@ class H264Encoder:
                          ("mv0", "mv1", "mode", "luma",
                           "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
                 bdata["col_zero"] = col_zero
+                if col_safe is not None:
+                    bdata["col_safe"] = col_safe
                 out.append((bfmod.write_bslice(
                     self.sp, self.pp, frame_num=k + 1, qp=qp_b,
                     data=bdata, deblock=cfg.deblock, cabac=cfg.cabac,

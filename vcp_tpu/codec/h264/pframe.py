@@ -86,11 +86,118 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
 
 def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
                   deblock: bool = False, subpel: int = 1,
-                  t8: bool = False):
+                  t8: bool = False, parts: bool = False):
     lam = lam_for_qp(qp)
+    if parts:
+        return _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
+                                           qp, qpc, search_range, lam,
+                                           deblock, subpel, t8)
     return _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                                  qp, qpc, search_range, lam, deblock,
                                  subpel, t8)
+
+
+# extra-bits penalty for choosing P_8x8 over P_L0_16x16 (mb_type ue +
+# four sub_mb_types + three extra mvd headers), in the SAD-lambda
+# currency; tuned on the golden clips
+P8X8_BIT_PENALTY = 16
+
+
+@functools.partial(jax.jit, static_argnums=(8, 10, 11, 12))
+def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
+                                qp, qpc, sr: int, lam,
+                                deblock: bool = False, subpel: int = 1,
+                                t8: bool = False):
+    """P step with the P_8x8 partition decision (quality presets).
+
+    One full-pel sweep scores BOTH granularities (ops.motion.
+    full_search_parts); each is sub-pel refined, then every MB picks
+    16x16 vs 4x 8x8 by SAD + lambda*mv-rate with a fixed bit penalty for
+    the partition syntax overhead. The final MV field lives on the 8x8
+    grid (16x16 MBs replicate their vector), so MC, residual coding and
+    deblocking run once, partition-agnostic. Mirrors libx264 medium's
+    p8x8 analysis (ref internal/config/config.go:49).
+    """
+    from ...ops import motion as mops
+    from . import gop_ops
+    y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
+    ref_y, ref_u, ref_v = (a.astype(jnp.int32)
+                           for a in (ref_y, ref_u, ref_v))
+    h, w = y.shape
+    n_mby, n_mbx = h // 16, w // 16
+
+    mv16f, mv8f = mops.full_search_parts(y, ref_y, sr, lam)
+    pad = sr + 6
+    margin = pad - 3
+    planes = jnp.stack(mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
+    if subpel:
+        q = subpel >= 2
+        mv16 = mops.refine_subpel(y, planes, mv16f, lam, margin, quarter=q)
+        mv8 = mops.refine_subpel(y, planes, mv8f, lam, margin, quarter=q,
+                                 bs=8)
+        mc = mops.mc_luma_q if q else mops.mc_luma_h
+    else:
+        mv16, mv8 = mv16f * 4, mv8f * 4
+        mc = mops.mc_luma_q
+    pred16 = mc(planes, mv16, margin, 0)
+    pred8 = mc(planes, mv8, margin, 0, bs=8)
+
+    def sad_grid(pred, bs):
+        nby, nbx = h // bs, w // bs
+        return jnp.abs(y - pred).reshape(nby, bs, nbx, bs).sum(axis=(1, 3))
+
+    mv16_q = jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1)   # (2nby, 2nbx, 2)
+
+    def rate(vq):
+        return (jnp.abs(vq[..., 0]) + jnp.abs(vq[..., 1])) >> 1
+
+    sad16 = sad_grid(pred16, 16)
+    sad8 = sad_grid(pred8, 8)
+    cost16 = sad16 + lam * rate(mv16)
+    # 8x8 mvds are predicted by neighbors; the 16x16 winner is a stand-in
+    # predictor for the rate estimate
+    r8 = rate(mv8 - mv16_q)
+    cost8 = (sad8 + lam * r8).reshape(n_mby, 2, n_mbx, 2).sum(
+        axis=(1, 3)) + lam * P8X8_BIT_PENALTY
+    part = cost8 < cost16
+    part2 = jnp.repeat(jnp.repeat(part, 2, 0), 2, 1)
+    mv8_final = jnp.where(part2[..., None], mv8, mv16_q)
+    part_px = jnp.repeat(jnp.repeat(part, 16, 0), 16, 1)
+    pred_y = jnp.where(part_px, pred8, pred16)
+
+    if jax.default_backend() == "cpu":
+        pred_u = mops.mc_chroma_q(ref_u, mv8_final, sr // 2 + 2, 0, bs=8)
+        pred_v = mops.mc_chroma_q(ref_v, mv8_final, sr // 2 + 2, 0, bs=8)
+    else:
+        pred_u, pred_v = mops.mc_chroma_q_pair(ref_u, ref_v, mv8_final,
+                                               sr // 2 + 2, 0, bs=8)
+
+    (z_luma, cb_dc, cb_ac, cr_dc, cr_ac,
+     recon_y, recon_u, recon_v, nz4, t8g) = gop_ops._residual_recon(
+        y, u, v, pred_y, pred_u, pred_v, qp, qpc, t8=t8)
+
+    if deblock:
+        from ...ops import deblock as dbf
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        intra = jnp.zeros((n_mby, n_mbx), bool)
+        recon_y, recon_u, recon_v = dbf.deblock_frame(
+            recon_y, recon_u, recon_v, qp_mb, intra, nz4, mv8_final,
+            tf.CHROMA_QP_FULL, no_strong=True, qp_scalar=qp,
+            t8=t8g if t8 else None)
+
+    return {
+        "mv": mv8_final[::2, ::2],             # partition-0 view (compat)
+        "mv8": mv8_final, "parts": part,
+        "cb_dc": cb_dc.reshape(n_mby, n_mbx, 4),
+        "cr_dc": cr_dc.reshape(n_mby, n_mbx, 4),
+        "t8": t8g,
+        "luma": z_luma.reshape(n_mby, n_mbx, 16, 16),
+        "cb_ac": cb_ac.reshape(n_mby, n_mbx, 4, 16),
+        "cr_ac": cr_ac.reshape(n_mby, n_mbx, 4, 16),
+        "recon_y": recon_y.astype(jnp.uint8),
+        "recon_u": recon_u.astype(jnp.uint8),
+        "recon_v": recon_v.astype(jnp.uint8),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +270,82 @@ def skip_mv(mvs, valid, mbx, mby, n_mbx):
 
 
 # ---------------------------------------------------------------------------
+# MV prediction on the 8x8 block grid (frames with P_8x8 partitions).
+# Spec 8.4.1.3 works in 4x4 units; with every partition >= 8x8 the 8x8
+# grid carries the same information. For all-16x16 frames these reduce
+# exactly to mv_pred/skip_mv above (the neighbor blocks hit the same MBs).
+# ---------------------------------------------------------------------------
+
+def _blk8_before(by, bx, cby, cbx):
+    """Is 8x8 block (cby, cbx) decoded before the partition whose
+    top-left block is (by, bx)? MB raster order; partitions 0..3 raster
+    within an MB."""
+    mb = (by >> 1, bx >> 1)
+    cmb = (cby >> 1, cbx >> 1)
+    if cmb != mb:
+        return cmb < mb
+    return (2 * (cby & 1) + (cbx & 1)) < (2 * (by & 1) + (bx & 1))
+
+
+def _neighbor8(mv8, valid8, by, bx, pw, nbx2):
+    """(mvA, refA, mvB, refB, mvC, refC) for the partition with top-left
+    8x8 block (by, bx), width ``pw`` blocks (2 = 16x16, 1 = 8x8).
+    Encoder semantics: not-inter == unavailable (ref -1), matching
+    _neighbor above. C is the block above-right of the partition,
+    substituted by D (above-left) when not available in decode order."""
+    def get(cby, cbx):
+        if cbx < 0 or cby < 0 or cbx >= nbx2:
+            return (0, 0), -1
+        if not valid8[cby, cbx]:
+            return (0, 0), -1
+        return (int(mv8[cby, cbx, 0]), int(mv8[cby, cbx, 1])), 0
+
+    a, ra = get(by, bx - 1)
+    b, rb = get(by - 1, bx)
+    c_exists = (by - 1 >= 0 and bx + pw < nbx2
+                and _blk8_before(by, bx, by - 1, bx + pw))
+    if c_exists:
+        c, rc = get(by - 1, bx + pw)
+    else:
+        c, rc = (0, 0), -1
+    if not c_exists or rc < 0:
+        d, rd = get(by - 1, bx - 1)
+        if rc < 0:
+            c, rc = d, rd
+    return a, ra, b, rb, c, rc
+
+
+def mv_pred8(mv8, valid8, by, bx, pw, nbx2):
+    """Median MV predictor for a partition on the 8x8 grid."""
+    a, ra, b, rb, c, rc = _neighbor8(mv8, valid8, by, bx, pw, nbx2)
+    b_exists = by - 1 >= 0 and rb >= 0
+    c_avail = rc >= 0
+    a_avail = ra >= 0
+    if not b_exists and not c_avail and a_avail:
+        return a
+    refs = [ra, rb, rc]
+    hits = [i for i, r in enumerate(refs) if r == 0]
+    if len(hits) == 1:
+        return (a, b, c)[hits[0]]
+    xs = sorted((a[0], b[0], c[0]))
+    ys = sorted((a[1], b[1], c[1]))
+    return (xs[1], ys[1])
+
+
+def skip_mv8(mv8, valid8, mbx, mby, nbx2):
+    """P_Skip MV (spec 8.4.1.1) on the 8x8 grid."""
+    by, bx = 2 * mby, 2 * mbx
+    if bx - 1 < 0 or by - 1 < 0:
+        return (0, 0)
+    a, ra, b, rb, _, _ = _neighbor8(mv8, valid8, by, bx, 2, nbx2)
+    if (ra == 0 and a == (0, 0)) or (rb == 0 and b == (0, 0)):
+        return (0, 0)
+    if ra < 0 or rb < 0:
+        return (0, 0)
+    return mv_pred8(mv8, valid8, by, bx, 2, nbx2)
+
+
+# ---------------------------------------------------------------------------
 # Host entropy: P slice
 # ---------------------------------------------------------------------------
 
@@ -175,6 +358,18 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     lib = native.get_lib()
     t8 = data.get("t8")
     has_t8 = t8 is not None and bool(np.asarray(t8).any())
+    if data.get("parts") is not None and bool(np.asarray(
+            data["parts"]).any()):
+        # P_8x8 partition frames: Python writers only (the C++ engines
+        # cover the 16x16-only speed presets)
+        if cabac:
+            from .cabac_syntax import write_pslice_cabac
+            return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
+                                      data=data, deblock=deblock,
+                                      poc_lsb=poc_lsb)
+        return _write_pslice_py(sp, pp, frame_num=frame_num, qp=qp,
+                                data=data, deblock=deblock,
+                                poc_lsb=poc_lsb)
     if cabac:
         assert pp.cabac, "pp.cabac must match the slice entropy mode"
         if lib is not None and hasattr(lib, "vcp_write_pslice_cabac_t8") \
@@ -270,16 +465,39 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
     return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
 
 
+def _mv8_grid_xy(data: dict, n_mby: int, n_mbx: int):
+    """(mv8_xy (2nMBy, 2nMBx, 2) int grid, parts (nMBy, nMBx) bool) from
+    an entropy data dict: uses the 8x8-grid field when the device emitted
+    one, else replicates the per-MB field. MBs whose four quadrant MVs
+    are identical are demoted to 16x16 (identical reconstruction, fewer
+    bits — and the decoder rebuilds the exact same grid either way)."""
+    mv8 = data.get("mv8")
+    if mv8 is None:
+        mv = np.asarray(data["mv"])
+        mv8 = np.repeat(np.repeat(mv, 2, 0), 2, 1)
+        parts = np.zeros((n_mby, n_mbx), bool)
+    else:
+        mv8 = np.asarray(mv8)
+        parts = np.asarray(data.get("parts"),
+                           bool).copy() if data.get("parts") is not None \
+            else np.zeros((n_mby, n_mbx), bool)
+        quads = mv8.reshape(n_mby, 2, n_mbx, 2, 2)
+        uniform = (quads == quads[:, :1, :, :1]).all(axis=(1, 3, 4))
+        parts &= ~uniform
+    mv8_xy = np.stack([mv8[..., 1], mv8[..., 0]], axis=-1)
+    return mv8_xy, parts
+
+
 def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                      qp: int, data: dict, deblock: bool = False,
                      poc_lsb: int = 0) -> bytes:
     n_mby, n_mbx = sp.mb_height, sp.mb_width
+    nbx2 = 2 * n_mbx
     bw = BitWriter()
     H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
                          slice_qp=qp, disable_deblocking=not deblock,
                          poc_lsb=poc_lsb)
 
-    mv = data["mv"]                # (nMBy, nMBx, 2) full-pel [dy, dx]
     luma = data["luma"]            # (nMBy, nMBx, 16, 16)
     cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
     cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
@@ -288,13 +506,13 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     nz_cb = NzContext(2 * n_mby, 2 * n_mbx)
     nz_cr = NzContext(2 * n_mby, 2 * n_mbx)
     t8 = data.get("t8")                     # 8x8-transform flags (or None)
-    valid = np.ones((n_mby, n_mbx), bool)   # all MBs inter in this encoder
+    valid8 = np.ones((2 * n_mby, nbx2), bool)   # all MBs inter here
     # sparse-fetch chunks carry only ACTIVE MBs; the rest are skips whose
     # MV we re-derive here (spec 8.4.1.1 — same rule the device used to
     # classify them, gop_ops.skip_mv_grid)
     active = data.get("active")
-    # store mv as (x, y) for prediction convenience
-    mv_xy = np.stack([mv[..., 1], mv[..., 0]], axis=-1)
+    # MV field on the 8x8 block grid, (x, y) order
+    mv8_xy, parts = _mv8_grid_xy(data, n_mby, n_mbx)
 
     # precompute per-MB cbp
     luma_nz = np.any(luma != 0, axis=-1)                 # (nMBy, nMBx, 16)
@@ -305,27 +523,44 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     any_cdc = np.any(cb_dc != 0, axis=-1) | np.any(cr_dc != 0, axis=-1)
     cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
 
+    def set_mb_mv(mby, mbx, m):
+        mv8_xy[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = m
+
     skip_run = 0
     for mby in range(n_mby):
         for mbx in range(n_mbx):
             if active is not None and not active[mby, mbx]:
-                mv_xy[mby, mbx] = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
+                set_mb_mv(mby, mbx,
+                          skip_mv8(mv8_xy, valid8, mbx, mby, nbx2))
                 skip_run += 1
                 _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby)
                 continue
-            m = (int(mv_xy[mby, mbx, 0]), int(mv_xy[mby, mbx, 1]))
             cbp = int(cbp_luma[mby, mbx]) | (int(cbp_chroma[mby, mbx]) << 4)
-            smv = skip_mv(mv_xy, valid, mbx, mby, n_mbx)
-            if cbp == 0 and m == smv:
-                skip_run += 1
-                _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby)
-                continue
+            part = bool(parts[mby, mbx])
+            m = (int(mv8_xy[2 * mby, 2 * mbx, 0]),
+                 int(mv8_xy[2 * mby, 2 * mbx, 1]))
+            if not part:
+                smv = skip_mv8(mv8_xy, valid8, mbx, mby, nbx2)
+                if cbp == 0 and m == smv:
+                    skip_run += 1
+                    _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby)
+                    continue
             bw.ue(skip_run)
             skip_run = 0
-            pred = mv_pred(mv_xy, valid, mbx, mby, n_mbx)
-            bw.ue(MB_TYPE_P16x16)
-            bw.se(m[0] - pred[0])           # mvd_l0 x (mv already 1/4-pel)
-            bw.se(m[1] - pred[1])
+            if part:
+                bw.ue(3)                    # mb_type P_8x8
+                for _ in range(4):
+                    bw.ue(0)                # sub_mb_type P_L0_8x8
+                for q in range(4):
+                    by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+                    pred = mv_pred8(mv8_xy, valid8, by, bx, 1, nbx2)
+                    bw.se(int(mv8_xy[by, bx, 0]) - pred[0])
+                    bw.se(int(mv8_xy[by, bx, 1]) - pred[1])
+            else:
+                pred = mv_pred8(mv8_xy, valid8, 2 * mby, 2 * mbx, 2, nbx2)
+                bw.ue(MB_TYPE_P16x16)
+                bw.se(m[0] - pred[0])       # mvd_l0 x (mv already 1/4-pel)
+                bw.se(m[1] - pred[1])
             bw.ue(CBP_INTER_TO_CODE[cbp])
             t8f = bool(t8[mby, mbx]) if t8 is not None else False
             if (cbp & 15) > 0 and pp.transform_8x8:
@@ -413,21 +648,22 @@ def _tap6_y_np(a):
             + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
 
 
-def _mc_luma_np(ref_y, y0, x0, mvq_y, mvq_x):
-    """Quarter-pel luma MC for one MB (spec 8.4.2.2.1), numpy mirror of
-    ops.motion.half_planes/mc_luma_q. Coordinates clamp to the picture."""
+def _mc_luma_np(ref_y, y0, x0, mvq_y, mvq_x, ns: int = 16):
+    """Quarter-pel luma MC for one ``ns`` x ``ns`` block (spec 8.4.2.2.1),
+    numpy mirror of ops.motion.half_planes/mc_luma_q. Coordinates clamp
+    to the picture."""
     h, w = ref_y.shape
     iy, ix = mvq_y >> 2, mvq_x >> 2
     fy, fx = mvq_y & 3, mvq_x & 3
     if fy == 0 and fx == 0:
         # full-pel: plain clamped gather, no interpolation planes
-        ys = np.clip(np.arange(y0 + iy, y0 + iy + 16), 0, h - 1)
-        xs = np.clip(np.arange(x0 + ix, x0 + ix + 16), 0, w - 1)
+        ys = np.clip(np.arange(y0 + iy, y0 + iy + ns), 0, h - 1)
+        xs = np.clip(np.arange(x0 + ix, x0 + ix + ns), 0, w - 1)
         return ref_y[np.ix_(ys, xs)].astype(np.int64)
-    # fetch a clamped (28, 28) region: MB 16 + one-sample case offsets +
+    # fetch a clamped (ns+12)² region: block + one-sample case offsets +
     # filter margins (origin at base-6; planes align at region+3)
-    ys = np.clip(np.arange(y0 + iy - 6, y0 + iy + 22), 0, h - 1)
-    xs = np.clip(np.arange(x0 + ix - 6, x0 + ix + 22), 0, w - 1)
+    ys = np.clip(np.arange(y0 + iy - 6, y0 + iy + ns + 6), 0, h - 1)
+    xs = np.clip(np.arange(x0 + ix - 6, x0 + ix + ns + 6), 0, w - 1)
     a = ref_y[np.ix_(ys, xs)].astype(np.int64)
     b1 = _tap6_x_np(a)
     h1 = _tap6_y_np(a)
@@ -439,11 +675,11 @@ def _mc_luma_np(ref_y, y0, x0, mvq_y, mvq_x):
     planes = (g, b, hh, j)
     from ...ops.motion import _QPEL_TABLE
     p1i, o1y, o1x, p2i, o2y, o2x = _QPEL_TABLE[fy * 4 + fx]
-    base = 3  # plane coord of the MB origin
-    p1 = planes[p1i][base + o1y: base + o1y + 16,
-                     base + o1x: base + o1x + 16]
-    p2 = planes[p2i][base + o2y: base + o2y + 16,
-                     base + o2x: base + o2x + 16]
+    base = 3  # plane coord of the block origin
+    p1 = planes[p1i][base + o1y: base + o1y + ns,
+                     base + o1x: base + o1x + ns]
+    p2 = planes[p2i][base + o2y: base + o2y + ns,
+                     base + o2x: base + o2x + ns]
     return (p1 + p2 + 1) >> 1
 
 
@@ -558,33 +794,107 @@ def skip_mv_dec(mvs, inter, mbx, mby, n_mbx):
     return mv_pred_dec(mvs, inter, mbx, mby, n_mbx)
 
 
+# -- decoder-semantics MV prediction on the 8x8 block grid ---------------
+# (spec availability: out-of-picture -> unavailable; an intra block IS
+# available with mv (0,0) / refIdx -1.)
+
+def _get_dec8(mv8, inter8, by, bx, nbx2):
+    if bx < 0 or by < 0 or bx >= nbx2:
+        return None
+    if not inter8[by, bx]:
+        return ((0, 0), -1)
+    return ((int(mv8[by, bx, 0]), int(mv8[by, bx, 1])), 0)
+
+
+def _mv_neighbors_dec8(mv8, inter8, by, bx, pw, nbx2):
+    a = _get_dec8(mv8, inter8, by, bx - 1, nbx2)
+    b = _get_dec8(mv8, inter8, by - 1, bx, nbx2)
+    c = None
+    if by - 1 >= 0 and bx + pw < nbx2 and _blk8_before(by, bx,
+                                                      by - 1, bx + pw):
+        c = _get_dec8(mv8, inter8, by - 1, bx + pw, nbx2)
+    if c is None:
+        c = _get_dec8(mv8, inter8, by - 1, bx - 1, nbx2)
+    return a, b, c
+
+
+def mv_pred_dec8(mv8, inter8, by, bx, pw, nbx2):
+    """Spec 8.4.1.3 median prediction for a partition with top-left 8x8
+    block (by, bx), width pw blocks (2 = 16x16 MB, 1 = 8x8)."""
+    a, b, c = _mv_neighbors_dec8(mv8, inter8, by, bx, pw, nbx2)
+    if b is None and c is None and a is not None:
+        return a[0]
+    matches = [n for n in (a, b, c) if n is not None and n[1] == 0]
+    if len(matches) == 1:
+        return matches[0][0]
+    vals = [(n[0] if n is not None else (0, 0)) for n in (a, b, c)]
+    return tuple(sorted(v[k] for v in vals)[1] for k in range(2))
+
+
+def skip_mv_dec8(mv8, inter8, mbx, mby, nbx2):
+    """Spec 8.4.1.1 P_Skip MV on the 8x8 grid (decoder semantics)."""
+    by, bx = 2 * mby, 2 * mbx
+    a, b, _ = _mv_neighbors_dec8(mv8, inter8, by, bx, 2, nbx2)
+    if a is None or b is None:
+        return (0, 0)
+    if a[1] == 0 and a[0] == (0, 0):
+        return (0, 0)
+    if b[1] == 0 and b[0] == (0, 0):
+        return (0, 0)
+    return mv_pred_dec8(mv8, inter8, by, bx, 2, nbx2)
+
+
+def _set_mb_mv8(ctx, mbx, mby, mv):
+    """Record a 16x16 MB's MV on the 8x8 grid + the per-MB view."""
+    ctx["mvs8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = mv
+    ctx["valid8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = True
+    ctx["mvs"][mby, mbx] = mv
+    ctx["mv_valid"][mby, mbx] = True
+
+
 def decode_pskip(dec, ctx, mbx, mby, ref):
     """Parse-time half of a skipped MB: derive the skip MV and zero the
     nC context. Reconstruction is deferred to recon_p_frame (inter recon
     reads only the reference frame, so it is order-independent)."""
     sp = ctx["sp"]
-    mvs, valid = ctx["mvs"], ctx["mv_valid"]
-    mv = skip_mv_dec(mvs, valid, mbx, mby, sp.mb_width)
-    mvs[mby, mbx] = mv
-    valid[mby, mbx] = True
+    mv = skip_mv_dec8(ctx["mvs8"], ctx["valid8"], mbx, mby,
+                      2 * sp.mb_width)
+    _set_mb_mv8(ctx, mbx, mby, mv)
     ctx["nz_y"].nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
     ctx["nz_cb"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
     ctx["nz_cr"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
 
 
 def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
-    """Parse-time half of a P_L0_16x16 MB: MVD + residual levels into the
-    per-frame defer arrays; recon happens vectorized in recon_p_frame."""
+    """Parse-time half of a P_L0_16x16 / P_8x8 MB: MVD + residual levels
+    into the per-frame defer arrays; recon happens vectorized in
+    recon_p_frame."""
     from .decoder import DecodeError
-    if mb_type != MB_TYPE_P16x16:
-        raise DecodeError(f"P mb_type {mb_type} unsupported")
     br = ctx["br"]
     sp = ctx["sp"]
     pp = ctx["pp"]
-    mvs, valid = ctx["mvs"], ctx["mv_valid"]
-    mvd_x, mvd_y = br.se(), br.se()
-    pred = mv_pred_dec(mvs, valid, mbx, mby, sp.mb_width)
-    mv = (pred[0] + mvd_x, pred[1] + mvd_y)   # quarter-pel units
+    nbx2 = 2 * sp.mb_width
+    mv8, inter8 = ctx["mvs8"], ctx["valid8"]
+    if mb_type in (3, 4):                     # P_8x8 / P_8x8ref0
+        for _ in range(4):
+            sub = br.ue()
+            if sub != 0:
+                raise DecodeError(f"sub_mb_type {sub} unsupported")
+        for q in range(4):
+            by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+            mvd_x, mvd_y = br.se(), br.se()
+            inter8[by, bx] = True             # decoded, inter
+            pred = mv_pred_dec8(mv8, inter8, by, bx, 1, nbx2)
+            mv8[by, bx] = (pred[0] + mvd_x, pred[1] + mvd_y)
+        ctx["mvs"][mby, mbx] = mv8[2 * mby, 2 * mbx]
+        ctx["mv_valid"][mby, mbx] = True
+        mv = None
+    elif mb_type == MB_TYPE_P16x16:
+        mvd_x, mvd_y = br.se(), br.se()
+        pred = mv_pred_dec8(mv8, inter8, 2 * mby, 2 * mbx, 2, nbx2)
+        mv = (pred[0] + mvd_x, pred[1] + mvd_y)   # quarter-pel units
+    else:
+        raise DecodeError(f"P mb_type {mb_type} unsupported")
     code = br.ue()
     cbp = CBP_TABLE[code][1]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -648,8 +958,8 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
                 total = int(np.count_nonzero(coeffs))
             nzc.nz[by, bx] = total
 
-    mvs[mby, mbx] = mv
-    valid[mby, mbx] = True
+    if mv is not None:
+        _set_mb_mv8(ctx, mbx, mby, mv)
 
 
 # raster (oy, ox) grid → coding-order block index, for scattering batched
@@ -675,22 +985,23 @@ def recon_p_frame(ctx, ref):
     qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
     ref_y, ref_u, ref_v = ref
     inter = ctx["mv_valid"]
-    mvs = ctx["mvs"]
-    n_mby, n_mbx = mvs.shape[:2]
+    n_mby, n_mbx = inter.shape
+    # MV field on the 8x8 block grid (16x16 MBs replicate their vector)
+    mv8, inter8 = ctx["mvs8"], ctx["valid8"]
     h, w = y.shape
     hc, wc = u.shape
-    mvx, mvy = mvs[..., 0], mvs[..., 1]
+    mvx, mvy = mv8[..., 0], mv8[..., 1]
 
-    # ---- luma prediction: full-pel gather + per-MB sub-pel fallback
-    dyf = np.repeat(np.repeat(mvy >> 2, 16, 0), 16, 1)
-    dxf = np.repeat(np.repeat(mvx >> 2, 16, 0), 16, 1)
+    # ---- luma prediction: full-pel gather + per-8x8 sub-pel fallback
+    dyf = np.repeat(np.repeat(mvy >> 2, 8, 0), 8, 1)
+    dxf = np.repeat(np.repeat(mvx >> 2, 8, 0), 8, 1)
     rows = np.clip(np.arange(h)[:, None] + dyf, 0, h - 1)
     cols = np.clip(np.arange(w)[None, :] + dxf, 0, w - 1)
     pred = ref_y[rows, cols]                   # int32 (values fit easily)
-    for mby, mbx in np.argwhere(inter & (((mvx | mvy) & 3) != 0)):
-        pred[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
-            _mc_luma_np(ref_y, 16 * mby, 16 * mbx,
-                        int(mvy[mby, mbx]), int(mvx[mby, mbx]))
+    for by, bx in np.argwhere(inter8 & (((mvx | mvy) & 3) != 0)):
+        pred[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = \
+            _mc_luma_np(ref_y, 8 * by, 8 * bx,
+                        int(mvy[by, bx]), int(mvx[by, bx]), ns=8)
 
     # ---- luma residual: batch unzigzag → dequant → idct → plane
     z = ctx["p_z_luma"]                        # (nMBy, nMBx, 16, 16)
@@ -720,10 +1031,11 @@ def recon_p_frame(ctx, ref):
     y[mask] = out_y[mask]
 
     # ---- chroma: vectorized 1/8-pel bilinear for every fraction
-    dy8 = np.repeat(np.repeat(mvy >> 3, 8, 0), 8, 1)
-    dx8 = np.repeat(np.repeat(mvx >> 3, 8, 0), 8, 1)
-    fy8 = np.repeat(np.repeat(mvy & 7, 8, 0), 8, 1)
-    fx8 = np.repeat(np.repeat(mvx & 7, 8, 0), 8, 1)
+    # (the MV grid is per-8x8-luma-block, i.e. per 4x4 chroma pixels)
+    dy8 = np.repeat(np.repeat(mvy >> 3, 4, 0), 4, 1)
+    dx8 = np.repeat(np.repeat(mvx >> 3, 4, 0), 4, 1)
+    fy8 = np.repeat(np.repeat(mvy & 7, 4, 0), 4, 1)
+    fx8 = np.repeat(np.repeat(mvx & 7, 4, 0), 4, 1)
     base_r = np.arange(hc)[:, None] + dy8
     base_c = np.arange(wc)[None, :] + dx8
     r0 = np.clip(base_r, 0, hc - 1)

@@ -228,7 +228,9 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp,
     """Boundary strengths for all internal luma edges in one direction.
 
     intra_mb: (nMBy, nMBx) bool; nz_blk: (H/4, W/4) bool (block has
-    residual); mvq: (nMBy, nMBx, 2) quarter-pel, OR — for B pictures —
+    residual); mvq: (nMBy, nMBx, 2) quarter-pel — or (2nMBy, 2nMBx, 2)
+    for frames with P_8x8 partitions (one vector per 8x8 block; the
+    granularity is inferred from the shape) — OR, for B pictures,
     a tuple ``(mv0, mv1, use)`` with mv0/mv1 (nMBy, nMBx, 2) per-list
     quarter-pel MVs and use (nMBy, nMBx, 2) bool list-usage flags
     (L0-only / L1-only / Bi per MB). ``t8`` (nMBy, nMBx) bool flags
@@ -272,7 +274,8 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp,
         both1 = u_e[:, :-1, 1] & u_e[:, 1:, 1]
         mv_diff = use_diff | (both0 & d0) | (both1 & d1)
     else:
-        mv_e = xp.repeat(xp.repeat(mvq, 4, 0), 4, 1)        # (bh, bw, 2)
+        rep = bh // mvq.shape[0]          # 4 = per-MB grid, 2 = per-8x8
+        mv_e = xp.repeat(xp.repeat(mvq, rep, 0), rep, 1)    # (bh, bw, 2)
         mv_diff = xp.any(xp.abs(mv_e[:, :-1] - mv_e[:, 1:]) >= 4, axis=-1)
     bs = xp.where(
         intra_e,

@@ -61,6 +61,53 @@ def full_search(cur, ref, search_range: int, lam=4, row0=0):
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
+def full_search_parts(cur, ref, search_range: int, lam=4):
+    """Full-pel exhaustive search at BOTH granularities in one sweep.
+
+    Same shifted-difference pass as full_search, but the per-offset
+    absolute differences reduce once per 8x8 block; the 16x16 SAD is the
+    sum of its four quadrants — so tracking the per-8x8 best alongside
+    the per-MB best costs only the extra argmin bookkeeping, not a second
+    search. Powers the P_8x8 partition decision (quality presets).
+    Returns (mv16 (nMBy, nMBx, 2), mv8 (2nMBy, 2nMBx, 2)) full-pel.
+    """
+    h, w = cur.shape
+    n_mby, n_mbx = h // 16, w // 16
+    nby2, nbx2 = 2 * n_mby, 2 * n_mbx
+    sr = search_range
+    side = 2 * sr + 1
+    ref_pad = jnp.pad(ref, sr, mode="edge")
+    cur_b8 = cur.reshape(nby2, 8, nbx2, 8)
+
+    def body(o, carry):
+        b16_cost, b16_o, b8_cost, b8_o = carry
+        dy = o // side - sr
+        dx = o % side - sr
+        shifted = jax.lax.dynamic_slice(ref_pad, (dy + sr, dx + sr), (h, w))
+        diff = jnp.abs(cur_b8 - shifted.reshape(nby2, 8, nbx2, 8))
+        sad8 = diff.sum(axis=(1, 3))                       # (nby2, nbx2)
+        sad16 = sad8.reshape(n_mby, 2, n_mbx, 2).sum(axis=(1, 3))
+        rate = lam * (jnp.abs(dx) + jnp.abs(dy))
+        c16 = sad16 + rate
+        c8 = sad8 + rate
+        bet16 = c16 < b16_cost
+        bet8 = c8 < b8_cost
+        return (jnp.where(bet16, c16, b16_cost),
+                jnp.where(bet16, o, b16_o),
+                jnp.where(bet8, c8, b8_cost),
+                jnp.where(bet8, o, b8_o))
+
+    init = (jnp.full((n_mby, n_mbx), 2**30, jnp.int32),
+            jnp.zeros((n_mby, n_mbx), jnp.int32),
+            jnp.full((nby2, nbx2), 2**30, jnp.int32),
+            jnp.zeros((nby2, nbx2), jnp.int32))
+    _, o16, _, o8 = jax.lax.fori_loop(0, side * side, body, init)
+    mv16 = jnp.stack([o16 // side - sr, o16 % side - sr], axis=-1)
+    mv8 = jnp.stack([o8 // side - sr, o8 % side - sr], axis=-1)
+    return mv16, mv8
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
 def mc_luma(ref, mv, search_range: int, row0=0):
     """Full-pel luma MC: gather each MB's 16x16 block at its MV.
 
@@ -156,24 +203,25 @@ _QPEL_P2 = np.array([_SRC_INDEX[tuple(r[3:])] for r in _QPEL_TABLE],
                     np.int32)
 
 
-def mc_luma_q(planes, mvq, margin: int, row0=0):
+def mc_luma_q(planes, mvq, margin: int, row0=0, bs: int = 16):
     """Quarter-pel luma MC from precomputed half-pel planes.
 
     planes: (4, Hp, Wp) stacked [G, b, h, j], aligned so that index
     (margin + y, margin + x) is integer position (y, x) of the frame.
-    mvq: (nMBy, nMBx, 2) [dy, dx] in QUARTER-pel units, covering a band
-    starting at frame row ``row0`` (0 = whole frame).
+    mvq: (nBy, nBx, 2) [dy, dx] in QUARTER-pel units, one vector per
+    ``bs`` x ``bs`` block (bs=16 whole MBs, bs=8 P_8x8 partitions),
+    covering a band starting at frame row ``row0`` (0 = whole frame).
 
     TPU shape: one dense 2D gather per distinct sample source (8 total)
     plus per-pixel where-chains — a per-pixel plane-index gather lowers to
     a catastrophically slow generic gather on TPU.
     """
     n_mby, n_mbx = mvq.shape[:2]
-    h, w = 16 * n_mby, 16 * n_mbx
-    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, 16, 0), 16, 1)
-    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, 16, 0), 16, 1)
-    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, 16, 0), 16, 1)
-    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, 16, 0), 16, 1)
+    h, w = bs * n_mby, bs * n_mbx
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, bs, 0), bs, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, bs, 0), bs, 1)
+    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, bs, 0), bs, 1)
+    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, bs, 0), bs, 1)
     case = fy * 4 + fx
     rows = jnp.arange(h)[:, None] + row0 + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
@@ -192,17 +240,19 @@ def mc_luma_q(planes, mvq, margin: int, row0=0):
     return (p1 + p2 + 1) >> 1
 
 
-def mc_chroma_q(ref_c, mvq_luma, margin: int, row0c=0):
+def mc_chroma_q(ref_c, mvq_luma, margin: int, row0c=0, bs: int = 16):
     """Chroma MC for quarter-pel luma MVs: chroma vector in 1/8 units
     equals the quarter-luma value (spec 8.4.1.4); full 1/8 bilinear.
-    ``row0c`` is the band's first CHROMA row (0 = whole frame)."""
-    hc, wc = 8 * mvq_luma.shape[0], 8 * mvq_luma.shape[1]
+    ``row0c`` is the band's first CHROMA row (0 = whole frame); ``bs``
+    the LUMA block size the MV grid covers (chroma blocks are bs//2)."""
+    cs = bs // 2
+    hc, wc = cs * mvq_luma.shape[0], cs * mvq_luma.shape[1]
     ref_pad = jnp.pad(ref_c, ((margin, margin + 1), (margin, margin + 1)),
                       mode="edge")
-    dy_i = jnp.repeat(jnp.repeat(mvq_luma[..., 0] >> 3, 8, 0), 8, 1)
-    dx_i = jnp.repeat(jnp.repeat(mvq_luma[..., 1] >> 3, 8, 0), 8, 1)
-    fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, 8, 0), 8, 1)
-    fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, 8, 0), 8, 1)
+    dy_i = jnp.repeat(jnp.repeat(mvq_luma[..., 0] >> 3, cs, 0), cs, 1)
+    dx_i = jnp.repeat(jnp.repeat(mvq_luma[..., 1] >> 3, cs, 0), cs, 1)
+    fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, cs, 0), cs, 1)
+    fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, cs, 0), cs, 1)
     rows = jnp.arange(hc)[:, None] + row0c + dy_i + margin
     cols = jnp.arange(wc)[None, :] + dx_i + margin
     a = ref_pad[rows, cols]
@@ -214,7 +264,8 @@ def mc_chroma_q(ref_c, mvq_luma, margin: int, row0c=0):
     return num >> 6
 
 
-def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0):
+def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0,
+                     bs: int = 16):
     """Both chroma planes' 1/8-pel MC via shift-and-select accumulation.
 
     Numerically identical to ``mc_chroma_q`` (asserted by tests) but
@@ -224,18 +275,20 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0):
     per-MB masks — dense VPU selects, ~10x faster. The four bilinear taps
     A/B/C/D of offset (dy, dx) are served by the slices at (dy, dx),
     (dy, dx+1), (dy+1, dx), (dy+1, dx+1), so one slice per iteration
-    feeds all four accumulators.
+    feeds all four accumulators. ``bs`` is the LUMA block size of the MV
+    grid (chroma bands are bs//2 rows).
     """
+    cs = bs // 2
     n_mby, n_mbx = mvq_luma.shape[:2]
-    hc, wc = 8 * n_mby, 8 * n_mbx
+    hc, wc = cs * n_mby, cs * n_mbx
     m = margin
     stack = jnp.stack([ref_u, ref_v]).astype(jnp.int32)
     ref_pad = jnp.pad(stack, ((0, 0), (m, m + 1), (m, m + 1)), mode="edge")
 
     dy_map = mvq_luma[..., 0] >> 3            # (mby, mbx) integer offsets
     dx_map = mvq_luma[..., 1] >> 3
-    fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, 8, 0), 8, 1)
-    fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, 8, 0), 8, 1)
+    fy = jnp.repeat(jnp.repeat(mvq_luma[..., 0] & 7, cs, 0), cs, 1)
+    fx = jnp.repeat(jnp.repeat(mvq_luma[..., 1] & 7, cs, 0), cs, 1)
 
     # The 2-D offset select is SEPARATED per axis: overlapping MB-row
     # bands make the vertical offset constant along each band, then a
@@ -245,15 +298,15 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0):
     # matters: within a band both masks depend only on the OUTPUT
     # column, which the passes preserve. C0/C1 carry the dx / dx+1
     # columns; the row pass derives all four bilinear taps from them.
-    rows_per = 8 + 2 * m + 1
+    rows_per = cs + 2 * m + 1
     wpad = ref_pad.shape[2]
     band = jnp.stack(
-        [jax.lax.dynamic_slice(ref_pad, (0, row0c + 8 * r, 0),
+        [jax.lax.dynamic_slice(ref_pad, (0, row0c + cs * r, 0),
                                (2, rows_per, wpad))
          for r in range(n_mby)], axis=1)      # (2, nMBy, rows_per, wpad)
 
-    dx_cols = jnp.repeat(dx_map, 8, axis=1)[None, :, None, :]
-    dy_cols = jnp.repeat(dy_map, 8, axis=1)[None, :, None, :]
+    dx_cols = jnp.repeat(dx_map, cs, axis=1)[None, :, None, :]
+    dy_cols = jnp.repeat(dy_map, cs, axis=1)[None, :, None, :]
 
     z = jnp.zeros((2, n_mby, rows_per, wc), jnp.int32)
     c0, c1 = z, z
@@ -262,11 +315,11 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0):
         c0 = jnp.where(dx_cols == dx, w, c0)
         c1 = jnp.where(dx_cols == dx - 1, w, c1)
 
-    z8 = jnp.zeros((2, n_mby, 8, wc), jnp.int32)
+    z8 = jnp.zeros((2, n_mby, cs, wc), jnp.int32)
     a, bt, c, d = z8, z8, z8, z8
     for dy in range(-m, m + 2):
-        w0 = c0[:, :, dy + m: dy + m + 8, :]
-        w1 = c1[:, :, dy + m: dy + m + 8, :]
+        w0 = c0[:, :, dy + m: dy + m + cs, :]
+        w1 = c1[:, :, dy + m: dy + m + cs, :]
         a = jnp.where(dy_cols == dy, w0, a)
         bt = jnp.where(dy_cols == dy, w1, bt)
         c = jnp.where(dy_cols == dy - 1, w0, c)
@@ -279,27 +332,29 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0):
     return pred[0], pred[1]
 
 
-def _mb_sad(cur_mb, pred, n_mby, n_mbx):
-    return jnp.abs(cur_mb - pred.reshape(n_mby, 16, n_mbx, 16)
+def _mb_sad(cur_mb, pred, n_mby, n_mbx, bs: int = 16):
+    return jnp.abs(cur_mb - pred.reshape(n_mby, bs, n_mbx, bs)
                    ).sum(axis=(1, 3))
 
 
-def refine_half(cur, planes, mv_full, lam, margin: int, row0=0):
+def refine_half(cur, planes, mv_full, lam, margin: int, row0=0,
+                bs: int = 16):
     """Half-pel refinement with single-plane gathers.
 
     Every half-step candidate delta shares one fractional phase across
     all MBs (mv_full*4 has phase 0), so its prediction is ONE gather from
     ONE interpolated plane — ~10x cheaper on TPU than the general
     16-case MC, which needs 8 gathers plus per-pixel selects.
-    Returns mvq in quarter-pel units (phases 0/2).
+    Returns mvq in quarter-pel units (phases 0/2). ``bs`` is the block
+    size the MV grid covers (16 = MBs, 8 = P_8x8 partitions).
     """
     n_mby, n_mbx = mv_full.shape[:2]
     h, w = cur.shape
-    cur_mb = cur.reshape(n_mby, 16, n_mbx, 16)
+    cur_mb = cur.reshape(n_mby, bs, n_mbx, bs)
     rows = jnp.arange(h)[:, None] + row0
     cols = jnp.arange(w)[None, :]
-    dy_f = jnp.repeat(jnp.repeat(mv_full[..., 0], 16, 0), 16, 1)
-    dx_f = jnp.repeat(jnp.repeat(mv_full[..., 1], 16, 0), 16, 1)
+    dy_f = jnp.repeat(jnp.repeat(mv_full[..., 0], bs, 0), bs, 1)
+    dx_f = jnp.repeat(jnp.repeat(mv_full[..., 1], bs, 0), bs, 1)
 
     base = mv_full * 4
     mvq = base
@@ -315,7 +370,7 @@ def refine_half(cur, planes, mv_full, lam, margin: int, row0=0):
             pred = planes[p][rows + dy_f + iy + margin,
                              cols + dx_f + ix + margin]
             cand = base + jnp.asarray([dy, dx], jnp.int32)
-            cost = _mb_sad(cur_mb, pred, n_mby, n_mbx) + lam * (
+            cost = _mb_sad(cur_mb, pred, n_mby, n_mbx, bs) + lam * (
                 (jnp.abs(cand[..., 0]) + jnp.abs(cand[..., 1])) >> 1)
             better = (cost < best)[..., None]
             mvq = jnp.where(better, cand, mvq)
@@ -323,15 +378,16 @@ def refine_half(cur, planes, mv_full, lam, margin: int, row0=0):
     return mvq
 
 
-def refine_quarter(cur, planes, mvq, lam, margin: int, row0=0):
+def refine_quarter(cur, planes, mvq, lam, margin: int, row0=0,
+                   bs: int = 16):
     """Quarter-pel refinement around a half-pel result (general MC per
     candidate — expensive; reserved for high-effort presets)."""
     n_mby, n_mbx = mvq.shape[:2]
-    cur_mb = cur.reshape(n_mby, 16, n_mbx, 16)
+    cur_mb = cur.reshape(n_mby, bs, n_mbx, bs)
 
     def cost_of(m):
-        pred = mc_luma_q(planes, m, margin, row0)
-        sad = _mb_sad(cur_mb, pred, n_mby, n_mbx)
+        pred = mc_luma_q(planes, m, margin, row0, bs)
+        sad = _mb_sad(cur_mb, pred, n_mby, n_mbx, bs)
         return sad + lam * ((jnp.abs(m[..., 0]) + jnp.abs(m[..., 1])) >> 1)
 
     best = cost_of(mvq)
@@ -346,25 +402,25 @@ def refine_quarter(cur, planes, mvq, lam, margin: int, row0=0):
 
 
 def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False,
-                  row0=0):
+                  row0=0, bs: int = 16):
     """Full-pel MVs → sub-pel: half-pel always (cheap single-plane
     gathers), quarter-pel optionally on top."""
-    mvq = refine_half(cur, planes, mv_full, lam, margin, row0)
+    mvq = refine_half(cur, planes, mv_full, lam, margin, row0, bs)
     if quarter:
-        mvq = refine_quarter(cur, planes, mvq, lam, margin, row0)
+        mvq = refine_quarter(cur, planes, mvq, lam, margin, row0, bs)
     return mvq
 
 
-def mc_luma_h(planes, mvq, margin: int, row0=0):
+def mc_luma_h(planes, mvq, margin: int, row0=0, bs: int = 16):
     """Half-pel-only luma MC: mvq phases are in {0, 2}² (the refine_half
     output), so each pixel needs exactly one of the four planes — 4
     gathers + a 2-bit select instead of mc_luma_q's 8 gathers."""
     n_mby, n_mbx = mvq.shape[:2]
-    h, w = 16 * n_mby, 16 * n_mbx
-    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, 16, 0), 16, 1)
-    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, 16, 0), 16, 1)
-    hy = jnp.repeat(jnp.repeat((mvq[..., 0] >> 1) & 1, 16, 0), 16, 1)
-    hx = jnp.repeat(jnp.repeat((mvq[..., 1] >> 1) & 1, 16, 0), 16, 1)
+    h, w = bs * n_mby, bs * n_mbx
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, bs, 0), bs, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, bs, 0), bs, 1)
+    hy = jnp.repeat(jnp.repeat((mvq[..., 0] >> 1) & 1, bs, 0), bs, 1)
+    hx = jnp.repeat(jnp.repeat((mvq[..., 1] >> 1) & 1, bs, 0), bs, 1)
     rows = jnp.arange(h)[:, None] + row0 + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
     g = planes[0][rows, cols]
