@@ -91,10 +91,10 @@ def main(argv=None):
     ap.add_argument("--t8", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--parts", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="P_8x8 sub-partitions (quality-preset default; "
-                    "anchors only take effect with --bframes > 0 or the "
-                    "per-frame path)")
+                    default=False,
+                    help="P_8x8 sub-partitions (opt-in: the SAD-based "
+                    "decision wins on split motion but loses BD-rate on "
+                    "the golden clips)")
     ap.add_argument("--effort", type=int, default=6)
     ap.add_argument("--codec", choices=("h264", "hevc"), default="h264")
     ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))

@@ -184,155 +184,141 @@ def _zero_nz(nz_y, nz_cb, nz_cr, mbx, mby):
 # Decoder halves
 # ---------------------------------------------------------------------------
 
+# Table 7-14 two-partition B mb_types 4..21: (vertical split?, mode0,
+# mode1) with modes as list-usage masks bit0=L0, bit1=L1
+_B_TWO_PART = [
+    (False, 1, 1), (True, 1, 1),     # B_L0_L0_16x8 / 8x16
+    (False, 2, 2), (True, 2, 2),     # B_L1_L1
+    (False, 1, 2), (True, 1, 2),     # B_L0_L1
+    (False, 2, 1), (True, 2, 1),     # B_L1_L0
+    (False, 1, 3), (True, 1, 3),     # B_L0_Bi
+    (False, 2, 3), (True, 2, 3),     # B_L1_Bi
+    (False, 3, 1), (True, 3, 1),     # B_Bi_L0
+    (False, 3, 2), (True, 3, 2),     # B_Bi_L1
+    (False, 3, 3), (True, 3, 3),     # B_Bi_Bi
+]
+# Table 7-18 B sub_mb_type 0..3 (sub-8x8 shapes 4..12 unsupported):
+# list-usage mask; 0 = B_Direct_8x8
+_B_SUB_MODE = (0, 1, 2, 3)
+
+
+def b_direct_mb(ctx, mbx, mby, blocks=(0, 1, 2, 3)):
+    """Spatial direct motion (8.4.1.2.2) for the given 8x8 blocks of one
+    MB: MB-level refIdx/MV derivation + per-block colZero override from
+    the colocated picture (RefPicList1[0], direct_8x8_inference
+    granularity). Assigns the blocks' per-list state."""
+    from . import mvpred
+    from .pframe import set_part
+    sp = ctx["sp"]
+    nbx2 = 2 * sp.mb_width
+    st0 = (ctx["mv8_l0"], ctx["ref8_l0"], ctx["dec8"])
+    st1 = (ctx["mv8_l1"], ctx["ref8_l1"], ctx["dec8"])
+    ref0, ref1, mv0, mv1, zero = mvpred.direct_spatial_refs(
+        st0, st1, mby, mbx, nbx2)
+    col = ctx.get("col")
+    for q in blocks:
+        by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+        m0, m1 = mv0, mv1
+        if not zero and col is not None and col.col_ref0 is not None:
+            colzero = (bool(col.col_ref0[by, bx])
+                       and abs(int(col.col_mv8[by, bx, 0])) <= 1
+                       and abs(int(col.col_mv8[by, bx, 1])) <= 1)
+            if colzero:
+                if ref0 == 0:
+                    m0 = (0, 0)
+                if ref1 == 0:
+                    m1 = (0, 0)
+        if ref0 >= 0:
+            set_part(ctx, by, bx, 1, 1, ref0, m0, lst=0)
+        if ref1 >= 0:
+            set_part(ctx, by, bx, 1, 1, ref1, m1, lst=1)
+        ctx["dec8"][by, bx] = True
+    ctx["mv_valid"][mby, mbx] = True
+
+
 def decode_b_skip(ctx, mbx, mby) -> None:
     """Parse-time half of a B_Skip MB: spatial-direct motion, zero
-    residual. Recon is deferred to recon_b_frame."""
-    sp = ctx["sp"]
-    u0, u1, mv0, mv1 = direct_spatial(
-        ctx["mvs0"], ctx["mvs1"], ctx["use0"], ctx["use1"],
-        mbx, mby, sp.mb_width, bool(ctx["col_zero"][mby, mbx]))
-    ctx["b_mode"][mby, mbx] = _mode_of(u0, u1)
-    if u0:
-        ctx["mvs0"][mby, mbx] = mv0
-        ctx["use0"][mby, mbx] = True
-    if u1:
-        ctx["mvs1"][mby, mbx] = mv1
-        ctx["use1"][mby, mbx] = True
+    residual. Recon is deferred (order-independent)."""
+    b_direct_mb(ctx, mbx, mby)
+    ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
     _zero_nz(ctx["nz_y"], ctx["nz_cb"], ctx["nz_cr"], mbx, mby)
 
 
 def decode_b_mb_cavlc(ctx, mbx, mby, mb_type) -> None:
-    """Parse one CAVLC B MB (mb_type 1..3) into the defer arrays."""
+    """Parse one CAVLC B MB (full Table 7-14 incl. B_8x8 with 8x8 subs,
+    multi-reference, per-MB qp_delta) into the defer arrays."""
+    from . import mvpred
     from .decoder import DecodeError
-    if mb_type not in (1, 2, 3):
-        raise DecodeError(f"B mb_type {mb_type} unsupported")
+    from .pframe import parse_inter_residual_cavlc, read_ref_idx, set_part
     br = ctx["br"]
     sp = ctx["sp"]
-    mode = {1: 0, 2: 1, 3: 2}[mb_type]
-    ctx["b_mode"][mby, mbx] = mode
-    for lst in range(2):
-        if (mode == 1 and lst == 0) or (mode == 0 and lst == 1):
-            continue
-        mvd_x, mvd_y = br.se(), br.se()
-        mvs, use = ctx[f"mvs{lst}"], ctx[f"use{lst}"]
-        pred = mv_pred_dec(mvs, use, mbx, mby, sp.mb_width)
-        mvs[mby, mbx] = (pred[0] + mvd_x, pred[1] + mvd_y)
-        use[mby, mbx] = True
+    pp = ctx["pp"]
+    nbx2 = 2 * sp.mb_width
+    st = ((ctx["mv8_l0"], ctx["ref8_l0"], ctx["dec8"]),
+          (ctx["mv8_l1"], ctx["ref8_l1"], ctx["dec8"]))
+    n_act = (ctx.get("n_ref0", 1), ctx.get("n_ref1", 1))
+    by0, bx0 = 2 * mby, 2 * mbx
+    if mb_type == 0:                          # B_Direct_16x16
+        b_direct_mb(ctx, mbx, mby)
+        parts = []
+    elif mb_type <= 3:                        # 16x16 L0/L1/Bi
+        parts = [((by0, bx0, 2, 2, 0), mb_type)]
+    elif mb_type <= 21:
+        vert, m0, m1 = _B_TWO_PART[mb_type - 4]
+        if vert:
+            parts = [((by0, bx0, 1, 2, 0), m0), ((by0, bx0 + 1, 1, 2, 1), m1)]
+        else:
+            parts = [((by0, bx0, 2, 1, 0), m0), ((by0 + 1, bx0, 2, 1, 1), m1)]
+    elif mb_type == 22:                       # B_8x8
+        subs = []
+        for q in range(4):
+            s = br.ue()
+            if s > 3:
+                raise DecodeError(f"B sub_mb_type {s} (sub-8x8) "
+                                  "unsupported")
+            subs.append(s)
+        parts = []
+        for q, s in enumerate(subs):
+            by, bx = by0 + (q >> 1), bx0 + (q & 1)
+            if s == 0:
+                b_direct_mb(ctx, mbx, mby, blocks=(q,))
+            else:
+                parts.append(((by, bx, 1, 1, q), _B_SUB_MODE[s]))
+    else:
+        raise DecodeError(f"B mb_type {mb_type} unsupported")
+
+    if mb_type != 0:
+        # syntax order (7.3.5.1): all ref_idx_l0, all ref_idx_l1, all
+        # mvd_l0, all mvd_l1 — prediction/assignment happens per
+        # partition in that per-list order
+        refs = [[None, None] for _ in parts]
+        for lst in range(2):
+            for i, ((by, bx, pw, ph, pi), mode) in enumerate(parts):
+                if mode & (1 << lst):
+                    refs[i][lst] = read_ref_idx(br, n_act[lst])
+        for lst in range(2):
+            for i, ((by, bx, pw, ph, pi), mode) in enumerate(parts):
+                if not mode & (1 << lst):
+                    continue
+                mvd_x, mvd_y = br.se(), br.se()
+                pred = mvpred.mv_pred(*st[lst], by, bx, pw, ph,
+                                      refs[i][lst], nbx2, part_idx=pi)
+                set_part(ctx, by, bx, pw, ph, refs[i][lst],
+                         (pred[0] + mvd_x, pred[1] + mvd_y), lst=lst)
+        ctx["mv_valid"][mby, mbx] = True
+
     code = br.ue()
     cbp = CBP_TABLE[code][1]
-    if cbp and br.se():
-        raise DecodeError("per-MB qp_delta in B slices unsupported")
-
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-    z_luma = ctx["p_z_luma"][mby, mbx]
-    nz_y = ctx["nz_y"]
-    for blk in range(16):
-        oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
-        by, bx = 4 * mby + oy, 4 * mbx + ox
-        total = 0
-        if cbp_luma & (1 << (blk // 4)):
-            coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
-            z_luma[blk] = coeffs
-            total = int(np.count_nonzero(coeffs))
-        nz_y.nz[by, bx] = total
-    cdc = ctx["p_cdc"][mby, mbx]
-    cac = ctx["p_cac"][mby, mbx]
-    if cbp_chroma:
-        for c in range(2):
-            cdc[c] = decode_residual_block(br, -1, 4)
-    for c, nzc in ((0, ctx["nz_cb"]), (1, ctx["nz_cr"])):
-        for blk in range(4):
-            oy, ox = int(CHROMA_BLK_ORDER[blk, 0]), int(CHROMA_BLK_ORDER[blk, 1])
-            by, bx = 2 * mby + oy, 2 * mbx + ox
-            total = 0
-            if cbp_chroma == 2:
-                coeffs = decode_residual_block(br, nzc.nc(by, bx), 15)
-                cac[c, blk, 1:] = coeffs
-                total = int(np.count_nonzero(coeffs))
-            nzc.nz[by, bx] = total
-
-
-def _pred_frame_np(ref, mvs, used, h, w):
-    """Full-frame luma MC for one list: vectorized full-pel gather with
-    per-MB sub-pel fallback (mirrors recon_p_frame)."""
-    mvx, mvy = mvs[..., 0], mvs[..., 1]
-    dyf = np.repeat(np.repeat(mvy >> 2, 16, 0), 16, 1)
-    dxf = np.repeat(np.repeat(mvx >> 2, 16, 0), 16, 1)
-    rows = np.clip(np.arange(h)[:, None] + dyf, 0, h - 1)
-    cols = np.clip(np.arange(w)[None, :] + dxf, 0, w - 1)
-    pred = ref[rows, cols].astype(np.int64)
-    for mby, mbx in np.argwhere(used & (((mvx | mvy) & 3) != 0)):
-        pred[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
-            _mc_luma_np(ref, 16 * mby, 16 * mbx,
-                        int(mvy[mby, mbx]), int(mvx[mby, mbx]))
-    return pred
-
-
-def _pred_chroma_np(refc, mvs, hc, wc):
-    mvx, mvy = mvs[..., 0], mvs[..., 1]
-    dy8 = np.repeat(np.repeat(mvy >> 3, 8, 0), 8, 1)
-    dx8 = np.repeat(np.repeat(mvx >> 3, 8, 0), 8, 1)
-    fy8 = np.repeat(np.repeat(mvy & 7, 8, 0), 8, 1)
-    fx8 = np.repeat(np.repeat(mvx & 7, 8, 0), 8, 1)
-    base_r = np.arange(hc)[:, None] + dy8
-    base_c = np.arange(wc)[None, :] + dx8
-    r0 = np.clip(base_r, 0, hc - 1)
-    r1 = np.clip(base_r + 1, 0, hc - 1)
-    c0 = np.clip(base_c, 0, wc - 1)
-    c1 = np.clip(base_c + 1, 0, wc - 1)
-    a = refc[r0, c0].astype(np.int64)
-    b = refc[r0, c1].astype(np.int64)
-    cc = refc[r1, c0].astype(np.int64)
-    d = refc[r1, c1].astype(np.int64)
-    return ((8 - fx8) * (8 - fy8) * a + fx8 * (8 - fy8) * b
-            + (8 - fx8) * fy8 * cc + fx8 * fy8 * d + 32) >> 6
-
-
-def recon_b_frame(ctx, ref0, ref1) -> None:
-    """Vectorized reconstruction of a whole B frame: per-list MC, per-MB
-    L0/L1/Bi select, batched residual add (all MBs are inter)."""
-    from .tables import ZIGZAG_4x4
-    zz = np.asarray(ZIGZAG_4x4)
-
-    y, u, v = ctx["y"], ctx["u"], ctx["v"]
-    qp = ctx["qp"]
-    qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
-    mode = ctx["b_mode"]
-    n_mby, n_mbx = mode.shape
-    h, w = y.shape
-    hc, wc = u.shape
-
-    p0 = _pred_frame_np(ref0[0], ctx["mvs0"], ctx["use0"], h, w)
-    p1 = _pred_frame_np(ref1[0], ctx["mvs1"], ctx["use1"], h, w)
-    mode_px = np.repeat(np.repeat(mode, 16, 0), 16, 1)
-    pred = np.where(mode_px == 0, p0,
-                    np.where(mode_px == 1, p1, (p0 + p1 + 1) >> 1))
-
-    z = ctx["p_z_luma"]
-    wq_flat = np.zeros_like(z)
-    wq_flat[..., zz] = z
-    res = tf.idct4_np(tf.dequant4_np(
-        wq_flat.reshape(n_mby, n_mbx, 16, 4, 4), qp))
-    from .pframe import _BLK_GRID
-    res_plane = res[:, :, _BLK_GRID].transpose(0, 2, 4, 1, 3, 5) \
-        .reshape(h, w)
-    y[:, :] = np.clip(pred + res_plane, 0, 255)
-
-    mode_c = np.repeat(np.repeat(mode, 8, 0), 8, 1)
-    for ci, (plane, r0c, r1c) in enumerate(
-            ((u, ref0[1], ref1[1]), (v, ref0[2], ref1[2]))):
-        pc0 = _pred_chroma_np(r0c, ctx["mvs0"], hc, wc)
-        pc1 = _pred_chroma_np(r1c, ctx["mvs1"], hc, wc)
-        predc = np.where(mode_c == 0, pc0,
-                         np.where(mode_c == 1, pc1, (pc0 + pc1 + 1) >> 1))
-        dc_rec = tf.dequant_dc2_np(
-            ctx["p_cdc"][:, :, ci].reshape(n_mby, n_mbx, 2, 2), qpc)
-        cac = ctx["p_cac"][:, :, ci]
-        wc_flat = np.zeros_like(cac)
-        wc_flat[..., zz] = cac
-        wcq = tf.dequant4_np(wc_flat.reshape(n_mby, n_mbx, 4, 4, 4), qpc)
-        wcq[..., 0, 0] = dc_rec.reshape(n_mby, n_mbx, 4)
-        resc = tf.idct4_np(wcq)
-        resc_plane = resc.reshape(n_mby, n_mbx, 2, 2, 4, 4) \
-            .transpose(0, 2, 4, 1, 3, 5).reshape(hc, wc)
-        plane[:, :] = np.clip(predc + resc_plane, 0, 255)
+    t8 = False
+    # transform_size_8x8_flag presence (7.3.5): every partition >= 8x8
+    # here by construction; direct MBs qualify via 8x8 inference
+    if cbp_luma and pp.transform_8x8:
+        t8 = bool(br.u(1))                    # transform_size_8x8_flag
+        if "p_t8" in ctx:
+            ctx["p_t8"][mby, mbx] = t8
+    if cbp:
+        delta = br.se()
+        ctx["cur_qp"] = (ctx["cur_qp"] + delta + 52) % 52
+    ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
+    parse_inter_residual_cavlc(ctx, mbx, mby, cbp_luma, cbp_chroma, t8)

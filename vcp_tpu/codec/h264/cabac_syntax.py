@@ -12,9 +12,12 @@ decoder cannot drift. Context initialization follows the normative
 Tables 9-12..9-33 (cabac_init_idc=0 for P/B) — conformance vs the
 system-ffmpeg decoder is asserted by tests/test_conformance.py.
 
-Stream shape: the frames this framework emits — I16x16-only I slices,
-P slices with P_L0_16x16 + P_Skip (single reference), B slices with
-B_L0/B_L1/B_Bi_16x16 (one reference per list, explicit MVs).
+This module holds the shared primitives (contexts, MbState neighbor
+derivations, residual block coding) plus the slice WRITERS for the
+shapes this framework's encoder emits. General P/B slice PARSING
+(foreign High-profile streams: partitions, multi-ref, weighted
+prediction, intra-in-P/B) lives in inter_cabac, built on the same
+primitives.
 """
 
 from __future__ import annotations
@@ -70,8 +73,14 @@ def _ctx_index_map(slice_type: str) -> dict:
         "mbt_i_tail": {"I": (6, 7, 8, 9, 10), "P": (18, 19, 19, 20, 20),
                        "B": (33, 34, 34, 35, 35)}[slice_type],
         "mbt_p": (14, 15, 16),
+        # P mb_type binIdx2 when b1 == 1 (16x8 vs 8x16): ctx 17
+        "mbt_p_alt": (17,),
         # P sub_mb_type (ctxIdxOffset 21, one ctx per binIdx)
         "submbt_p": (21, 22, 23),
+        # B sub_mb_type (ctxIdxOffset 36)
+        "submbt_b": (36, 37, 38, 39),
+        # ref_idx_lX (ctxIdxOffset 54): bin0 inc 0..3, bin1 -> 4, 2+ -> 5
+        "ref_idx": (54, 55, 56, 57, 58, 59),
         # B mb_type (9.3.3.1.1.3): bin0 ctx 27+inc(0..2), bin1 ctx 30,
         # then 31 for the first '11'-suffix bin and 32 for the rest
         "mbt_b": (27, 28, 29),
@@ -105,10 +114,10 @@ class H264CabacContexts:
     (named-slot, index) through the global ctxIdx map above."""
 
     def __init__(self, slice_qp: int, pslice: bool = False,
-                 slice_type: str | None = None):
+                 slice_type: str | None = None, init_idc: int = 0):
         from .cabac_tables import CTX_INIT_I, CTX_INIT_PB
         st = slice_type or ("P" if pslice else "I")
-        tab = CTX_INIT_I if st == "I" else CTX_INIT_PB[0]
+        tab = CTX_INIT_I if st == "I" else CTX_INIT_PB[init_idc]
         self.g = [Context.from_init(m, n, slice_qp) for (m, n) in tab]
         self.map = _CTX_MAP[st]
 
@@ -128,6 +137,10 @@ class MbState:
         self.intra = np.zeros((n_mby, n_mbx), bool)
         self.t8 = np.zeros((n_mby, n_mbx), bool)   # transform_size_8x8
         self.i_nxn = np.zeros((n_mby, n_mbx), bool)  # I_NxN mb_type
+        self.bdirect = np.zeros((n_mby, n_mbx), bool)  # B_Direct_16x16
+        # per-8x8-block per-list "explicit refIdx > 0" for the ref_idx
+        # ctxIdxInc (9.3.3.1.1.6; skip/intra/direct blocks stay False)
+        self.refgt0 = np.zeros((2 * n_mby, 2 * n_mbx, 2), bool)
         self.last_qp_delta = 0
         self.chroma_mode = np.zeros((n_mby, n_mbx), np.int32)
         self.cbp_luma8 = np.zeros((2 * n_mby, 2 * n_mbx), np.int32)
@@ -206,6 +219,25 @@ class MbState:
                    and self.t8[b[1], b[0]]) else 0
         return ca + cb
 
+    def mbt_b_ctx(self, mbx, mby):
+        """ctxIdxInc for B mb_type bin 0 (9.3.3.1.1.3): neighbor counts
+        unless it is skipped or B_Direct_16x16."""
+        a, b = self._nb(mbx, mby)
+        ca = 1 if (a and self.avail[a[1], a[0]]
+                   and not self.skip[a[1], a[0]]
+                   and not self.bdirect[a[1], a[0]]) else 0
+        cb = 1 if (b and self.avail[b[1], b[0]]
+                   and not self.skip[b[1], b[0]]
+                   and not self.bdirect[b[1], b[0]]) else 0
+        return ca + cb
+
+    def ref_idx_ctx(self, by, bx, lst: int):
+        """ctxIdxInc for ref_idx bin 0 (9.3.3.1.1.6) from the left/above
+        8x8 blocks' explicit-refIdx>0 flags."""
+        ca = 1 if bx > 0 and self.refgt0[by, bx - 1, lst] else 0
+        cb = 1 if by > 0 and self.refgt0[by - 1, bx, lst] else 0
+        return ca + 2 * cb
+
     def mvd_ctx(self, by, bx, comp: int, lst: int = 0):
         """ctxIdxInc for mvd bin 0 (9.3.3.1.1.7); (by, bx) address the
         current PARTITION's top-left 8x8 block. A = block to the left,
@@ -217,10 +249,10 @@ class MbState:
             s += int(self.absmvd[by - 1, bx, lst, comp])
         return 0 if s < 3 else (1 if s <= 32 else 2)
 
-    def set_absmvd(self, by, bx, size: int, lst: int, vals):
-        """Record a partition's |mvd| over its ``size`` x ``size``
-        8x8-block footprint (2 = 16x16 MB, 1 = one 8x8)."""
-        self.absmvd[by:by + size, bx:bx + size, lst] = vals
+    def set_absmvd(self, by, bx, ph: int, pw: int, lst: int, vals):
+        """Record a partition's |mvd| over its ``ph`` x ``pw``
+        8x8-block footprint (2x2 = 16x16 MB, 1x1 = one 8x8)."""
+        self.absmvd[by:by + ph, bx:bx + pw, lst] = vals
 
     def cbf_ctx(self, cat: int, mbx, mby, blk: int, cur_intra: bool,
                 c: int = 0):
@@ -229,10 +261,11 @@ class MbState:
         following spec 9.3.3.1.1.9's intra rule."""
         miss = 1 if cur_intra else 0
         if cat == CAT_I16_DC:
-            ca = (int(self.cbf_i16dc[mby, mbx - 1]) if mbx > 0 and
-                  self.intra[mby, mbx - 1] else miss)
-            cb = (int(self.cbf_i16dc[mby - 1, mbx]) if mby > 0 and
-                  self.intra[mby - 1, mbx] else miss)
+            # an AVAILABLE neighbor without an I16 DC block contributes
+            # 0 (9.3.3.1.1.9); the grid is only ever set for I16 MBs,
+            # so indexing it covers both cases. Out of picture -> miss.
+            ca = int(self.cbf_i16dc[mby, mbx - 1]) if mbx > 0 else miss
+            cb = int(self.cbf_i16dc[mby - 1, mbx]) if mby > 0 else miss
         elif cat in (CAT_I16_AC, CAT_LUMA4):
             oy, ox = int(LUMA_BLK_ORDER[blk, 0]), int(LUMA_BLK_ORDER[blk, 1])
             gy, gx = 4 * mby + oy, 4 * mbx + ox
@@ -735,7 +768,7 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                            int(mv_xy[by, bx, 1]) - pred[1])
                     _encode_mvd_comp(enc, cx, st, by, bx, 0, mvd[0])
                     _encode_mvd_comp(enc, cx, st, by, bx, 1, mvd[1])
-                    st.set_absmvd(by, bx, 1, 0,
+                    st.set_absmvd(by, bx, 1, 1, 0,
                                   (abs(mvd[0]), abs(mvd[1])))
             else:
                 # mb_type P_L0_16x16 -> "000"
@@ -746,7 +779,7 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 mvd = (m[0] - pred[0], m[1] - pred[1])
                 _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 0, mvd[0])
                 _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 1, mvd[1])
-                st.set_absmvd(2 * mby, 2 * mbx, 2, 0,
+                st.set_absmvd(2 * mby, 2 * mbx, 2, 2, 0,
                               (abs(mvd[0]), abs(mvd[1])))
             # coded_block_pattern: 4 luma bins + up to 2 chroma bins
             for b8 in range(4):
@@ -1014,90 +1047,6 @@ def parse_islice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
     return rows, st
 
 
-def parse_pslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
-                       on_skip, on_inter, transform_8x8: bool = False):
-    """Parse a P-slice CABAC payload. Calls on_skip(mbx, mby) for P_Skip
-    MBs and on_inter(mbx, mby, mvd_xy, luma, cdc, cac, t8) for coded MBs,
-    in raster order (so callbacks can maintain mv prediction state).
-    ``t8``: with transform_8x8 PPS mode, luma rows 4b..4b+4 hold 8x8
-    block b's 64-coefficient scan instead of four 4x4 scans."""
-    dec = CabacDecoder(payload)
-    cx = H264CabacContexts(qp, pslice=True)
-    st = MbState(n_mby, n_mbx)
-    for mby in range(n_mby):
-        for mbx in range(n_mbx):
-            is_skip = dec.decode(cx["skip", st.skip_ctx(mbx, mby)])
-            st.avail[mby, mbx] = True
-            st.skip[mby, mbx] = bool(is_skip)
-            if is_skip:
-                st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
-                st.cbp_chroma[mby, mbx] = 0
-                on_skip(mbx, mby)
-            else:
-                if dec.decode(cx["mbt_p", 0]):
-                    raise ValueError("intra MB in CABAC P slice "
-                                     "unsupported")
-                part = False
-                if dec.decode(cx["mbt_p", 1]):
-                    raise ValueError("P 16x8/8x16 mb_type unsupported")
-                if dec.decode(cx["mbt_p", 2]):
-                    part = True          # "001" = P_8x8
-                if part:
-                    mvds = []
-                    for q in range(4):
-                        # sub_mb_type P_L0_8x8 -> "1"
-                        if not dec.decode(cx["submbt_p", 0]):
-                            raise ValueError(
-                                "sub_mb_type != P_L0_8x8 unsupported")
-                    for q in range(4):
-                        by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
-                        dx = _decode_mvd_comp(dec, cx, st, by, bx, 0)
-                        dy = _decode_mvd_comp(dec, cx, st, by, bx, 1)
-                        st.set_absmvd(by, bx, 1, 0, (abs(dx), abs(dy)))
-                        mvds.append((dx, dy))
-                else:
-                    mvd_x = _decode_mvd_comp(dec, cx, st, 2 * mby,
-                                             2 * mbx, 0)
-                    mvd_y = _decode_mvd_comp(dec, cx, st, 2 * mby,
-                                             2 * mbx, 1)
-                    st.set_absmvd(2 * mby, 2 * mbx, 2, 0,
-                                  (abs(mvd_x), abs(mvd_y)))
-                cbp_l = 0
-                for b8 in range(4):
-                    bit = dec.decode(cx["cbp_l",
-                                        st.cbp_luma_ctx(mbx, mby, b8)])
-                    cbp_l |= bit << b8
-                    st.cbp_luma8[2 * mby + b8 // 2,
-                                 2 * mbx + b8 % 2] = bit
-                cbp_c = 0
-                if dec.decode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)]):
-                    cbp_c = 2 if dec.decode(
-                        cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
-                st.cbp_chroma[mby, mbx] = cbp_c
-                t8f = False
-                if cbp_l > 0 and transform_8x8:
-                    t8f = bool(dec.decode(cx["t8flag",
-                                             st.t8_ctx(mbx, mby)]))
-                st.t8[mby, mbx] = t8f
-                if cbp_l or cbp_c:
-                    if dec.decode(cx["qp_delta", 0]):
-                        raise ValueError("mb_qp_delta != 0 unsupported")
-                luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
-                                             encode=False, cbp_l=cbp_l,
-                                             cbp_c=cbp_c, t8=t8f)
-                if part:
-                    on_inter(mbx, mby, mvds, luma, cdc, cac, t8f,
-                             part=True)
-                else:
-                    on_inter(mbx, mby, (mvd_x, mvd_y), luma, cdc, cac,
-                             t8f)
-            last = mby == n_mby - 1 and mbx == n_mbx - 1
-            term = dec.decode_terminate()
-            if term != (1 if last else 0):
-                raise ValueError("CABAC P-slice MB count mismatch")
-    return st
-
-
 # ---------------------------------------------------------------------------
 # B slices (B_L0_16x16 / B_L1_16x16 / B_Bi_16x16; no direct/skip MBs)
 # ---------------------------------------------------------------------------
@@ -1116,21 +1065,6 @@ def _encode_mb_type_b(enc, cx, st, mbx, mby, mode: int) -> None:
         enc.encode(cx["mbt_b_fix", 2], 0)
         enc.encode(cx["mbt_b_fix", 2], 0)
         enc.encode(cx["mbt_b_fix", 2], 0)
-
-
-def _decode_mb_type_b(dec, cx, st, mbx, mby) -> int:
-    b0 = st.skip_ctx(mbx, mby)
-    if not dec.decode(cx["mbt_b", b0]):
-        raise ValueError("B_Direct_16x16 unsupported")
-    if not dec.decode(cx["mbt_b_fix", 0]):
-        return dec.decode(cx["mbt_b_fix", 2])
-    bits = dec.decode(cx["mbt_b_fix", 1]) << 3
-    bits |= dec.decode(cx["mbt_b_fix", 2]) << 2
-    bits |= dec.decode(cx["mbt_b_fix", 2]) << 1
-    bits |= dec.decode(cx["mbt_b_fix", 2])
-    if bits == 0:
-        return 2                       # B_Bi_16x16
-    raise ValueError(f"B mb_type suffix {bits} unsupported")
 
 
 def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
@@ -1207,7 +1141,7 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                                  mvd[0], lst)
                 _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 1,
                                  mvd[1], lst)
-                st.set_absmvd(2 * mby, 2 * mbx, 2, lst,
+                st.set_absmvd(2 * mby, 2 * mbx, 2, 2, lst,
                               (abs(mvd[0]), abs(mvd[1])))
             for b8 in range(4):
                 enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
@@ -1234,66 +1168,3 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
             enc.encode_terminate(1 if last else 0)
     return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes() + enc.flush(),
                     nal_ref_idc=0)
-
-
-def parse_bslice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
-                       on_mb, on_skip, transform_8x8: bool = False):
-    """Parse a B-slice CABAC payload. Calls
-    ``on_mb(mbx, mby, mode, mvd0, mvd1, luma, cdc, cac)`` for coded MBs
-    and ``on_skip(mbx, mby)`` for B_Skip MBs, in raster order (mvd
-    tuples are None for unused lists)."""
-    dec = CabacDecoder(payload)
-    cx = H264CabacContexts(qp, slice_type="B")
-    st = MbState(n_mby, n_mbx)
-    for mby in range(n_mby):
-        for mbx in range(n_mbx):
-            is_skip = dec.decode(cx["skip", st.skip_ctx(mbx, mby)])
-            st.avail[mby, mbx] = True
-            st.skip[mby, mbx] = bool(is_skip)
-            if is_skip:
-                st.cbp_luma8[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
-                st.cbp_chroma[mby, mbx] = 0
-                on_skip(mbx, mby)
-                last = mby == n_mby - 1 and mbx == n_mbx - 1
-                term = dec.decode_terminate()
-                if term != (1 if last else 0):
-                    raise ValueError("CABAC B-slice MB count mismatch")
-                continue
-            mode = _decode_mb_type_b(dec, cx, st, mbx, mby)
-            mvds = [None, None]
-            for lst in range(2):
-                if (mode == 1 and lst == 0) or (mode == 0 and lst == 1):
-                    continue
-                mvd_x = _decode_mvd_comp(dec, cx, st, 2 * mby, 2 * mbx,
-                                         0, lst)
-                mvd_y = _decode_mvd_comp(dec, cx, st, 2 * mby, 2 * mbx,
-                                         1, lst)
-                st.set_absmvd(2 * mby, 2 * mbx, 2, lst,
-                              (abs(mvd_x), abs(mvd_y)))
-                mvds[lst] = (mvd_x, mvd_y)
-            cbp_l = 0
-            for b8 in range(4):
-                bit = dec.decode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)])
-                cbp_l |= bit << b8
-                st.cbp_luma8[2 * mby + b8 // 2, 2 * mbx + b8 % 2] = bit
-            cbp_c = 0
-            if dec.decode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)]):
-                cbp_c = 2 if dec.decode(
-                    cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)]) else 1
-            st.cbp_chroma[mby, mbx] = cbp_c
-            t8f = False
-            if cbp_l > 0 and transform_8x8:
-                t8f = bool(dec.decode(cx["t8flag", st.t8_ctx(mbx, mby)]))
-                st.t8[mby, mbx] = t8f
-            if cbp_l or cbp_c:
-                if dec.decode(cx["qp_delta", 0]):
-                    raise ValueError("mb_qp_delta != 0 unsupported")
-            luma, cdc, cac = _p_residual(dec, cx, st, mbx, mby,
-                                         encode=False, cbp_l=cbp_l,
-                                         cbp_c=cbp_c, t8=t8f)
-            on_mb(mbx, mby, mode, mvds[0], mvds[1], luma, cdc, cac)
-            last = mby == n_mby - 1 and mbx == n_mbx - 1
-            term = dec.decode_terminate()
-            if term != (1 if last else 0):
-                raise ValueError("CABAC B-slice MB count mismatch")
-    return st

@@ -1,22 +1,28 @@
-"""H.264 validation decoder (host, numpy).
+"""H.264 decoder (host, numpy).
 
-Decodes this framework's own streams (CAVLC and CABAC; I_PCM,
-Intra_16x16 all pred modes, P_L0_16x16 + P_Skip, and B slices —
-B_L0/L1/Bi_16x16 + spatial-direct B_Skip with POC output reordering and
-a two-reference DPB) and foreign BASELINE-profile streams such as
-libx264 output: I_4x4 with all nine prediction modes, Intra_16x16 incl.
-Plane, chroma Plane, per-MB mb_qp_delta, deblocking in spec order.
-Reconstruction uses the spec 8.5 integer math (shared with
-vcp_tpu.ops.transform). Used to close the loop in tests
-(decode(encode(x)).recon must equal the encoder's own reconstruction
-exactly) and validated against the system-ffmpeg decoder on real
-libx264 streams (tests/test_foreign_decode.py). Also doubles as the
-in-repo probe for "is this H.264 stream sane" (the role ffprobe played
-in the reference, cmd/consumer.go:396-419).
+Decodes this framework's own streams AND general foreign streams up to
+what libx264's default/medium presets emit (the reference's quality
+bar, internal/config/config.go:49): Baseline through High profile,
+CAVLC and CABAC, all intra modes (I_4x4/I_8x8/I16 with filtered 8x8
+prediction), P 16x16/16x8/8x16/P_8x8 partitions, 1-16 reference frames
+with ref list modification and MMCO, explicit weighted P prediction
+(weightp fades with duplicated references), the full B mb_type tree
+with spatial direct (per-8x8 colZero), B-pyramid, implicit weighted
+bipred, per-MB mb_qp_delta (adaptive quant), 8x8 transform, and
+deblocking in spec order with reference-aware bS. Bit-exactness vs the
+system-ffmpeg decoder is pinned by tests/test_foreign_decode.py,
+test_foreign_high_intra.py and test_foreign_inter.py; this is the
+in-process replacement for the ffmpeg decode half of the reference's
+transcode (cmd/consumer.go:376-394).
 
-Not general-purpose yet: no High profile (8x8 transform), no multi-ref
-beyond the 2-picture B DPB, no direct/8x8-partition foreign B MBs, no
-MBAFF/FMO.
+Out of scope: interlaced (MBAFF/PAFF), FMO/ASO, multi-slice pictures,
+sub-8x8 partitions (x264 never emits them above superfast), temporal
+direct, long-term references.
+
+Structure: slice-level parse here; general inter MB parse in
+pframe/bframe (CAVLC) and inter_cabac (CABAC); reference lists /
+marking / weights in refpic; MV prediction in mvpred; whole-frame
+vectorized inter reconstruction in inter_recon.
 """
 
 from __future__ import annotations
@@ -83,7 +89,7 @@ class H264Decoder:
         self.frames: list[DecodedFrame] = []
         # DPB for B streams: [(poc, planes)] reference pictures of the
         # current coded video sequence (cleared at IDR)
-        self.dpb: list[tuple[int, tuple]] = []
+        self.dpb: list = []              # refpic.RefPic entries
         self._group = -1                 # IDR counter (POC resets there)
         self._order: list[tuple] = []    # (group, poc) per decoded frame
         self._prev_poc_msb = 0
@@ -111,12 +117,14 @@ class H264Decoder:
     def drain(self, flush: bool = False) -> list[DecodedFrame]:
         """Streaming output: pop the frames that are safe to display.
 
-        B streams decode out of display order; a one-picture reorder
-        buffer (our streams' max reorder depth: anchors precede their B
-        pictures by at most one emission) holds the newest frame back
-        until the next arrives. ``flush=True`` empties the buffer at
-        end of stream."""
-        hold = 1 if (self.sp is not None and self.sp.poc_type == 0) else 0
+        B streams decode out of display order; a reorder buffer of
+        num_ref_frames pictures covers the worst reordering the DPB can
+        express (foreign B-pyramid streams reorder deeper than our own
+        one-anchor lag; x264 sets num_ref_frames >= its reorder depth).
+        ``flush=True`` empties the buffer at end of stream."""
+        hold = 0
+        if self.sp is not None and self.sp.poc_type == 0:
+            hold = max(1, self.sp.num_ref_frames)
         out: list[DecodedFrame] = []
         while len(self.frames) > (0 if flush else hold):
             i = min(range(len(self.frames)), key=lambda j: self._order[j])
@@ -171,7 +179,7 @@ class H264Decoder:
         if not (is_p or is_i or is_b):
             raise DecodeError(f"slice_type {slice_type} unsupported")
         br.ue()                                   # pps id
-        br.u(sp.log2_max_frame_num)               # frame_num
+        fn = br.u(sp.log2_max_frame_num)          # frame_num
         if is_idr:
             br.ue()                               # idr_pic_id
             self.dpb.clear()
@@ -193,29 +201,37 @@ class H264Decoder:
             poc = msb + lsb
             if ref_idc:
                 self._prev_poc_msb, self._prev_poc_lsb = msb, lsb
+        from . import refpic as RP
         if is_b:
-            br.u(1)                               # direct_spatial_mv_pred
+            if not br.u(1):                       # direct_spatial_mv_pred
+                raise DecodeError("temporal direct mode unsupported")
+        num_ref0, num_ref1 = pp.num_ref_l0, pp.num_ref_l1
+        mod0 = mod1 = ()
+        wt0 = wt1 = None
         if is_p or is_b:
-            num_ref = pp.num_ref_l0
-            num_ref_l1 = 1
             if br.u(1):                           # num_ref_idx_override
-                num_ref = br.ue() + 1
+                num_ref0 = br.ue() + 1
                 if is_b:
-                    num_ref_l1 = br.ue() + 1
-            if num_ref != 1 or num_ref_l1 != 1:
-                raise DecodeError("multiple reference frames unsupported")
-            if br.u(1):                           # ref_pic_list_modification
-                raise DecodeError("ref list modification unsupported")
-            if is_b and br.u(1):                  # ..._flag_l1
-                raise DecodeError("ref list modification unsupported")
-        if is_idr:
-            br.u(1)
-            br.u(1)
-        elif ref_idc:
-            if br.u(1):
-                raise DecodeError("adaptive ref marking unsupported")
+                    num_ref1 = br.ue() + 1
+            try:
+                mod0, mod1 = RP.parse_ref_list_modification(br, is_b)
+            except ValueError as e:
+                raise DecodeError(str(e))
+        if is_p and pp.weighted_pred:
+            wt0, _ = RP.parse_pred_weight_table(br, num_ref0, 0)
+            if all(wt0.identity(r) for r in range(num_ref0)):
+                wt0 = None                        # identity table: skip
+        elif is_b and pp.weighted_bipred == 1:
+            wt0, wt1 = RP.parse_pred_weight_table(br, num_ref0, num_ref1)
+        mmco = []
+        if ref_idc:
+            try:
+                mmco = RP.parse_dec_ref_pic_marking(br, is_idr)
+            except ValueError as e:
+                raise DecodeError(str(e))
+        cabac_init_idc = 0
         if pp.cabac and not is_i:
-            br.ue()                               # cabac_init_idc
+            cabac_init_idc = br.ue()
         qp = pp.init_qp + br.se()
         deblock_idc = 1
         if pp.deblocking_filter_control_present:
@@ -242,6 +258,10 @@ class H264Decoder:
                    qp_mb=qp_mb, cur_qp=qp,
                    i4_modes=np.full((sp.mb_height * 4, sp.mb_width * 4),
                                     -1, np.int8))
+        # transform_size_8x8 per MB: luma rows 4b..4b+4 of p_z_luma
+        # hold 8x8 block b's 64-scan instead of four 4x4 scans (also
+        # drives the 8x8 deblock edge grid; I slices can carry i8 MBs)
+        ctx["p_t8"] = np.zeros((sp.mb_height, sp.mb_width), bool)
         if is_p or is_b:
             # P/B slices defer recon: parse fills these level arrays,
             # then one vectorized pass reconstructs every inter MB at
@@ -254,23 +274,57 @@ class H264Decoder:
                 (sp.mb_height, sp.mb_width, 2, 4), np.int32)
             ctx["p_cac"] = np.zeros(
                 (sp.mb_height, sp.mb_width, 2, 4, 16), np.int32)
-            # transform_size_8x8 per MB: luma rows 4b..4b+4 of p_z_luma
-            # hold 8x8 block b's 64-scan instead of four 4x4 scans
-            ctx["p_t8"] = np.zeros((sp.mb_height, sp.mb_width), bool)
-            # MV field on the 8x8 block grid (P_8x8 partitions; 16x16
-            # MBs replicate their vector into all four blocks)
-            ctx["mvs8"] = np.zeros((2 * sp.mb_height, 2 * sp.mb_width, 2),
-                                   np.int32)
-            ctx["valid8"] = np.zeros((2 * sp.mb_height, 2 * sp.mb_width),
-                                     bool)
+            # general inter state on the 8x8 block grid: per-list MVs +
+            # refIdx (-1 = unused/intra); dec8 marks decoded blocks (in
+            # partition order — MV prediction availability, 6.4.9)
+            nby2, nbx2 = 2 * sp.mb_height, 2 * sp.mb_width
+            ctx["mv8_l0"] = np.zeros((nby2, nbx2, 2), np.int32)
+            ctx["ref8_l0"] = np.full((nby2, nbx2), -1, np.int8)
+            ctx["dec8"] = np.zeros((nby2, nbx2), bool)
+            ctx["n_ref0"], ctx["n_ref1"] = num_ref0, num_ref1
+            ctx["wt0"], ctx["wt1"] = wt0, wt1
+            max_fn = 1 << sp.log2_max_frame_num
             intra_queue: list = []
+            if is_p:
+                init0 = RP.init_list_p(self.dpb, fn, max_fn)
+                try:
+                    lst0 = RP.apply_modification(init0, mod0, fn, max_fn,
+                                                 num_ref0)
+                except ValueError as e:
+                    raise DecodeError(str(e))
+                if len(lst0) < num_ref0:
+                    raise DecodeError("list0 shorter than active count")
+                ctx["list0_pics"] = lst0
+                ctx["list0"] = [tuple(p.astype(np.int32) for p in r.planes)
+                                for r in lst0]
         if is_b:
-            ctx["b_mode"] = np.zeros((sp.mb_height, sp.mb_width), np.int32)
-            ctx["mvs0"] = np.zeros((sp.mb_height, sp.mb_width, 2), np.int32)
-            ctx["mvs1"] = np.zeros((sp.mb_height, sp.mb_width, 2), np.int32)
-            ctx["use0"] = np.zeros((sp.mb_height, sp.mb_width), bool)
-            ctx["use1"] = np.zeros((sp.mb_height, sp.mb_width), bool)
-            b_ref0, b_ref1, ctx["col_zero"] = self._b_refs(poc)
+            ctx["mv8_l1"] = np.zeros((nby2, nbx2, 2), np.int32)
+            ctx["ref8_l1"] = np.full((nby2, nbx2), -1, np.int8)
+            i0, i1 = RP.init_lists_b(self.dpb, poc)
+            try:
+                lst0 = RP.apply_modification(i0, mod0, fn, max_fn,
+                                             num_ref0)
+                lst1 = RP.apply_modification(i1, mod1, fn, max_fn,
+                                             num_ref1)
+            except ValueError as e:
+                raise DecodeError(str(e))
+            if len(lst0) < num_ref0 or len(lst1) < num_ref1:
+                raise DecodeError("B picture without both anchor "
+                                  "references")
+            ctx["list0_pics"], ctx["list1_pics"] = lst0, lst1
+            ctx["list0"] = [tuple(p.astype(np.int32) for p in r.planes)
+                            for r in lst0]
+            ctx["list1"] = [tuple(p.astype(np.int32) for p in r.planes)
+                            for r in lst1]
+            ctx["col"] = lst1[0]
+            if pp.weighted_bipred == 2:
+                w0 = np.zeros((num_ref0, num_ref1), np.int32)
+                w1 = np.zeros((num_ref0, num_ref1), np.int32)
+                for r0 in range(num_ref0):
+                    for r1 in range(num_ref1):
+                        w0[r0, r1], w1[r0, r1] = RP.implicit_weights(
+                            poc, lst0[r0].poc, lst1[r1].poc)
+                ctx["implicit_w"] = (w0, w1)
         if is_i:
             i_rows: list = [[None] * sp.mb_width
                             for _ in range(sp.mb_height)]
@@ -278,7 +332,6 @@ class H264Decoder:
         n_mbs = sp.mb_width * sp.mb_height
         if pp.cabac:
             from . import cabac_syntax as CS
-            from . import pframe as pf
             br.byte_align()                 # cabac_alignment_one_bit(s)
             payload = rbsp[br.pos // 8:]
             if is_i:
@@ -295,74 +348,21 @@ class H264Decoder:
                         qp_mb[mby, mbx] = rows[mby][mbx].get("qp", qp)
                 if st.t8.any():
                     ctx["p_t8"] = st.t8    # 8x8 deblock edge semantics
-            elif is_b:
-                self._parse_bslice_cabac(ctx, payload, qp)
             else:
-                def on_skip(mbx, mby):
-                    self._decode_pskip(ctx, mbx, mby)
-
-                def on_inter(mbx, mby, mvd, luma, cdc, cac, t8=False,
-                             part=False):
-                    mv8, inter8 = ctx["mvs8"], ctx["valid8"]
-                    nbx2 = 2 * sp.mb_width
-                    if part:
-                        # P_8x8: mvd is a list of four per-partition mvds
-                        for q in range(4):
-                            by = 2 * mby + (q >> 1)
-                            bx = 2 * mbx + (q & 1)
-                            inter8[by, bx] = True
-                            pred = pf.mv_pred_dec8(mv8, inter8, by, bx,
-                                                   1, nbx2)
-                            mv8[by, bx] = (pred[0] + mvd[q][0],
-                                           pred[1] + mvd[q][1])
-                        mvs[mby, mbx] = mv8[2 * mby, 2 * mbx]
-                        mv_valid[mby, mbx] = True
-                    else:
-                        pred = pf.mv_pred_dec8(mv8, inter8, 2 * mby,
-                                               2 * mbx, 2, nbx2)
-                        mv = (pred[0] + mvd[0], pred[1] + mvd[1])
-                        pf._set_mb_mv8(ctx, mbx, mby, mv)
-                    ctx["p_z_luma"][mby, mbx] = luma
-                    ctx["p_cdc"][mby, mbx] = cdc
-                    ctx["p_cac"][mby, mbx] = cac
-                    ctx["p_t8"][mby, mbx] = t8
-                    if t8:
-                        for b8 in range(4):
-                            n = int(np.count_nonzero(
-                                luma[4 * b8:4 * b8 + 4]))
-                            gy = 4 * mby + 2 * (b8 // 2)
-                            gx = 4 * mbx + 2 * (b8 % 2)
-                            nz_y.nz[gy:gy + 2, gx:gx + 2] = n
-                    else:
-                        for blk in range(16):
-                            oy = int(LUMA_BLK_ORDER[blk, 0])
-                            ox = int(LUMA_BLK_ORDER[blk, 1])
-                            nz_y.nz[4 * mby + oy, 4 * mbx + ox] = \
-                                int(np.count_nonzero(luma[blk]))
-                    for c, nzc in ((0, nz_cb), (1, nz_cr)):
-                        for blk in range(4):
-                            oy = int(CHROMA_BLK_ORDER[blk, 0])
-                            ox = int(CHROMA_BLK_ORDER[blk, 1])
-                            nzc.nz[2 * mby + oy, 2 * mbx + ox] = \
-                                int(np.count_nonzero(cac[c, blk]))
-
-                CS.parse_pslice_cabac(payload, qp, sp.mb_height,
-                                      sp.mb_width, on_skip, on_inter,
-                                      transform_8x8=pp.transform_8x8)
+                from . import inter_cabac
+                inter_cabac.parse_inter_slice_cabac(
+                    ctx, payload, qp, is_b, cabac_init_idc, intra_queue)
         else:
             if is_b:
-                self._decode_mbs_b_cavlc(ctx, n_mbs)
+                self._decode_mbs_b_cavlc(ctx, n_mbs, intra_queue)
             else:
                 self._decode_mbs_cavlc(ctx, is_p, n_mbs,
                                        intra_queue if is_p else None,
                                        i_rows if is_i else None)
 
-        if is_b:
-            from . import bframe
-            bframe.recon_b_frame(ctx, b_ref0, b_ref1)
-        elif is_p:
-            from . import pframe
-            pframe.recon_p_frame(ctx, self._ref_int32())
+        if is_p or is_b:
+            from . import inter_recon
+            inter_recon.recon_inter_frame(ctx)
             for mbx, mby, parsed in intra_queue:
                 self._recon_intra_mb(ctx, mbx, mby, parsed)
         else:
@@ -399,13 +399,15 @@ class H264Decoder:
             # fold the PPS chroma_qp_index_offset into the lookup table
             cq = np.asarray(CHROMA_QP_FULL)[
                 np.clip(np.arange(52) + pp.chroma_qp_index_offset, 0, 51)]
-            if is_b:
-                mvq = (ctx["mvs0"], ctx["mvs1"],
-                       np.stack([ctx["use0"], ctx["use1"]], axis=-1))
-            elif is_p:
-                # 8x8-block MV grid (bS granularity for P_8x8 partitions;
-                # pure-16x16 frames replicate, same result)
-                mvq = ctx["mvs8"]
+            if is_p or is_b:
+                # general 8x8-grid form: per-list MVs + reference-PICTURE
+                # ids so bS=1 triggers on different refs (8.7.2.1)
+                from . import inter_recon
+                id0, id1 = inter_recon.ref_id_grids(ctx)
+                mvq = {"mv0": ctx["mv8_l0"], "id0": id0}
+                if is_b:
+                    mvq["mv1"] = ctx["mv8_l1"]
+                    mvq["id1"] = id1
             else:
                 mvq = mvs
             yf, uf, vf = dbf.deblock_frame_host(
@@ -421,23 +423,32 @@ class H264Decoder:
         if ref_idc:
             self.ref = (y.astype(np.uint8), u.astype(np.uint8),
                         v.astype(np.uint8))
-            # colZero grid for B spatial direct when this picture serves
-            # as L1[0]: inter MB with both |mv| <= 1 quarter-pel
-            if is_p:
-                # per-MB colZero: ALL four 8x8 blocks zero-motion (for
-                # P_8x8 anchors the encoder only emits B_Skip/direct
-                # where the colocated colZero is uniform, so the MB-level
-                # grid stays spec-exact wherever it is consulted)
-                z8 = (np.abs(ctx["mvs8"]) <= 1).all(-1)
-                nby, nbx = mv_valid.shape
-                colz = mv_valid & z8.reshape(nby, 2, nbx, 2).all(
-                    axis=(1, 3))
-            else:
-                colz = np.zeros(mv_valid.shape, bool)
-            self.dpb.append((poc, self.ref, colz))
-            if self.sp.num_ref_frames and \
-                    len(self.dpb) > max(1, self.sp.num_ref_frames):
-                self.dpb.pop(0)           # sliding window (oldest decode)
+            # colocated motion for spatial direct when this picture
+            # serves as a B's RefPicList1[0] (8.4.1.2.2): per-8x8 MV of
+            # the preferred list and whether that refIdx was 0
+            nby2, nbx2 = 2 * sp.mb_height, 2 * sp.mb_width
+            col_mv8 = np.zeros((nby2, nbx2, 2), np.int32)
+            col_ref0 = np.zeros((nby2, nbx2), bool)
+            if is_p or is_b:
+                r0 = ctx["ref8_l0"]
+                col_mv8[:] = ctx["mv8_l0"]
+                col_ref0[:] = r0 == 0
+                if is_b:
+                    use0 = (r0 >= 0)
+                    col_mv8 = np.where(use0[..., None], col_mv8,
+                                       ctx["mv8_l1"])
+                    col_ref0 = np.where(use0, col_ref0,
+                                        ctx["ref8_l1"] == 0)
+            max_fn = 1 << sp.log2_max_frame_num
+            if mmco:
+                RP.apply_marking(self.dpb, mmco, fn, max_fn,
+                                 sp.num_ref_frames)
+            self.dpb.append(RP.RefPic(poc=poc, frame_num=fn,
+                                      planes=self.ref, col_mv8=col_mv8,
+                                      col_ref0=col_ref0))
+            if not mmco:
+                RP.apply_marking(self.dpb, [], fn, max_fn,
+                                 sp.num_ref_frames)
         self.frames.append(DecodedFrame(crop_y, crop_u, crop_v, is_idr))
         self._order.append((self._group, poc))
 
@@ -478,22 +489,7 @@ class H264Decoder:
             mb += 1
 
     # -- B slices ---------------------------------------------------------
-    def _b_refs(self, poc):
-        """(past planes, future planes, future colZero grid) for a B
-        picture at ``poc`` — the two DPB references that bracket it
-        (L0[0]/L1[0] under default B list construction, num_ref 1 each).
-        The colZero grid of L1[0] feeds spatial-direct derivation."""
-        past = [e for e in self.dpb if e[0] < poc]
-        fut = [e for e in self.dpb if e[0] > poc]
-        if not past or not fut:
-            raise DecodeError("B picture without both anchor references")
-        r0 = max(past, key=lambda e: e[0])
-        r1 = min(fut, key=lambda e: e[0])
-        return (tuple(p.astype(np.int32) for p in r0[1]),
-                tuple(p.astype(np.int32) for p in r1[1]),
-                r1[2])
-
-    def _decode_mbs_b_cavlc(self, ctx, n_mbs):
+    def _decode_mbs_b_cavlc(self, ctx, n_mbs, intra_queue):
         from . import bframe
         br = ctx["br"]
         sp = ctx["sp"]
@@ -507,46 +503,17 @@ class H264Decoder:
             if mb >= n_mbs:
                 break
             mby, mbx = divmod(mb, sp.mb_width)
-            bframe.decode_b_mb_cavlc(ctx, mbx, mby, br.ue())
+            mb_type = br.ue()
+            if mb_type >= 23:                 # intra MB inside a B slice
+                if mb_type - 23 == MB_TYPE_I_PCM:
+                    self._decode_pcm(ctx, mbx, mby)
+                else:
+                    parsed = self._parse_intra_mb(ctx, mbx, mby,
+                                                  mb_type - 23)
+                    intra_queue.append((mbx, mby, parsed))
+            else:
+                bframe.decode_b_mb_cavlc(ctx, mbx, mby, mb_type)
             mb += 1
-
-    def _parse_bslice_cabac(self, ctx, payload, qp):
-        from . import cabac_syntax as CS
-        from . import pframe as pf
-        sp = ctx["sp"]
-        nz_y, nz_cb, nz_cr = ctx["nz_y"], ctx["nz_cb"], ctx["nz_cr"]
-
-        def on_mb(mbx, mby, mode, mvd0, mvd1, luma, cdc, cac):
-            ctx["b_mode"][mby, mbx] = mode
-            for lst, mvd in ((0, mvd0), (1, mvd1)):
-                if mvd is None:
-                    continue
-                mvs, use = ctx[f"mvs{lst}"], ctx[f"use{lst}"]
-                pred = pf.mv_pred_dec(mvs, use, mbx, mby, sp.mb_width)
-                mvs[mby, mbx] = (pred[0] + mvd[0], pred[1] + mvd[1])
-                use[mby, mbx] = True
-            ctx["p_z_luma"][mby, mbx] = luma
-            ctx["p_cdc"][mby, mbx] = cdc
-            ctx["p_cac"][mby, mbx] = cac
-            for blk in range(16):
-                oy = int(LUMA_BLK_ORDER[blk, 0])
-                ox = int(LUMA_BLK_ORDER[blk, 1])
-                nz_y.nz[4 * mby + oy, 4 * mbx + ox] = \
-                    int(np.count_nonzero(luma[blk]))
-            for c, nzc in ((0, nz_cb), (1, nz_cr)):
-                for blk in range(4):
-                    oy = int(CHROMA_BLK_ORDER[blk, 0])
-                    ox = int(CHROMA_BLK_ORDER[blk, 1])
-                    nzc.nz[2 * mby + oy, 2 * mbx + ox] = \
-                        int(np.count_nonzero(cac[c, blk]))
-
-        def on_skip(mbx, mby):
-            from . import bframe
-            bframe.decode_b_skip(ctx, mbx, mby)
-
-        CS.parse_bslice_cabac(payload, qp, sp.mb_height, sp.mb_width,
-                              on_mb, on_skip,
-                              transform_8x8=self.pp.transform_8x8)
 
     # -- intra MBs --------------------------------------------------------
     def _decode_intra_mb(self, ctx, mbx, mby, mb_type):
@@ -574,6 +541,8 @@ class H264Decoder:
         ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
         ctx["intra_mb"][mby, mbx] = True
         ctx["mv_valid"][mby, mbx] = False
+        if "dec8" in ctx:                 # intra block: available, ref -1
+            ctx["dec8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = True
 
         # ---- luma residual parse
         nz_y = ctx["nz_y"]
@@ -611,13 +580,19 @@ class H264Decoder:
                     dc_zz=dc_zz, ac=ac, cdc=cdc, cac=cac,
                     qp=ctx["cur_qp"])
 
-    # -- I_4x4 (I_NxN) macroblocks (foreign baseline streams) -------------
+    # -- I_4x4 / I_8x8 (I_NxN) macroblocks (foreign streams) --------------
     def _parse_i4x4_mb(self, ctx, mbx, mby):
-        """Parse an I_4x4 MB: per-block predicted pred modes, CBP with
-        the intra me(v) mapping, optional mb_qp_delta, 16-coeff luma
-        blocks for coded 8x8 groups."""
+        """Parse an I_NxN MB: transform_size_8x8_flag (High PPS),
+        per-block predicted pred modes, CBP with the intra me(v)
+        mapping, optional mb_qp_delta, residual blocks (4x4 scans, or
+        the interleaved-4x4 8x8 transport when t8)."""
         br = ctx["br"]
         i4g = ctx["i4_modes"]
+        t8f = False
+        if ctx["pp"].transform_8x8:
+            t8f = bool(br.u(1))               # transform_size_8x8_flag
+        if t8f:
+            return self._parse_i8x8_mb_cavlc(ctx, mbx, mby)
         modes = np.zeros(16, np.int8)
         for blk in range(16):
             oy = int(LUMA_BLK_ORDER[blk, 0])
@@ -646,6 +621,8 @@ class H264Decoder:
         ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
         ctx["intra_mb"][mby, mbx] = True
         ctx["mv_valid"][mby, mbx] = False
+        if "dec8" in ctx:                 # intra block: available, ref -1
+            ctx["dec8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = True
 
         nz_y = ctx["nz_y"]
         luma = np.zeros((16, 16), np.int32)
@@ -678,6 +655,80 @@ class H264Decoder:
                     total = int(np.count_nonzero(coeffs))
                 nzc.nz[by, bx] = total
         return dict(kind="i4", modes=modes, luma=luma,
+                    chroma_mode=chroma_mode, cdc=cdc, cac=cac,
+                    qp=ctx["cur_qp"])
+
+    def _parse_i8x8_mb_cavlc(self, ctx, mbx, mby):
+        """I_NxN with transform_size_8x8 in a CAVLC slice: four 8x8
+        prediction modes + the spec 8.5.6 interleaved-4x4 residual
+        transport (sub-block k of an 8x8 carries scan positions
+        4*i + k, each a normal CAVLC block with its own nC context)."""
+        br = ctx["br"]
+        i4g = ctx["i4_modes"]
+        modes = np.zeros(16, np.int8)
+        for b8 in range(4):
+            oy, ox = 2 * (b8 // 2), 2 * (b8 % 2)
+            by, bx = 4 * mby + oy, 4 * mbx + ox
+            if bx == 0 or by == 0:
+                pred = 2              # unavailable neighbor -> DC (8.3.1.1)
+            else:
+                a = i4g[by, bx - 1]
+                b = i4g[by - 1, bx]
+                pred = min(a if a >= 0 else 2, b if b >= 0 else 2)
+            if br.u(1):                       # prev_intra8x8_pred_mode
+                mode = pred
+            else:
+                rem = br.u(3)
+                mode = rem if rem < pred else rem + 1
+            modes[4 * b8:4 * b8 + 4] = mode
+            i4g[by:by + 2, bx:bx + 2] = mode
+        chroma_mode = br.ue()
+        cbp = _CBP_INTRA_FROM_CODE[br.ue()]
+        if cbp:
+            delta = br.se()
+            ctx["cur_qp"] = (ctx["cur_qp"] + delta + 52) % 52
+        ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
+        ctx["intra_mb"][mby, mbx] = True
+        ctx["mv_valid"][mby, mbx] = False
+        ctx["p_t8"][mby, mbx] = True
+        if "dec8" in ctx:
+            ctx["dec8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = True
+
+        nz_y = ctx["nz_y"]
+        luma = np.zeros((16, 16), np.int32)
+        for b8 in range(4):
+            subs = np.zeros((4, 16), np.int64)
+            for k in range(4):
+                blk = 4 * b8 + k
+                oy = int(LUMA_BLK_ORDER[blk, 0])
+                ox = int(LUMA_BLK_ORDER[blk, 1])
+                by, bx = 4 * mby + oy, 4 * mbx + ox
+                total = 0
+                if cbp & (1 << b8):
+                    coeffs = decode_residual_block(br, nz_y.nc(by, bx), 16)
+                    subs[k] = coeffs
+                    total = int(np.count_nonzero(coeffs))
+                nz_y.nz[by, bx] = total
+            luma[4 * b8:4 * b8 + 4] = subs.T.reshape(64).reshape(4, 16)
+
+        cbp_chroma = cbp >> 4
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 16), np.int32)
+        if cbp_chroma:
+            for c in range(2):
+                cdc[c] = decode_residual_block(br, -1, 4)
+        for c, nzc in ((0, ctx["nz_cb"]), (1, ctx["nz_cr"])):
+            for blk in range(4):
+                oy, ox = (int(CHROMA_BLK_ORDER[blk, 0]),
+                          int(CHROMA_BLK_ORDER[blk, 1]))
+                by, bx = 2 * mby + oy, 2 * mbx + ox
+                total = 0
+                if cbp_chroma == 2:
+                    coeffs = decode_residual_block(br, nzc.nc(by, bx), 15)
+                    cac[c, blk, 1:] = coeffs
+                    total = int(np.count_nonzero(coeffs))
+                nzc.nz[by, bx] = total
+        return dict(kind="i8", modes=modes, luma=luma,
                     chroma_mode=chroma_mode, cdc=cdc, cac=cac,
                     qp=ctx["cur_qp"])
 
@@ -1243,24 +1294,17 @@ class H264Decoder:
         ctx["nz_cr"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 16
         ctx["intra_mb"][mby, mbx] = True
         ctx["qp_mb"][mby, mbx] = 0        # PCM participates in deblock at QP 0
+        if "dec8" in ctx:                 # intra block: available, ref -1
+            ctx["dec8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = True
 
-    # -- inter MBs (filled in with the P-frame milestone) -----------------
-    def _ref_int32(self):
-        """int32 view of the reference planes, converted once per frame
-        (a per-MB astype would copy the full plane 8k times at 1080p)."""
-        if getattr(self, "_ref_i32_src", None) is not self.ref:
-            self._ref_i32 = tuple(p.astype(np.int32) for p in self.ref)
-            self._ref_i32_src = self.ref
-        return self._ref_i32
-
+    # -- inter MBs ---------------------------------------------------------
     def _decode_pskip(self, ctx, mbx, mby):
         from . import pframe
-        pframe.decode_pskip(self, ctx, mbx, mby, self._ref_int32())
+        pframe.decode_pskip(self, ctx, mbx, mby)
 
     def _decode_inter_mb(self, ctx, mbx, mby, mb_type):
         from . import pframe
-        pframe.decode_inter_mb(self, ctx, mbx, mby, mb_type,
-                               self._ref_int32())
+        pframe.decode_inter_mb(self, ctx, mbx, mby, mb_type)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

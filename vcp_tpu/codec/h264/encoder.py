@@ -67,10 +67,13 @@ class EncoderConfig:
         cfg.transform8 = cfg.cabac and params.effort >= 5
         if os.environ.get("VCP_T8"):
             cfg.transform8 = os.environ["VCP_T8"] != "0"
-        # P_8x8 sub-partitions: quality presets only (x264 medium runs
-        # p8x8 analysis; the extra 8x8-granular search/MC costs device
-        # time the speed presets spend on throughput)
-        cfg.parts = params.effort >= 5
+        # P_8x8 sub-partitions: opt-in. The decision is SAD+lambda*mvrate
+        # (no true RD), which wins on split-motion content
+        # (tests/test_h264_parts.py) but measures RD-negative on the
+        # golden clips vs plain 16x16+skip — so unlike x264 medium's
+        # p8x8 analysis it stays off until the mode decision can price
+        # real bits.
+        cfg.parts = False
         if os.environ.get("VCP_PARTS"):
             cfg.parts = os.environ["VCP_PARTS"] != "0"
         if params.bframes >= 0:

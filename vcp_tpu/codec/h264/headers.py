@@ -53,8 +53,10 @@ class PicParams:
     deblocking_filter_control_present: bool = True
     cabac: bool = False            # entropy_coding_mode_flag
     num_ref_l0: int = 1            # num_ref_idx_l0_default_active
+    num_ref_l1: int = 1            # num_ref_idx_l1_default_active
     transform_8x8: bool = False    # PPS ext transform_8x8_mode_flag
-    weighted_pred: bool = False    # weighted_pred_flag (parse only)
+    weighted_pred: bool = False    # weighted_pred_flag (P explicit)
+    weighted_bipred: int = 0       # weighted_bipred_idc (2 = implicit)
 
 
 def write_sps(sp: SeqParams) -> bytes:
@@ -223,9 +225,9 @@ def parse_pps(rbsp: bytes) -> PicParams:
     if br.ue() != 0:
         raise ValueError("slice groups unsupported")
     num_ref_l0 = br.ue() + 1
-    br.ue()
+    num_ref_l1 = br.ue() + 1
     weighted_pred = bool(br.u(1))
-    br.u(2)
+    weighted_bipred = br.u(2)
     init_qp = br.se() + 26
     br.se()
     chroma_off = br.se()
@@ -244,5 +246,7 @@ def parse_pps(rbsp: bytes) -> PicParams:
                      chroma_qp_index_offset=chroma_off,
                      deblocking_filter_control_present=deblock_present,
                      cabac=cabac, num_ref_l0=num_ref_l0,
+                     num_ref_l1=num_ref_l1,
                      transform_8x8=transform_8x8,
-                     weighted_pred=weighted_pred)
+                     weighted_pred=weighted_pred,
+                     weighted_bipred=weighted_bipred)

@@ -15,6 +15,7 @@ optional in-loop deblocking. Spec refs: 8.4.1.1/8.4.1.3 (MV prediction),
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -98,9 +99,13 @@ def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
 
 
 # extra-bits penalty for choosing P_8x8 over P_L0_16x16 (mb_type ue +
-# four sub_mb_types + three extra mvd headers), in the SAD-lambda
-# currency; tuned on the golden clips
-P8X8_BIT_PENALTY = 16
+# four sub_mb_types + three extra mvd headers + lost P_Skip eligibility),
+# in the SAD-lambda currency; tuned on the golden clips
+P8X8_BIT_PENALTY = int(os.environ.get("VCP_P8_PENALTY", "40"))
+# minimum linf quadrant divergence from the 16x16 vector (quarter-pel)
+# for P_8x8 to be considered: sub-pel refinement jitters every quadrant
+# by 1-2 qpel, and those "splits" never pay for their syntax
+P8X8_MIN_SPLIT_Q = int(os.environ.get("VCP_P8_MINSPLIT", "4"))
 
 
 @functools.partial(jax.jit, static_argnums=(8, 10, 11, 12))
@@ -159,7 +164,11 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
     r8 = rate(mv8 - mv16_q)
     cost8 = (sad8 + lam * r8).reshape(n_mby, 2, n_mbx, 2).sum(
         axis=(1, 3)) + lam * P8X8_BIT_PENALTY
-    part = cost8 < cost16
+    # real motion split required: at least one quadrant >= 1 full pel off
+    # the 16x16 vector, or the "gain" is sub-pel refinement noise
+    split = jnp.abs(mv8 - mv16_q).max(axis=-1).reshape(
+        n_mby, 2, n_mbx, 2).max(axis=(1, 3)) >= P8X8_MIN_SPLIT_Q
+    part = (cost8 < cost16) & split
     part2 = jnp.repeat(jnp.repeat(part, 2, 0), 2, 1)
     mv8_final = jnp.where(part2[..., None], mv8, mv16_q)
     part_px = jnp.repeat(jnp.repeat(part, 16, 0), 16, 1)
@@ -794,107 +803,94 @@ def skip_mv_dec(mvs, inter, mbx, mby, n_mbx):
     return mv_pred_dec(mvs, inter, mbx, mby, n_mbx)
 
 
-# -- decoder-semantics MV prediction on the 8x8 block grid ---------------
-# (spec availability: out-of-picture -> unavailable; an intra block IS
-# available with mv (0,0) / refIdx -1.)
+# -- general decoder-side P parse (8x8-grid state, multi-ref) ------------
+# MV prediction lives in .mvpred (spec 8.4.1.3, refIdx-aware, shared
+# with the CABAC parser and B slices).
 
-def _get_dec8(mv8, inter8, by, bx, nbx2):
-    if bx < 0 or by < 0 or bx >= nbx2:
-        return None
-    if not inter8[by, bx]:
-        return ((0, 0), -1)
-    return ((int(mv8[by, bx, 0]), int(mv8[by, bx, 1])), 0)
-
-
-def _mv_neighbors_dec8(mv8, inter8, by, bx, pw, nbx2):
-    a = _get_dec8(mv8, inter8, by, bx - 1, nbx2)
-    b = _get_dec8(mv8, inter8, by - 1, bx, nbx2)
-    c = None
-    if by - 1 >= 0 and bx + pw < nbx2 and _blk8_before(by, bx,
-                                                      by - 1, bx + pw):
-        c = _get_dec8(mv8, inter8, by - 1, bx + pw, nbx2)
-    if c is None:
-        c = _get_dec8(mv8, inter8, by - 1, bx - 1, nbx2)
-    return a, b, c
+def set_part(ctx, by, bx, pw, ph, ref, mv, lst=0):
+    """Record one partition's (refIdx, mv) over its 8x8-block footprint
+    and mark the blocks decoded."""
+    sfx = "_l0" if lst == 0 else "_l1"
+    ctx["mv8" + sfx][by:by + ph, bx:bx + pw] = mv
+    ctx["ref8" + sfx][by:by + ph, bx:bx + pw] = ref
+    ctx["dec8"][by:by + ph, bx:bx + pw] = True
 
 
-def mv_pred_dec8(mv8, inter8, by, bx, pw, nbx2):
-    """Spec 8.4.1.3 median prediction for a partition with top-left 8x8
-    block (by, bx), width pw blocks (2 = 16x16 MB, 1 = 8x8)."""
-    a, b, c = _mv_neighbors_dec8(mv8, inter8, by, bx, pw, nbx2)
-    if b is None and c is None and a is not None:
-        return a[0]
-    matches = [n for n in (a, b, c) if n is not None and n[1] == 0]
-    if len(matches) == 1:
-        return matches[0][0]
-    vals = [(n[0] if n is not None else (0, 0)) for n in (a, b, c)]
-    return tuple(sorted(v[k] for v in vals)[1] for k in range(2))
+def read_ref_idx(br, n_active: int) -> int:
+    """ref_idx_lX as te(v): single bit inverted when two refs are
+    active, ue(v) beyond (9.1.1)."""
+    if n_active <= 1:
+        return 0
+    if n_active == 2:
+        return 1 - br.u(1)
+    return br.ue()
 
 
-def skip_mv_dec8(mv8, inter8, mbx, mby, nbx2):
-    """Spec 8.4.1.1 P_Skip MV on the 8x8 grid (decoder semantics)."""
-    by, bx = 2 * mby, 2 * mbx
-    a, b, _ = _mv_neighbors_dec8(mv8, inter8, by, bx, 2, nbx2)
-    if a is None or b is None:
-        return (0, 0)
-    if a[1] == 0 and a[0] == (0, 0):
-        return (0, 0)
-    if b[1] == 0 and b[0] == (0, 0):
-        return (0, 0)
-    return mv_pred_dec8(mv8, inter8, by, bx, 2, nbx2)
-
-
-def _set_mb_mv8(ctx, mbx, mby, mv):
-    """Record a 16x16 MB's MV on the 8x8 grid + the per-MB view."""
-    ctx["mvs8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = mv
-    ctx["valid8"][2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = True
+def decode_pskip(dec, ctx, mbx, mby):
+    """Parse-time half of a skipped MB: derive the skip MV (refIdx 0)
+    and zero the nC context. Recon is deferred (order-independent)."""
+    from . import mvpred
+    sp = ctx["sp"]
+    mv = mvpred.p_skip_mv(ctx["mv8_l0"], ctx["ref8_l0"], ctx["dec8"],
+                          mby, mbx, 2 * sp.mb_width)
+    set_part(ctx, 2 * mby, 2 * mbx, 2, 2, 0, mv)
     ctx["mvs"][mby, mbx] = mv
     ctx["mv_valid"][mby, mbx] = True
-
-
-def decode_pskip(dec, ctx, mbx, mby, ref):
-    """Parse-time half of a skipped MB: derive the skip MV and zero the
-    nC context. Reconstruction is deferred to recon_p_frame (inter recon
-    reads only the reference frame, so it is order-independent)."""
-    sp = ctx["sp"]
-    mv = skip_mv_dec8(ctx["mvs8"], ctx["valid8"], mbx, mby,
-                      2 * sp.mb_width)
-    _set_mb_mv8(ctx, mbx, mby, mv)
+    ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
     ctx["nz_y"].nz[4 * mby:4 * mby + 4, 4 * mbx:4 * mbx + 4] = 0
     ctx["nz_cb"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
     ctx["nz_cr"].nz[2 * mby:2 * mby + 2, 2 * mbx:2 * mbx + 2] = 0
 
 
-def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
-    """Parse-time half of a P_L0_16x16 / P_8x8 MB: MVD + residual levels
-    into the per-frame defer arrays; recon happens vectorized in
-    recon_p_frame."""
+# (pw, ph, part positions) per P mb_type 0..2 on the 8x8 grid
+_P_PARTS = {
+    0: ((0, 0, 2, 2),),                        # P_L0_16x16
+    1: ((0, 0, 2, 1), (1, 0, 2, 1)),           # P_L0_L0_16x8
+    2: ((0, 0, 1, 2), (0, 1, 1, 2)),           # P_L0_L0_8x16
+}
+
+
+def decode_inter_mb(dec, ctx, mbx, mby, mb_type):
+    """Parse-time half of a P macroblock (any partitioning down to 8x8,
+    multi-reference): ref_idx + MVD + residual levels into the per-frame
+    defer arrays; recon happens vectorized in inter_recon."""
+    from . import mvpred
     from .decoder import DecodeError
     br = ctx["br"]
     sp = ctx["sp"]
     pp = ctx["pp"]
     nbx2 = 2 * sp.mb_width
-    mv8, inter8 = ctx["mvs8"], ctx["valid8"]
+    st = (ctx["mv8_l0"], ctx["ref8_l0"], ctx["dec8"])
+    n0 = ctx.get("n_ref0", 1)
+    by0, bx0 = 2 * mby, 2 * mbx
     if mb_type in (3, 4):                     # P_8x8 / P_8x8ref0
         for _ in range(4):
             sub = br.ue()
             if sub != 0:
-                raise DecodeError(f"sub_mb_type {sub} unsupported")
+                raise DecodeError(f"sub_mb_type {sub} (sub-8x8 "
+                                  "partitions) unsupported")
+        refs = [0] * 4
+        if mb_type == 3:
+            refs = [read_ref_idx(br, n0) for _ in range(4)]
         for q in range(4):
-            by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+            by, bx = by0 + (q >> 1), bx0 + (q & 1)
             mvd_x, mvd_y = br.se(), br.se()
-            inter8[by, bx] = True             # decoded, inter
-            pred = mv_pred_dec8(mv8, inter8, by, bx, 1, nbx2)
-            mv8[by, bx] = (pred[0] + mvd_x, pred[1] + mvd_y)
-        ctx["mvs"][mby, mbx] = mv8[2 * mby, 2 * mbx]
-        ctx["mv_valid"][mby, mbx] = True
-        mv = None
-    elif mb_type == MB_TYPE_P16x16:
-        mvd_x, mvd_y = br.se(), br.se()
-        pred = mv_pred_dec8(mv8, inter8, 2 * mby, 2 * mbx, 2, nbx2)
-        mv = (pred[0] + mvd_x, pred[1] + mvd_y)   # quarter-pel units
+            pred = mvpred.mv_pred(*st, by, bx, 1, 1, refs[q], nbx2)
+            set_part(ctx, by, bx, 1, 1, refs[q],
+                     (pred[0] + mvd_x, pred[1] + mvd_y))
+    elif mb_type in _P_PARTS:
+        parts = _P_PARTS[mb_type]
+        refs = [read_ref_idx(br, n0) for _ in parts]
+        for i, (dy, dx, pw, ph) in enumerate(parts):
+            mvd_x, mvd_y = br.se(), br.se()
+            pred = mvpred.mv_pred(*st, by0 + dy, bx0 + dx, pw, ph,
+                                  refs[i], nbx2, part_idx=i)
+            set_part(ctx, by0 + dy, bx0 + dx, pw, ph, refs[i],
+                     (pred[0] + mvd_x, pred[1] + mvd_y))
     else:
         raise DecodeError(f"P mb_type {mb_type} unsupported")
+    ctx["mvs"][mby, mbx] = ctx["mv8_l0"][by0, bx0]
+    ctx["mv_valid"][mby, mbx] = True
     code = br.ue()
     cbp = CBP_TABLE[code][1]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -905,11 +901,15 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
             ctx["p_t8"][mby, mbx] = t8
     if cbp:
         delta = br.se()
-        if delta:
-            # inter recon is one vectorized pass at slice QP; per-MB
-            # inter QP (adaptive-quant streams) is a decode gap
-            raise DecodeError("per-MB qp_delta in P slices unsupported")
+        ctx["cur_qp"] = (ctx["cur_qp"] + delta + 52) % 52
+    ctx["qp_mb"][mby, mbx] = ctx["cur_qp"]
+    parse_inter_residual_cavlc(ctx, mbx, mby, cbp_luma, cbp_chroma, t8)
 
+
+def parse_inter_residual_cavlc(ctx, mbx, mby, cbp_luma, cbp_chroma, t8):
+    """CAVLC residual of one inter MB into the defer arrays (shared by
+    P and B slices)."""
+    br = ctx["br"]
     z_luma = ctx["p_z_luma"][mby, mbx]
     nz_y = ctx["nz_y"]
     if t8:
@@ -958,107 +958,8 @@ def decode_inter_mb(dec, ctx, mbx, mby, mb_type, ref):
                 total = int(np.count_nonzero(coeffs))
             nzc.nz[by, bx] = total
 
-    if mv is not None:
-        _set_mb_mv8(ctx, mbx, mby, mv)
-
 
 # raster (oy, ox) grid → coding-order block index, for scattering batched
 # residuals back into plane layout
 _BLK_GRID = np.zeros((4, 4), np.int64)
 _BLK_GRID[LUMA_BLK_ORDER[:, 0], LUMA_BLK_ORDER[:, 1]] = np.arange(16)
-
-
-def recon_p_frame(ctx, ref):
-    """Vectorized reconstruction of all inter MBs of a P frame.
-
-    Inter prediction reads only the reference planes, so MB recon order
-    is irrelevant — one fancy-indexed MC gather + one batched
-    dequant/idct pass replaces ~8k per-MB python recons (the decode
-    bottleneck for MP4 transcode inputs). Sub-pel luma MBs fall back to
-    the per-MB 6-tap path; chroma bilinear vectorizes for every fraction.
-    Intra MBs (mv_valid False) are left untouched for the caller."""
-    from .tables import ZIGZAG_4x4
-    zz = np.asarray(ZIGZAG_4x4)
-
-    y, u, v = ctx["y"], ctx["u"], ctx["v"]
-    qp = ctx["qp"]
-    qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
-    ref_y, ref_u, ref_v = ref
-    inter = ctx["mv_valid"]
-    n_mby, n_mbx = inter.shape
-    # MV field on the 8x8 block grid (16x16 MBs replicate their vector)
-    mv8, inter8 = ctx["mvs8"], ctx["valid8"]
-    h, w = y.shape
-    hc, wc = u.shape
-    mvx, mvy = mv8[..., 0], mv8[..., 1]
-
-    # ---- luma prediction: full-pel gather + per-8x8 sub-pel fallback
-    dyf = np.repeat(np.repeat(mvy >> 2, 8, 0), 8, 1)
-    dxf = np.repeat(np.repeat(mvx >> 2, 8, 0), 8, 1)
-    rows = np.clip(np.arange(h)[:, None] + dyf, 0, h - 1)
-    cols = np.clip(np.arange(w)[None, :] + dxf, 0, w - 1)
-    pred = ref_y[rows, cols]                   # int32 (values fit easily)
-    for by, bx in np.argwhere(inter8 & (((mvx | mvy) & 3) != 0)):
-        pred[8 * by:8 * by + 8, 8 * bx:8 * bx + 8] = \
-            _mc_luma_np(ref_y, 8 * by, 8 * bx,
-                        int(mvy[by, bx]), int(mvx[by, bx]), ns=8)
-
-    # ---- luma residual: batch unzigzag → dequant → idct → plane
-    z = ctx["p_z_luma"]                        # (nMBy, nMBx, 16, 16)
-    wq_flat = np.zeros_like(z)
-    wq_flat[..., zz] = z
-    res = tf.idct4_np(tf.dequant4_np(
-        wq_flat.reshape(n_mby, n_mbx, 16, 4, 4), qp))
-    res_plane = res[:, :, _BLK_GRID].transpose(0, 2, 4, 1, 3, 5) \
-        .reshape(h, w)
-    t8 = ctx.get("p_t8")
-    if t8 is not None and t8.any():
-        # 8x8-transform MBs: rows 4b..4b+4 of p_z_luma are block b's
-        # 64-scan; batch-invert with the High-profile pair and overwrite
-        # those MBs' residual in the plane
-        from ...ops import transform8 as t8ops
-        sel = np.nonzero(t8)
-        scans = z[sel].reshape(-1, 4, 64)
-        blocks = t8ops.unzigzag8_np(scans)
-        r8 = t8ops.idct8_np(t8ops.dequant8_np(blocks, qp))
-        r8 = r8.reshape(-1, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4) \
-            .reshape(-1, 16, 16)
-        res_mb = res_plane.reshape(n_mby, 16, n_mbx, 16).swapaxes(1, 2)
-        res_mb[sel] = r8
-        res_plane = res_mb.swapaxes(1, 2).reshape(h, w)
-    mask = np.repeat(np.repeat(inter, 16, 0), 16, 1)
-    out_y = np.clip(pred + res_plane, 0, 255)
-    y[mask] = out_y[mask]
-
-    # ---- chroma: vectorized 1/8-pel bilinear for every fraction
-    # (the MV grid is per-8x8-luma-block, i.e. per 4x4 chroma pixels)
-    dy8 = np.repeat(np.repeat(mvy >> 3, 4, 0), 4, 1)
-    dx8 = np.repeat(np.repeat(mvx >> 3, 4, 0), 4, 1)
-    fy8 = np.repeat(np.repeat(mvy & 7, 4, 0), 4, 1)
-    fx8 = np.repeat(np.repeat(mvx & 7, 4, 0), 4, 1)
-    base_r = np.arange(hc)[:, None] + dy8
-    base_c = np.arange(wc)[None, :] + dx8
-    r0 = np.clip(base_r, 0, hc - 1)
-    r1 = np.clip(base_r + 1, 0, hc - 1)
-    c0 = np.clip(base_c, 0, wc - 1)
-    c1 = np.clip(base_c + 1, 0, wc - 1)
-    cmask = np.repeat(np.repeat(inter, 8, 0), 8, 1)
-    for ci, (plane, refc) in enumerate(((u, ref_u), (v, ref_v))):
-        a = refc[r0, c0]                       # int32: weights*255 < 2^14
-        b = refc[r0, c1]
-        cc = refc[r1, c0]
-        d = refc[r1, c1]
-        predc = ((8 - fx8) * (8 - fy8) * a + fx8 * (8 - fy8) * b
-                 + (8 - fx8) * fy8 * cc + fx8 * fy8 * d + 32) >> 6
-        dc_rec = tf.dequant_dc2_np(
-            ctx["p_cdc"][:, :, ci].reshape(n_mby, n_mbx, 2, 2), qpc)
-        cac = ctx["p_cac"][:, :, ci]           # (nMBy, nMBx, 4, 16)
-        wc_flat = np.zeros_like(cac)
-        wc_flat[..., zz] = cac
-        wcq = tf.dequant4_np(wc_flat.reshape(n_mby, n_mbx, 4, 4, 4), qpc)
-        wcq[..., 0, 0] = dc_rec.reshape(n_mby, n_mbx, 4)
-        resc = tf.idct4_np(wcq)                # blocks in 2x2 raster
-        resc_plane = resc.reshape(n_mby, n_mbx, 2, 2, 4, 4) \
-            .transpose(0, 2, 4, 1, 3, 5).reshape(hc, wc)
-        outp = np.clip(predc + resc_plane, 0, 255)
-        plane[cmask] = outp[cmask]

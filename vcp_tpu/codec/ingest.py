@@ -1,11 +1,13 @@
 """Input ingestion: raw Y4M, MP4(H.264) or MKV(H.264) → YUV420 frames.
 
-The decode half of SURVEY.md §2.5's demux/decode layer. MP4 inputs are
-demuxed natively (codec.mp4.Mp4Demuxer) and decoded with the in-repo
-H.264 decoder — which covers the baseline-CAVLC streams this framework
-emits (self-transcode, re-encode-at-other-bitrate workflows). Foreign
-High-profile/CABAC streams fail with a precise reason (the consumer
-acks-and-drops, matching reference failure semantics).
+The decode half of SURVEY.md §2.5's demux/decode layer. MP4/MKV inputs
+are demuxed natively (codec.mp4.Mp4Demuxer / codec.mkv) and decoded
+with the in-repo H.264 decoder, which covers general foreign streams
+up to libx264's default output (High profile, CABAC, multi-ref,
+partitions, weighted prediction, B-pyramid — see codec.h264.decoder).
+Inputs beyond that envelope fail with a precise reason (the consumer
+acks-and-drops, matching reference failure semantics,
+ref cmd/consumer.go:376-394).
 """
 
 from __future__ import annotations

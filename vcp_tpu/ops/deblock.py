@@ -240,6 +240,7 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp,
     edge e's values run along the edge.
     """
     two_list = isinstance(mvq, tuple)
+    general = isinstance(mvq, dict)
     if not vertical:
         intra_mb = intra_mb.T
         nz_blk = nz_blk.T
@@ -247,6 +248,8 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp,
             t8 = t8.T
         if two_list:
             mvq = tuple(xp.swapaxes(a, 0, 1) for a in mvq)
+        elif general:
+            mvq = {k: xp.swapaxes(a, 0, 1) for k, a in mvq.items()}
         else:
             mvq = xp.swapaxes(mvq, 0, 1)
     bh, bw = nz_blk.shape
@@ -273,6 +276,49 @@ def compute_bs_luma(intra_mb, nz_blk, mvq, vertical: bool, xp=jnp,
         both0 = u_e[:, :-1, 0] & u_e[:, 1:, 0]
         both1 = u_e[:, :-1, 1] & u_e[:, 1:, 1]
         mv_diff = use_diff | (both0 & d0) | (both1 & d1)
+    elif general:
+        # full 8.7.2.1 on the 8x8-block grid with per-list reference
+        # PICTURE ids (foreign multi-ref / weighted / B-pyramid
+        # streams): bS=1 when the sides use different MV counts,
+        # different reference sets, or any matched-by-picture MV pair
+        # differs by >= 1 luma sample (both pairings tried when one
+        # picture serves both lists).
+        rep = bh // mvq["mv0"].shape[0]
+
+        def exp2(a):
+            return xp.repeat(xp.repeat(a, rep, 0), rep, 1)
+        m0, i0 = exp2(mvq["mv0"]), exp2(mvq["id0"])
+        if "mv1" in mvq:
+            m1, i1 = exp2(mvq["mv1"]), exp2(mvq["id1"])
+        else:
+            m1, i1 = xp.zeros_like(m0), xp.full_like(i0, -1)
+        m0p, m0q = m0[:, :-1], m0[:, 1:]
+        m1p, m1q = m1[:, :-1], m1[:, 1:]
+        i0p, i0q = i0[:, :-1], i0[:, 1:]
+        i1p, i1q = i1[:, :-1], i1[:, 1:]
+        cnt_p = (i0p >= 0).astype(xp.int32) + (i1p >= 0)
+        cnt_q = (i0q >= 0).astype(xp.int32) + (i1q >= 0)
+
+        def dmv(a, b):
+            return xp.any(xp.abs(a - b) >= 4, axis=-1)
+        # single-MV sides: the one used (mv, id), whichever list
+        sp_mv = xp.where((i0p >= 0)[..., None], m0p, m1p)
+        sq_mv = xp.where((i0q >= 0)[..., None], m0q, m1q)
+        sp_id = xp.where(i0p >= 0, i0p, i1p)
+        sq_id = xp.where(i0q >= 0, i0q, i1q)
+        single = (sp_id != sq_id) | dmv(sp_mv, sq_mv)
+        # bi sides: compare reference SETS, then picture-matched pairs
+        straight = (i0p == i0q) & (i1p == i1q)
+        crossed = (i0p == i1q) & (i1p == i0q)
+        d_ss = dmv(m0p, m0q) | dmv(m1p, m1q)
+        d_cx = dmv(m0p, m1q) | dmv(m1p, m0q)
+        same_pic = i0p == i1p            # one picture in both lists
+        bi = xp.where(
+            ~(straight | crossed), True,
+            xp.where(same_pic, d_ss & d_cx,
+                     xp.where(straight, d_ss, d_cx)))
+        mv_diff = xp.where(cnt_p != cnt_q, True,
+                           xp.where(cnt_p == 2, bi, single))
     else:
         rep = bh // mvq.shape[0]          # 4 = per-MB grid, 2 = per-8x8
         mv_e = xp.repeat(xp.repeat(mvq, rep, 0), rep, 1)    # (bh, bw, 2)
@@ -561,8 +607,12 @@ def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
     qp_mb = np.asarray(qp_mb)
     intra_mb = np.asarray(intra_mb)
     nz_y = np.asarray(nz_y)
-    mvq = tuple(np.asarray(a) for a in mvq) if isinstance(mvq, tuple) \
-        else np.asarray(mvq)
+    if isinstance(mvq, tuple):
+        mvq = tuple(np.asarray(a) for a in mvq)
+    elif isinstance(mvq, dict):
+        mvq = {k: np.asarray(a) for k, a in mvq.items()}
+    else:
+        mvq = np.asarray(mvq)
     hc, wc = u.shape
     n_mby, n_mbx = qp_mb.shape
 

@@ -326,3 +326,25 @@ def dequant_dc2_np(levels, qp: int):
     per = qp // 6
     f = hadamard2_np(levels)
     return (f * v00 << per) >> 1
+
+
+def dequant4_np_qpmap(levels, qp_map):
+    """Per-macroblock-QP 4x4 dequant: ``levels`` (nMBy, nMBx, B, 4, 4),
+    ``qp_map`` (nMBy, nMBx). Foreign adaptive-quant streams carry a
+    different QP on every MB (mb_qp_delta), so the decoder's batched
+    residual pass dequants with a per-MB table lookup instead of the
+    scalar fast path."""
+    qp = np.asarray(qp_map, np.int32)
+    v = np.asarray(V_TABLE)[qp % 6]                # (nMBy, nMBx, 4, 4)
+    sh = (qp // 6)[..., None, None, None]
+    return (np.asarray(levels, np.int32)
+            * v[:, :, None, :, :]) << sh
+
+
+def dequant_dc2_np_qpmap(levels, qpc_map):
+    """Per-MB-QP chroma DC dequant: ``levels`` (nMBy, nMBx, 2, 2),
+    ``qpc_map`` (nMBy, nMBx) CHROMA qp."""
+    qp = np.asarray(qpc_map, np.int32)
+    v00 = np.asarray(V_TABLE)[qp % 6, 0, 0]        # (nMBy, nMBx)
+    f = hadamard2_np(levels)
+    return (f * v00[..., None, None] << (qp // 6)[..., None, None]) >> 1

@@ -297,3 +297,16 @@ def dequant8_np(levels, qp: int):
     if per >= 2:
         return prod << (per - 2)
     return (prod + (1 << (1 - per))) >> (2 - per)
+
+
+def dequant8_np_qpmap(levels, qp_map):
+    """Per-MB-QP 8x8 dequant: ``levels`` (..., nMBy, nMBx, B, 8, 8),
+    ``qp_map`` (nMBy, nMBx); the >>(2-per) rounding branch is resolved
+    per element (adaptive-quant foreign streams)."""
+    qp = np.asarray(qp_map, np.int32)
+    v = np.asarray(V8_TABLE)[qp % 6]               # (nMBy, nMBx, 8, 8)
+    per = (qp // 6)[..., None, None, None]
+    prod = np.asarray(levels, np.int32) * v[:, :, None, :, :]
+    hi = prod << np.maximum(per - 2, 0)
+    lo = (prod + (1 << np.maximum(1 - per, 0))) >> np.maximum(2 - per, 0)
+    return np.where(per >= 2, hi, lo)
