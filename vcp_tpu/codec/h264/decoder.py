@@ -57,6 +57,98 @@ class DecodeError(ValueError):
     pass
 
 
+def _build_intra_tables(ns: int):
+    """Index tables for the directional intra modes 3..8 (spec 8.3.1.2 /
+    8.3.2.2): every predicted sample is (r[I1] + 2*r[I2] + r[I3] + 2)>>2
+    over a flat reference vector r = [left(ns) | corner | top(2*ns for
+    4x4 incl. top-right, 2*ns for 8x8)]. Two-tap (a+b+1)>>1 samples use
+    (a + 2b + a), plain copies (a + 2a + a) — identical integer results.
+    One fancy-gather per block replaces the per-pixel Python loops
+    (the decode hot spot for intra-heavy foreign streams)."""
+    L, M, T = 0, ns, ns + 1          # le[i] = i, m = ns, t[i] = ns+1+i
+
+    tabs = {}
+    for mode in (3, 4, 5, 6, 7, 8):
+        I1 = np.zeros((ns, ns), np.int32)
+        I2 = np.zeros((ns, ns), np.int32)
+        I3 = np.zeros((ns, ns), np.int32)
+        for yy in range(ns):
+            for xx in range(ns):
+                if mode == 3:                          # diag down-left
+                    if xx == ns - 1 and yy == ns - 1:
+                        a, b, c = T + 2 * ns - 2, T + 2 * ns - 1, \
+                            T + 2 * ns - 1
+                    else:
+                        i = xx + yy
+                        a, b, c = T + i, T + i + 1, T + i + 2
+                elif mode == 4:                        # diag down-right
+                    if xx > yy:
+                        i = xx - yy
+                        a = M if i == 1 else T + i - 2
+                        b, c = T + i - 1, T + i
+                    elif xx < yy:
+                        i = yy - xx
+                        a = M if i == 1 else L + i - 2
+                        b, c = L + i - 1, L + i
+                    else:
+                        a, b, c = T + 0, M, L + 0
+                elif mode == 5:                        # vertical-right
+                    z = 2 * xx - yy
+                    i = xx - (yy >> 1)
+                    if z >= 0 and z % 2 == 0:
+                        a = M if i == 0 else T + i - 1
+                        b, c = T + i, a
+                    elif z >= 0:
+                        a = M if i == 1 else T + i - 2
+                        b, c = T + i - 1, T + i
+                    elif z == -1:
+                        a, b, c = L + 0, M, T + 0
+                    else:
+                        j = yy - 2 * xx
+                        a, b = L + j - 1, L + j - 2
+                        c = L + j - 3 if j >= 3 else M
+                elif mode == 6:                        # horizontal-down
+                    z = 2 * yy - xx
+                    i = yy - (xx >> 1)
+                    if z >= 0 and z % 2 == 0:
+                        a = M if i == 0 else L + i - 1
+                        b, c = L + i, a
+                    elif z >= 0:
+                        a = M if i == 1 else L + i - 2
+                        b, c = L + i - 1, L + i
+                    elif z == -1:
+                        a, b, c = T + 0, M, L + 0
+                    else:
+                        j = xx - 2 * yy
+                        a, b = T + j - 1, T + j - 2
+                        c = T + j - 3 if j >= 3 else M
+                elif mode == 7:                        # vertical-left
+                    i = xx + (yy >> 1)
+                    if yy % 2 == 0:
+                        a, b, c = T + i, T + i + 1, T + i
+                    else:
+                        a, b, c = T + i, T + i + 1, T + i + 2
+                else:                                  # horizontal-up
+                    z = xx + 2 * yy
+                    if z > 2 * ns - 3:
+                        a = b = c = L + ns - 1
+                    elif z == 2 * ns - 3:
+                        a, b, c = L + ns - 2, L + ns - 1, L + ns - 1
+                    elif z % 2 == 0:
+                        i = yy + (xx >> 1)
+                        a, b, c = L + i, L + i + 1, L + i
+                    else:
+                        i = yy + (xx >> 1)
+                        a, b, c = L + i, L + i + 1, L + i + 2
+                I1[yy, xx], I2[yy, xx], I3[yy, xx] = a, b, c
+        tabs[mode] = (I1, I3, I2)   # (a, c, 2*b) gather order
+    return tabs
+
+
+_I4_TABS = _build_intra_tables(4)
+_I8_TABS = _build_intra_tables(8)
+
+
 @dataclasses.dataclass
 class DecodedFrame:
     y: np.ndarray
@@ -794,17 +886,18 @@ class H264Decoder:
         sp = ctx["sp"]
         qp = parsed["qp"]
         qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
-        luma = parsed["luma"]
+        luma = np.asarray(parsed["luma"])
+        wq = np.zeros_like(luma)
+        wq[..., _ZZ] = luma                   # (16, 16) unzigzag batch
+        res = tf.idct4_np(tf.dequant4_np(wq.reshape(16, 4, 4), qp))
         for blk in range(16):
             oy = int(LUMA_BLK_ORDER[blk, 0])
             ox = int(LUMA_BLK_ORDER[blk, 1])
             r0, c0 = 16 * mby + 4 * oy, 16 * mbx + 4 * ox
             pred = self._intra4_pred(y, r0, c0, int(parsed["modes"][blk]),
                                      16 * sp.mb_width, blk)
-            wq = unzigzag(luma[blk])
-            res = tf.idct4_np(tf.dequant4_np(wq[None], qp))[0]
             y[r0:r0 + 4, c0:c0 + 4] = np.clip(
-                pred.astype(np.int64) + res, 0, 255)
+                pred.astype(np.int64) + res[blk], 0, 255)
         self._recon_intra_chroma(ctx, mbx, mby, parsed["chroma_mode"],
                                  parsed["cdc"], parsed["cac"], qpc)
 
@@ -818,17 +911,16 @@ class H264Decoder:
         qp = parsed["qp"]
         qpc = tf.chroma_qp(qp, ctx["pp"].chroma_qp_index_offset)
         frame_w = 16 * sp.mb_width
-        luma = parsed["luma"]
+        scans = np.asarray(parsed["luma"]).reshape(4, 64)
+        wq = t8ops.unzigzag8_np(scans)        # all four blocks batched
+        res4 = t8ops.idct8_np(t8ops.dequant8_np(wq, qp))
         for b8 in range(4):
             r0 = 16 * mby + 8 * (b8 // 2)
             c0 = 16 * mbx + 8 * (b8 % 2)
             pred = self._intra8_pred(y, r0, c0,
                                      int(parsed["modes"][4 * b8]), frame_w)
-            scan = np.asarray(luma[4 * b8:4 * b8 + 4]).reshape(64)
-            wq = t8ops.unzigzag8_np(scan)
-            res = t8ops.idct8_np(t8ops.dequant8_np(wq[None], qp))[0]
             y[r0:r0 + 8, c0:c0 + 8] = np.clip(
-                pred.astype(np.int64) + res, 0, 255)
+                pred.astype(np.int64) + res4[b8], 0, 255)
         self._recon_intra_chroma(ctx, mbx, mby, parsed["chroma_mode"],
                                  parsed["cdc"], parsed["cac"], qpc)
 
@@ -891,101 +983,16 @@ class H264Decoder:
                 dc = 128
             out[:] = dc
             return out
-        if mode == 3:                                  # Diagonal down-left
-            for yy in range(8):
-                for xx in range(8):
-                    if xx == 7 and yy == 7:
-                        out[yy, xx] = (t[14] + 3 * t[15] + 2) >> 2
-                    else:
-                        i = xx + yy
-                        out[yy, xx] = (t[i] + 2 * t[i + 1]
-                                       + t[i + 2] + 2) >> 2
-            return out
-        if mode == 4:                                  # Diagonal down-right
-            for yy in range(8):
-                for xx in range(8):
-                    if xx > yy:
-                        i = xx - yy
-                        a = m if i == 1 else t[i - 2]
-                        out[yy, xx] = (a + 2 * (t[i - 1] if i >= 1 else m)
-                                       + t[i] + 2) >> 2
-                    elif xx < yy:
-                        i = yy - xx
-                        a = m if i == 1 else le[i - 2]
-                        out[yy, xx] = (a + 2 * (le[i - 1] if i >= 1 else m)
-                                       + le[i] + 2) >> 2
-                    else:
-                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
-            return out
-        if mode == 5:                                  # Vertical-right
-            for yy in range(8):
-                for xx in range(8):
-                    z = 2 * xx - yy
-                    if z >= 0 and z % 2 == 0:
-                        i = xx - (yy >> 1)
-                        a = m if i == 0 else t[i - 1]
-                        out[yy, xx] = (a + t[i] + 1) >> 1
-                    elif z >= 0:
-                        i = xx - (yy >> 1)
-                        a = m if i == 1 else t[i - 2]
-                        b = m if i == 0 else t[i - 1]
-                        out[yy, xx] = (a + 2 * b + t[i] + 2) >> 2
-                    elif z == -1:
-                        out[yy, xx] = (le[0] + 2 * m + t[0] + 2) >> 2
-                    else:
-                        i = yy - 2 * xx
-                        out[yy, xx] = (le[i - 1] + 2 * le[i - 2]
-                                       + (le[i - 3] if i >= 3 else m)
-                                       + 2) >> 2
-            return out
-        if mode == 6:                                  # Horizontal-down
-            for yy in range(8):
-                for xx in range(8):
-                    z = 2 * yy - xx
-                    if z >= 0 and z % 2 == 0:
-                        i = yy - (xx >> 1)
-                        a = m if i == 0 else le[i - 1]
-                        out[yy, xx] = (a + le[i] + 1) >> 1
-                    elif z >= 0:
-                        i = yy - (xx >> 1)
-                        a = m if i == 1 else le[i - 2]
-                        b = m if i == 0 else le[i - 1]
-                        out[yy, xx] = (a + 2 * b + le[i] + 2) >> 2
-                    elif z == -1:
-                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
-                    else:
-                        i = xx - 2 * yy
-                        out[yy, xx] = (t[i - 1] + 2 * t[i - 2]
-                                       + (t[i - 3] if i >= 3 else m)
-                                       + 2) >> 2
-            return out
-        if mode == 7:                                  # Vertical-left
-            for yy in range(8):
-                for xx in range(8):
-                    i = xx + (yy >> 1)
-                    if yy % 2 == 0:
-                        out[yy, xx] = (t[i] + t[i + 1] + 1) >> 1
-                    else:
-                        out[yy, xx] = (t[i] + 2 * t[i + 1]
-                                       + t[i + 2] + 2) >> 2
-            return out
-        if mode == 8:                                  # Horizontal-up
-            for yy in range(8):
-                for xx in range(8):
-                    z = xx + 2 * yy
-                    if z > 13:
-                        out[yy, xx] = le[7]
-                    elif z == 13:
-                        out[yy, xx] = (le[6] + 3 * le[7] + 2) >> 2
-                    elif z % 2 == 0:
-                        i = yy + (xx >> 1)
-                        out[yy, xx] = (le[i] + le[i + 1] + 1) >> 1
-                    else:
-                        i = yy + (xx >> 1)
-                        out[yy, xx] = (le[i] + 2 * le[i + 1]
-                                       + le[i + 2] + 2) >> 2
-            return out
-        raise DecodeError(f"i8 mode {mode} unsupported")
+        r = np.zeros(25, np.int64)
+        if left_ok:
+            r[0:8] = le
+        r[8] = m
+        if top_ok:
+            r[9:25] = t
+        if mode not in _I8_TABS:
+            raise DecodeError(f"i8 mode {mode} unsupported")
+        Ia, Ic, Ib = _I8_TABS[mode]
+        return (r[Ia] + 2 * r[Ib] + r[Ic] + 2) >> 2
 
     # within-MB decode order of 4x4 blocks, by (row, col) offsets
     _BLK_DECODE_ORDER = None
@@ -1044,101 +1051,17 @@ class H264Decoder:
                 dc = 128
             out[:] = dc
             return out
-        if mode == 3:                                  # Diagonal down-left
-            tt = np.concatenate([t, tr])
-            for yy in range(4):
-                for xx in range(4):
-                    if xx == 3 and yy == 3:
-                        out[yy, xx] = (tt[6] + 3 * tt[7] + 2) >> 2
-                    else:
-                        i = xx + yy
-                        out[yy, xx] = (tt[i] + 2 * tt[i + 1]
-                                       + tt[i + 2] + 2) >> 2
-            return out
-        if mode == 4:                                  # Diagonal down-right
-            for yy in range(4):
-                for xx in range(4):
-                    if xx > yy:
-                        i = xx - yy
-                        a = m if i == 1 else t[i - 2]
-                        out[yy, xx] = (a + 2 * (t[i - 1] if i >= 1 else m)
-                                       + t[i] + 2) >> 2
-                    elif xx < yy:
-                        i = yy - xx
-                        a = m if i == 1 else le[i - 2]
-                        out[yy, xx] = (a + 2 * (le[i - 1] if i >= 1 else m)
-                                       + le[i] + 2) >> 2
-                    else:
-                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
-            return out
-        if mode == 5:                                  # Vertical-right
-            for yy in range(4):
-                for xx in range(4):
-                    z = 2 * xx - yy
-                    if z >= 0 and z % 2 == 0:
-                        i = xx - (yy >> 1)
-                        a = m if i == 0 else t[i - 1]
-                        out[yy, xx] = (a + t[i] + 1) >> 1
-                    elif z >= 0:
-                        i = xx - (yy >> 1)
-                        a = m if i == 1 else t[i - 2]
-                        b = m if i == 0 else t[i - 1]
-                        out[yy, xx] = (a + 2 * b + t[i] + 2) >> 2
-                    elif z == -1:
-                        out[yy, xx] = (le[0] + 2 * m + t[0] + 2) >> 2
-                    else:
-                        out[yy, xx] = (le[yy - 1] + 2 * le[yy - 2]
-                                       + le[yy - 3] + 2) >> 2 if yy >= 3 \
-                            else (le[yy - 1] + 2 * le[yy - 2] + m + 2) >> 2
-            return out
-        if mode == 6:                                  # Horizontal-down
-            for yy in range(4):
-                for xx in range(4):
-                    z = 2 * yy - xx
-                    if z >= 0 and z % 2 == 0:
-                        i = yy - (xx >> 1)
-                        a = m if i == 0 else le[i - 1]
-                        out[yy, xx] = (a + le[i] + 1) >> 1
-                    elif z >= 0:
-                        i = yy - (xx >> 1)
-                        a = m if i == 1 else le[i - 2]
-                        b = m if i == 0 else le[i - 1]
-                        out[yy, xx] = (a + 2 * b + le[i] + 2) >> 2
-                    elif z == -1:
-                        out[yy, xx] = (t[0] + 2 * m + le[0] + 2) >> 2
-                    else:
-                        out[yy, xx] = (t[xx - 1] + 2 * t[xx - 2]
-                                       + t[xx - 3] + 2) >> 2 if xx >= 3 \
-                            else (t[xx - 1] + 2 * t[xx - 2] + m + 2) >> 2
-            return out
-        if mode == 7:                                  # Vertical-left
-            tt = np.concatenate([t, tr])
-            for yy in range(4):
-                for xx in range(4):
-                    i = xx + (yy >> 1)
-                    if yy % 2 == 0:
-                        out[yy, xx] = (tt[i] + tt[i + 1] + 1) >> 1
-                    else:
-                        out[yy, xx] = (tt[i] + 2 * tt[i + 1]
-                                       + tt[i + 2] + 2) >> 2
-            return out
-        if mode == 8:                                  # Horizontal-up
-            for yy in range(4):
-                for xx in range(4):
-                    z = xx + 2 * yy
-                    if z > 5:
-                        out[yy, xx] = le[3]
-                    elif z == 5:
-                        out[yy, xx] = (le[2] + 3 * le[3] + 2) >> 2
-                    elif z % 2 == 0:
-                        i = yy + (xx >> 1)
-                        out[yy, xx] = (le[i] + le[i + 1] + 1) >> 1
-                    else:
-                        i = yy + (xx >> 1)
-                        out[yy, xx] = (le[i] + 2 * le[i + 1]
-                                       + le[i + 2] + 2) >> 2
-            return out
-        raise DecodeError(f"i4 mode {mode} unsupported")
+        r = np.zeros(13, np.int64)
+        if left_ok:
+            r[0:4] = le
+        r[4] = m
+        if top_ok:
+            r[5:9] = t
+            r[9:13] = tr
+        if mode not in _I4_TABS:
+            raise DecodeError(f"i4 mode {mode} unsupported")
+        Ia, Ic, Ib = _I4_TABS[mode]
+        return (r[Ia] + 2 * r[Ib] + r[Ic] + 2) >> 2
 
     def _recon_intra_row_v(self, ctx, mby, row):
         """Batched recon of one all-Vertical I16x16 MB row (luma V +
