@@ -176,3 +176,54 @@ def test_parts_bgop_ffmpeg_conformance(oracle):
                                       err_msg=f"frame {i}")
         np.testing.assert_array_equal(tu, np.asarray(f.u, np.uint8))
         np.testing.assert_array_equal(tv, np.asarray(f.v, np.uint8))
+
+
+def _hsplit_frames(w, h, n):
+    """Top halves of MBs move, bottom halves static: 16x8 partitions win."""
+    out = []
+    ys, us, vs = synth_frame(w, h, 0)
+    for t in range(n):
+        y = ys.copy()
+        for mby in range(h // 16):
+            r = 16 * mby
+            y[r:r + 8, :] = np.roll(ys[r:r + 8, :], 4 * t, axis=1)
+        out.append((y, us, vs))
+    return out
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_two_part_roundtrip_exact(cabac):
+    """16x8/8x16 partitions: own encode -> own decode bit-exact, and the
+    decision actually selects two-partition shapes on split-half motion."""
+    frames = _hsplit_frames(96, 64, 5)
+    enc, aus, recons, parts = _encode_perframe(
+        frames, width=96, height=64, qp=26, gop_size=8, effort=5,
+        cabac=cabac, deblock=True, parts=True)
+    types = set()
+    # re-derive canonical ptypes from the last P frame's data
+    d = enc._last_p_data
+    from vcp_tpu.codec.h264.pframe import _mv8_grid_xy
+    _, pt = _mv8_grid_xy(d, 64 // 16, 96 // 16)
+    types |= set(np.unique(pt).tolist())
+    assert 1 in types or 2 in types, f"no 16x8/8x16 chosen: {types}"
+    dec = H264Decoder()
+    out = dec.decode_annexb(enc.headers_annexb() + b"".join(aus))
+    for i, (f, r) in enumerate(zip(out, recons)):
+        np.testing.assert_array_equal(f.y, r[0], err_msg=f"frame {i}")
+        np.testing.assert_array_equal(f.u, r[1])
+        np.testing.assert_array_equal(f.v, r[2])
+
+
+def test_two_part_ffmpeg_conformance():
+    if O.get_oracle() is None:
+        pytest.skip("system libavcodec unavailable")
+    frames = _hsplit_frames(96, 64, 5)
+    enc, aus, recons, parts = _encode_perframe(
+        frames, width=96, height=64, qp=27, gop_size=8, effort=6,
+        cabac=True, deblock=True, transform8=True, parts=True)
+    data = enc.headers_annexb() + b"".join(aus)
+    theirs = O.decode_video("h264", data)
+    for i, ((ty, tu, tv), r) in enumerate(zip(theirs, recons)):
+        np.testing.assert_array_equal(ty, r[0], err_msg=f"frame {i}")
+        np.testing.assert_array_equal(tu, r[1])
+        np.testing.assert_array_equal(tv, r[2])

@@ -690,7 +690,8 @@ def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                        qp: int, data: dict, deblock: bool = False,
                        poc_lsb: int = 0) -> bytes:
-    from .pframe import _mv8_grid_xy, mv_pred8, skip_mv8
+    from .pframe import (_P_PARTS as _PF_PARTS, _mv8_grid_xy,
+                         mv_pred8, skip_mv8)
     n_mby, n_mbx = sp.mb_height, sp.mb_width
     nbx2 = 2 * n_mbx
     bw = BitWriter()
@@ -723,7 +724,7 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     active = data.get("active")
     for mby in range(n_mby):
         for mbx in range(n_mbx):
-            part = bool(parts[mby, mbx])
+            pt = int(parts[mby, mbx])
             if active is not None and not active[mby, mbx]:
                 # sparse-fetch skip MB: derive its P_Skip MV in place
                 # (gop_ops.skip_mv_grid classified it with this rule)
@@ -738,7 +739,7 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 cbp_l = int(cbp_luma[mby, mbx])
                 cbp_c = int(cbp_chroma[mby, mbx])
                 is_skip = False
-                if not part:
+                if pt == 0:
                     smv = skip_mv8(mv_xy, valid8, mbx, mby, nbx2)
                     is_skip = cbp_l == 0 and cbp_c == 0 and m == smv
             enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
@@ -753,7 +754,8 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 last = mby == n_mby - 1 and mbx == n_mbx - 1
                 enc.encode_terminate(1 if last else 0)
                 continue
-            if part:
+            by0, bx0 = 2 * mby, 2 * mbx
+            if pt == 3:
                 # mb_type P_8x8 -> "001" (Table 9-37; bin2 ctxIdxInc 2)
                 enc.encode(cx["mbt_p", 0], 0)
                 enc.encode(cx["mbt_p", 1], 0)
@@ -762,13 +764,28 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                     # sub_mb_type P_L0_8x8 -> "1"
                     enc.encode(cx["submbt_p", 0], 1)
                 for q in range(4):
-                    by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+                    by, bx = by0 + (q >> 1), bx0 + (q & 1)
                     pred = mv_pred8(mv_xy, valid8, by, bx, 1, nbx2)
                     mvd = (int(mv_xy[by, bx, 0]) - pred[0],
                            int(mv_xy[by, bx, 1]) - pred[1])
                     _encode_mvd_comp(enc, cx, st, by, bx, 0, mvd[0])
                     _encode_mvd_comp(enc, cx, st, by, bx, 1, mvd[1])
                     st.set_absmvd(by, bx, 1, 1, 0,
+                                  (abs(mvd[0]), abs(mvd[1])))
+            elif pt in (1, 2):
+                # 16x8 -> "011", 8x16 -> "010" (bin2 ctx 17)
+                enc.encode(cx["mbt_p", 0], 0)
+                enc.encode(cx["mbt_p", 1], 1)
+                enc.encode(cx["mbt_p_alt", 0], 1 if pt == 1 else 0)
+                for i, (dy, dx, pw, ph) in enumerate(_PF_PARTS[pt]):
+                    by, bx = by0 + dy, bx0 + dx
+                    pred = mv_pred8(mv_xy, valid8, by, bx, pw, nbx2,
+                                    ph=ph, part_idx=i)
+                    mvd = (int(mv_xy[by, bx, 0]) - pred[0],
+                           int(mv_xy[by, bx, 1]) - pred[1])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 0, mvd[0])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 1, mvd[1])
+                    st.set_absmvd(by, bx, ph, pw, 0,
                                   (abs(mvd[0]), abs(mvd[1])))
             else:
                 # mb_type P_L0_16x16 -> "000"

@@ -98,13 +98,14 @@ def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
                                  subpel, t8)
 
 
-# extra-bits penalty for choosing P_8x8 over P_L0_16x16 (mb_type ue +
-# four sub_mb_types + three extra mvd headers + lost P_Skip eligibility),
-# in the SAD-lambda currency; tuned on the golden clips
+# extra-bits penalties for choosing a partitioned mb_type over
+# P_L0_16x16 (mb_type ue + extra mvd headers + lost P_Skip
+# eligibility), in the SAD-lambda currency; tuned on the golden clips
 P8X8_BIT_PENALTY = int(os.environ.get("VCP_P8_PENALTY", "40"))
-# minimum linf quadrant divergence from the 16x16 vector (quarter-pel)
-# for P_8x8 to be considered: sub-pel refinement jitters every quadrant
-# by 1-2 qpel, and those "splits" never pay for their syntax
+P2PART_BIT_PENALTY = int(os.environ.get("VCP_P2_PENALTY", "20"))
+# minimum linf divergence from the 16x16 vector (quarter-pel) for a
+# partition to be considered: sub-pel refinement jitters every block by
+# 1-2 qpel, and those "splits" never pay for their syntax
 P8X8_MIN_SPLIT_Q = int(os.environ.get("VCP_P8_MINSPLIT", "4"))
 
 
@@ -113,15 +114,17 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
                                 qp, qpc, sr: int, lam,
                                 deblock: bool = False, subpel: int = 1,
                                 t8: bool = False):
-    """P step with the P_8x8 partition decision (quality presets).
+    """P step with the x264-medium-style partition decision (quality
+    presets): every MB picks 16x16 / 16x8 / 8x16 / P_8x8.
 
-    One full-pel sweep scores BOTH granularities (ops.motion.
-    full_search_parts); each is sub-pel refined, then every MB picks
-    16x16 vs 4x 8x8 by SAD + lambda*mv-rate with a fixed bit penalty for
-    the partition syntax overhead. The final MV field lives on the 8x8
-    grid (16x16 MBs replicate their vector), so MC, residual coding and
-    deblocking run once, partition-agnostic. Mirrors libx264 medium's
-    p8x8 analysis (ref internal/config/config.go:49).
+    One full-pel sweep scores ALL granularities (ops.motion.
+    full_search_parts); each is sub-pel refined at its own geometry,
+    then every MB picks the shape by SAD + lambda*mv-rate with fixed
+    bit penalties for the partition syntax overhead. The final MV field
+    lives on the 8x8 grid (larger partitions replicate their vector),
+    so MC, residual coding and deblocking run once, partition-agnostic.
+    Mirrors libx264 medium's partition analysis
+    (ref internal/config/config.go:49).
     """
     from ...ops import motion as mops
     from . import gop_ops
@@ -131,48 +134,79 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
     h, w = y.shape
     n_mby, n_mbx = h // 16, w // 16
 
-    mv16f, mv8f = mops.full_search_parts(y, ref_y, sr, lam)
+    mv16f, mv8f, mvhf, mvvf = mops.full_search_parts(y, ref_y, sr, lam)
     pad = sr + 6
     margin = pad - 3
     planes = jnp.stack(mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
     if subpel:
         q = subpel >= 2
-        mv16 = mops.refine_subpel(y, planes, mv16f, lam, margin, quarter=q)
-        mv8 = mops.refine_subpel(y, planes, mv8f, lam, margin, quarter=q,
-                                 bs=8)
+
+        def refine(mvf, bs):
+            return mops.refine_subpel(y, planes, mvf, lam, margin,
+                                      quarter=q, bs=bs)
+        mv16 = refine(mv16f, 16)
+        mv8 = refine(mv8f, 8)
+        mvh = refine(mvhf, (8, 16))
+        mvv = refine(mvvf, (16, 8))
         mc = mops.mc_luma_q if q else mops.mc_luma_h
     else:
         mv16, mv8 = mv16f * 4, mv8f * 4
+        mvh, mvv = mvhf * 4, mvvf * 4
         mc = mops.mc_luma_q
-    pred16 = mc(planes, mv16, margin, 0)
-    pred8 = mc(planes, mv8, margin, 0, bs=8)
-
-    def sad_grid(pred, bs):
-        nby, nbx = h // bs, w // bs
-        return jnp.abs(y - pred).reshape(nby, bs, nbx, bs).sum(axis=(1, 3))
-
+    # every shape's MC runs on the common 8x8 grid (interpolation is a
+    # pure function of (position, mv), so replication is exact)
     mv16_q = jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1)   # (2nby, 2nbx, 2)
+    mvh_q = jnp.repeat(mvh, 2, 1)
+    mvv_q = jnp.repeat(mvv, 2, 0)
+    pred16 = mc(planes, mv16_q, margin, 0, bs=8)
+    pred8 = mc(planes, mv8, margin, 0, bs=8)
+    predh = mc(planes, mvh_q, margin, 0, bs=8)
+    predv = mc(planes, mvv_q, margin, 0, bs=8)
+
+    def sad8_of(pred):
+        return jnp.abs(y - pred).reshape(n_mby * 2, 8, n_mbx * 2,
+                                         8).sum(axis=(1, 3))
 
     def rate(vq):
         return (jnp.abs(vq[..., 0]) + jnp.abs(vq[..., 1])) >> 1
 
-    sad16 = sad_grid(pred16, 16)
-    sad8 = sad_grid(pred8, 8)
-    cost16 = sad16 + lam * rate(mv16)
-    # 8x8 mvds are predicted by neighbors; the 16x16 winner is a stand-in
-    # predictor for the rate estimate
-    r8 = rate(mv8 - mv16_q)
-    cost8 = (sad8 + lam * r8).reshape(n_mby, 2, n_mbx, 2).sum(
-        axis=(1, 3)) + lam * P8X8_BIT_PENALTY
-    # real motion split required: at least one quadrant >= 1 full pel off
-    # the 16x16 vector, or the "gain" is sub-pel refinement noise
-    split = jnp.abs(mv8 - mv16_q).max(axis=-1).reshape(
-        n_mby, 2, n_mbx, 2).max(axis=(1, 3)) >= P8X8_MIN_SPLIT_Q
-    part = (cost8 < cost16) & split
-    part2 = jnp.repeat(jnp.repeat(part, 2, 0), 2, 1)
-    mv8_final = jnp.where(part2[..., None], mv8, mv16_q)
-    part_px = jnp.repeat(jnp.repeat(part, 16, 0), 16, 1)
-    pred_y = jnp.where(part_px, pred8, pred16)
+    def mb_sum(a):
+        return a.reshape(n_mby, 2, n_mbx, 2).sum(axis=(1, 3))
+
+    # rates per partition, spread over the blocks it covers (crude
+    # |mv|-based estimate, consistent across shapes)
+    cost16 = mb_sum(sad8_of(pred16)) + lam * rate(mv16)
+    cost8 = mb_sum(sad8_of(pred8) + lam * rate(mv8 - mv16_q)) \
+        + lam * P8X8_BIT_PENALTY
+    costh = (sad8_of(predh).reshape(2 * n_mby, n_mbx, 2).sum(-1)
+             + lam * rate(mvh - mv16[jnp.arange(2 * n_mby) // 2])
+             ).reshape(n_mby, 2, n_mbx).sum(1) \
+        + lam * P2PART_BIT_PENALTY
+    costv = (sad8_of(predv).reshape(n_mby, 2, 2 * n_mbx).sum(1)
+             + lam * rate(mvv - mv16[:, jnp.arange(2 * n_mbx) // 2])
+             ).reshape(n_mby, n_mbx, 2).sum(-1) \
+        + lam * P2PART_BIT_PENALTY
+
+    # real motion split required per shape, or the "gain" is sub-pel
+    # refinement noise that never pays for its syntax
+    def split_of(mv_q):
+        return jnp.abs(mv_q - mv16_q).max(axis=-1).reshape(
+            n_mby, 2, n_mbx, 2).max(axis=(1, 3)) >= P8X8_MIN_SPLIT_Q
+    cost8 = jnp.where(split_of(mv8), cost8, 2**30)
+    costh = jnp.where(split_of(mvh_q), costh, 2**30)
+    costv = jnp.where(split_of(mvv_q), costv, 2**30)
+
+    costs = jnp.stack([cost16, costh, costv, cost8])    # ptype 0..3
+    ptype = jnp.argmin(costs, axis=0).astype(jnp.int32)
+    pt2 = jnp.repeat(jnp.repeat(ptype, 2, 0), 2, 1)[..., None]
+    mv8_final = jnp.where(
+        pt2 == 0, mv16_q, jnp.where(
+            pt2 == 1, mvh_q, jnp.where(pt2 == 2, mvv_q, mv8)))
+    pt_px = jnp.repeat(jnp.repeat(ptype, 16, 0), 16, 1)[:h, :w]
+    pred_y = jnp.where(
+        pt_px == 0, pred16, jnp.where(
+            pt_px == 1, predh, jnp.where(pt_px == 2, predv, pred8)))
+    part = ptype
 
     if jax.default_backend() == "cpu":
         pred_u = mops.mc_chroma_q(ref_u, mv8_final, sr // 2 + 2, 0, bs=8)
@@ -324,9 +358,23 @@ def _neighbor8(mv8, valid8, by, bx, pw, nbx2):
     return a, ra, b, rb, c, rc
 
 
-def mv_pred8(mv8, valid8, by, bx, pw, nbx2):
-    """Median MV predictor for a partition on the 8x8 grid."""
+def mv_pred8(mv8, valid8, by, bx, pw, nbx2, ph=None, part_idx=0):
+    """Median MV predictor for a partition on the 8x8 grid, including
+    the 16x8/8x16 directional rules (8.4.1.3.1; all-inter single-ref
+    encoder semantics, mirroring mvpred.mv_pred on the decoder)."""
+    if ph is None:
+        ph = pw
     a, ra, b, rb, c, rc = _neighbor8(mv8, valid8, by, bx, pw, nbx2)
+    if (pw, ph) == (2, 1):                     # 16x8
+        if part_idx == 0 and rb == 0:
+            return b
+        if part_idx == 1 and ra == 0:
+            return a
+    elif (pw, ph) == (1, 2):                   # 8x16
+        if part_idx == 0 and ra == 0:
+            return a
+        if part_idx == 1 and rc == 0:
+            return c
     b_exists = by - 1 >= 0 and rb >= 0
     c_avail = rc >= 0
     a_avail = ra >= 0
@@ -475,26 +523,31 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
 
 
 def _mv8_grid_xy(data: dict, n_mby: int, n_mbx: int):
-    """(mv8_xy (2nMBy, 2nMBx, 2) int grid, parts (nMBy, nMBx) bool) from
-    an entropy data dict: uses the 8x8-grid field when the device emitted
-    one, else replicates the per-MB field. MBs whose four quadrant MVs
-    are identical are demoted to 16x16 (identical reconstruction, fewer
-    bits — and the decoder rebuilds the exact same grid either way)."""
+    """(mv8_xy (2nMBy, 2nMBx, 2) int grid, ptype (nMBy, nMBx) int) from
+    an entropy data dict: uses the 8x8-grid field when the device
+    emitted one, else replicates the per-MB field. The partition type
+    (0 = 16x16, 1 = 16x8, 2 = 8x16, 3 = P_8x8) is CANONICALIZED from
+    the MV field itself — the cheapest mb_type that expresses it —
+    since reconstruction is shape-agnostic (MC depends only on the
+    per-8x8 vectors) and the decoder rebuilds the same grid either way.
+    """
     mv8 = data.get("mv8")
     if mv8 is None:
         mv = np.asarray(data["mv"])
         mv8 = np.repeat(np.repeat(mv, 2, 0), 2, 1)
-        parts = np.zeros((n_mby, n_mbx), bool)
+        ptype = np.zeros((n_mby, n_mbx), np.int32)
     else:
         mv8 = np.asarray(mv8)
-        parts = np.asarray(data.get("parts"),
-                           bool).copy() if data.get("parts") is not None \
-            else np.zeros((n_mby, n_mbx), bool)
-        quads = mv8.reshape(n_mby, 2, n_mbx, 2, 2)
+        quads = mv8.reshape(n_mby, 2, n_mbx, 2, 2)  # (mby, sy, mbx, sx, 2)
         uniform = (quads == quads[:, :1, :, :1]).all(axis=(1, 3, 4))
-        parts &= ~uniform
+        rows_u = (quads[:, :, :, 0] == quads[:, :, :, 1]).all(
+            axis=-1).all(axis=1)                    # both rows left==right
+        cols_u = (quads[:, 0] == quads[:, 1]).all(
+            axis=-1).all(axis=-1)                   # both cols top==bottom
+        ptype = np.where(uniform, 0,
+                         np.where(rows_u, 1, np.where(cols_u, 2, 3)))
     mv8_xy = np.stack([mv8[..., 1], mv8[..., 0]], axis=-1)
-    return mv8_xy, parts
+    return mv8_xy, ptype.astype(np.int32)
 
 
 def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
@@ -545,10 +598,10 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 _zero_ctx(nz_y, nz_cb, nz_cr, mbx, mby)
                 continue
             cbp = int(cbp_luma[mby, mbx]) | (int(cbp_chroma[mby, mbx]) << 4)
-            part = bool(parts[mby, mbx])
+            pt = int(parts[mby, mbx])
             m = (int(mv8_xy[2 * mby, 2 * mbx, 0]),
                  int(mv8_xy[2 * mby, 2 * mbx, 1]))
-            if not part:
+            if pt == 0:
                 smv = skip_mv8(mv8_xy, valid8, mbx, mby, nbx2)
                 if cbp == 0 and m == smv:
                     skip_run += 1
@@ -556,17 +609,27 @@ def _write_pslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                     continue
             bw.ue(skip_run)
             skip_run = 0
-            if part:
+            by0, bx0 = 2 * mby, 2 * mbx
+            if pt == 3:
                 bw.ue(3)                    # mb_type P_8x8
                 for _ in range(4):
                     bw.ue(0)                # sub_mb_type P_L0_8x8
                 for q in range(4):
-                    by, bx = 2 * mby + (q >> 1), 2 * mbx + (q & 1)
+                    by, bx = by0 + (q >> 1), bx0 + (q & 1)
                     pred = mv_pred8(mv8_xy, valid8, by, bx, 1, nbx2)
                     bw.se(int(mv8_xy[by, bx, 0]) - pred[0])
                     bw.se(int(mv8_xy[by, bx, 1]) - pred[1])
+            elif pt in (1, 2):
+                bw.ue(pt)                   # P_L0_L0_16x8 / 8x16
+                geo = _P_PARTS[pt]
+                for i, (dy, dx, pw, ph) in enumerate(geo):
+                    by, bx = by0 + dy, bx0 + dx
+                    pred = mv_pred8(mv8_xy, valid8, by, bx, pw, nbx2,
+                                    ph=ph, part_idx=i)
+                    bw.se(int(mv8_xy[by, bx, 0]) - pred[0])
+                    bw.se(int(mv8_xy[by, bx, 1]) - pred[1])
             else:
-                pred = mv_pred8(mv8_xy, valid8, 2 * mby, 2 * mbx, 2, nbx2)
+                pred = mv_pred8(mv8_xy, valid8, by0, bx0, 2, nbx2)
                 bw.ue(MB_TYPE_P16x16)
                 bw.se(m[0] - pred[0])       # mvd_l0 x (mv already 1/4-pel)
                 bw.se(m[1] - pred[1])

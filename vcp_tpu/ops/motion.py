@@ -62,14 +62,13 @@ def full_search(cur, ref, search_range: int, lam=4, row0=0):
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def full_search_parts(cur, ref, search_range: int, lam=4):
-    """Full-pel exhaustive search at BOTH granularities in one sweep.
-
-    Same shifted-difference pass as full_search, but the per-offset
-    absolute differences reduce once per 8x8 block; the 16x16 SAD is the
-    sum of its four quadrants — so tracking the per-8x8 best alongside
-    the per-MB best costs only the extra argmin bookkeeping, not a second
-    search. Powers the P_8x8 partition decision (quality presets).
-    Returns (mv16 (nMBy, nMBx, 2), mv8 (2nMBy, 2nMBx, 2)) full-pel.
+    """Full-pel exhaustive search at EVERY partition granularity in one
+    sweep: the per-offset absolute differences reduce once per 8x8
+    block, and the 16x16 / 16x8 / 8x16 SADs are sums of those quadrants
+    — tracking four argmins costs bookkeeping, not extra searches.
+    Powers the x264-medium-style partition decision (quality presets).
+    Returns full-pel (mv16 (nMBy, nMBx, 2), mv8 (2nMBy, 2nMBx, 2),
+    mv16x8 (2nMBy, nMBx, 2), mv8x16 (nMBy, 2nMBx, 2)).
     """
     h, w = cur.shape
     n_mby, n_mbx = h // 16, w // 16
@@ -80,31 +79,34 @@ def full_search_parts(cur, ref, search_range: int, lam=4):
     cur_b8 = cur.reshape(nby2, 8, nbx2, 8)
 
     def body(o, carry):
-        b16_cost, b16_o, b8_cost, b8_o = carry
         dy = o // side - sr
         dx = o % side - sr
         shifted = jax.lax.dynamic_slice(ref_pad, (dy + sr, dx + sr), (h, w))
         diff = jnp.abs(cur_b8 - shifted.reshape(nby2, 8, nbx2, 8))
         sad8 = diff.sum(axis=(1, 3))                       # (nby2, nbx2)
         sad16 = sad8.reshape(n_mby, 2, n_mbx, 2).sum(axis=(1, 3))
+        sad_h = sad8[:, 0::2] + sad8[:, 1::2]              # 16x8 halves
+        sad_v = sad8[0::2, :] + sad8[1::2, :]              # 8x16 halves
         rate = lam * (jnp.abs(dx) + jnp.abs(dy))
-        c16 = sad16 + rate
-        c8 = sad8 + rate
-        bet16 = c16 < b16_cost
-        bet8 = c8 < b8_cost
-        return (jnp.where(bet16, c16, b16_cost),
-                jnp.where(bet16, o, b16_o),
-                jnp.where(bet8, c8, b8_cost),
-                jnp.where(bet8, o, b8_o))
+        out = []
+        for (cost, best_c, best_o) in zip(
+                (sad16 + rate, sad8 + rate, sad_h + rate, sad_v + rate),
+                carry[0::2], carry[1::2]):
+            bet = cost < best_c
+            out.append(jnp.where(bet, cost, best_c))
+            out.append(jnp.where(bet, o, best_o))
+        return tuple(out)
 
-    init = (jnp.full((n_mby, n_mbx), 2**30, jnp.int32),
-            jnp.zeros((n_mby, n_mbx), jnp.int32),
-            jnp.full((nby2, nbx2), 2**30, jnp.int32),
-            jnp.zeros((nby2, nbx2), jnp.int32))
-    _, o16, _, o8 = jax.lax.fori_loop(0, side * side, body, init)
-    mv16 = jnp.stack([o16 // side - sr, o16 % side - sr], axis=-1)
-    mv8 = jnp.stack([o8 // side - sr, o8 % side - sr], axis=-1)
-    return mv16, mv8
+    def init_pair(shape):
+        return (jnp.full(shape, 2**30, jnp.int32),
+                jnp.zeros(shape, jnp.int32))
+    init = (init_pair((n_mby, n_mbx)) + init_pair((nby2, nbx2))
+            + init_pair((nby2, n_mbx)) + init_pair((n_mby, nbx2)))
+    res = jax.lax.fori_loop(0, side * side, body, init)
+
+    def mv_of(o):
+        return jnp.stack([o // side - sr, o % side - sr], axis=-1)
+    return (mv_of(res[1]), mv_of(res[3]), mv_of(res[5]), mv_of(res[7]))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -203,7 +205,7 @@ _QPEL_P2 = np.array([_SRC_INDEX[tuple(r[3:])] for r in _QPEL_TABLE],
                     np.int32)
 
 
-def mc_luma_q(planes, mvq, margin: int, row0=0, bs: int = 16):
+def mc_luma_q(planes, mvq, margin: int, row0=0, bs=16):
     """Quarter-pel luma MC from precomputed half-pel planes.
 
     planes: (4, Hp, Wp) stacked [G, b, h, j], aligned so that index
@@ -216,12 +218,13 @@ def mc_luma_q(planes, mvq, margin: int, row0=0, bs: int = 16):
     plus per-pixel where-chains — a per-pixel plane-index gather lowers to
     a catastrophically slow generic gather on TPU.
     """
+    bh, bw = _bs2(bs)
     n_mby, n_mbx = mvq.shape[:2]
-    h, w = bs * n_mby, bs * n_mbx
-    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, bs, 0), bs, 1)
-    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, bs, 0), bs, 1)
-    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, bs, 0), bs, 1)
-    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, bs, 0), bs, 1)
+    h, w = bh * n_mby, bw * n_mbx
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, bh, 0), bw, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, bh, 0), bw, 1)
+    fy = jnp.repeat(jnp.repeat(mvq[..., 0] & 3, bh, 0), bw, 1)
+    fx = jnp.repeat(jnp.repeat(mvq[..., 1] & 3, bh, 0), bw, 1)
     case = fy * 4 + fx
     rows = jnp.arange(h)[:, None] + row0 + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
@@ -332,13 +335,20 @@ def mc_chroma_q_pair(ref_u, ref_v, mvq_luma, margin: int, row0c=0,
     return pred[0], pred[1]
 
 
-def _mb_sad(cur_mb, pred, n_mby, n_mbx, bs: int = 16):
-    return jnp.abs(cur_mb - pred.reshape(n_mby, bs, n_mbx, bs)
+def _bs2(bs):
+    """Block size spec -> (bh, bw): int = square, tuple = rectangular
+    (16x8 / 8x16 partitions)."""
+    return (bs, bs) if isinstance(bs, int) else bs
+
+
+def _mb_sad(cur_mb, pred, n_mby, n_mbx, bs=16):
+    bh, bw = _bs2(bs)
+    return jnp.abs(cur_mb - pred.reshape(n_mby, bh, n_mbx, bw)
                    ).sum(axis=(1, 3))
 
 
 def refine_half(cur, planes, mv_full, lam, margin: int, row0=0,
-                bs: int = 16):
+                bs=16):
     """Half-pel refinement with single-plane gathers.
 
     Every half-step candidate delta shares one fractional phase across
@@ -348,13 +358,14 @@ def refine_half(cur, planes, mv_full, lam, margin: int, row0=0,
     Returns mvq in quarter-pel units (phases 0/2). ``bs`` is the block
     size the MV grid covers (16 = MBs, 8 = P_8x8 partitions).
     """
+    bh, bw = _bs2(bs)
     n_mby, n_mbx = mv_full.shape[:2]
     h, w = cur.shape
-    cur_mb = cur.reshape(n_mby, bs, n_mbx, bs)
+    cur_mb = cur.reshape(n_mby, bh, n_mbx, bw)
     rows = jnp.arange(h)[:, None] + row0
     cols = jnp.arange(w)[None, :]
-    dy_f = jnp.repeat(jnp.repeat(mv_full[..., 0], bs, 0), bs, 1)
-    dx_f = jnp.repeat(jnp.repeat(mv_full[..., 1], bs, 0), bs, 1)
+    dy_f = jnp.repeat(jnp.repeat(mv_full[..., 0], bh, 0), bw, 1)
+    dx_f = jnp.repeat(jnp.repeat(mv_full[..., 1], bh, 0), bw, 1)
 
     base = mv_full * 4
     mvq = base
@@ -379,11 +390,12 @@ def refine_half(cur, planes, mv_full, lam, margin: int, row0=0,
 
 
 def refine_quarter(cur, planes, mvq, lam, margin: int, row0=0,
-                   bs: int = 16):
+                   bs=16):
     """Quarter-pel refinement around a half-pel result (general MC per
     candidate — expensive; reserved for high-effort presets)."""
+    bh, bw = _bs2(bs)
     n_mby, n_mbx = mvq.shape[:2]
-    cur_mb = cur.reshape(n_mby, bs, n_mbx, bs)
+    cur_mb = cur.reshape(n_mby, bh, n_mbx, bw)
 
     def cost_of(m):
         pred = mc_luma_q(planes, m, margin, row0, bs)
@@ -402,7 +414,7 @@ def refine_quarter(cur, planes, mvq, lam, margin: int, row0=0,
 
 
 def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False,
-                  row0=0, bs: int = 16):
+                  row0=0, bs=16):
     """Full-pel MVs → sub-pel: half-pel always (cheap single-plane
     gathers), quarter-pel optionally on top."""
     mvq = refine_half(cur, planes, mv_full, lam, margin, row0, bs)
@@ -411,16 +423,17 @@ def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False,
     return mvq
 
 
-def mc_luma_h(planes, mvq, margin: int, row0=0, bs: int = 16):
+def mc_luma_h(planes, mvq, margin: int, row0=0, bs=16):
     """Half-pel-only luma MC: mvq phases are in {0, 2}² (the refine_half
     output), so each pixel needs exactly one of the four planes — 4
     gathers + a 2-bit select instead of mc_luma_q's 8 gathers."""
+    bh, bw = _bs2(bs)
     n_mby, n_mbx = mvq.shape[:2]
-    h, w = bs * n_mby, bs * n_mbx
-    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, bs, 0), bs, 1)
-    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, bs, 0), bs, 1)
-    hy = jnp.repeat(jnp.repeat((mvq[..., 0] >> 1) & 1, bs, 0), bs, 1)
-    hx = jnp.repeat(jnp.repeat((mvq[..., 1] >> 1) & 1, bs, 0), bs, 1)
+    h, w = bh * n_mby, bw * n_mbx
+    iy = jnp.repeat(jnp.repeat(mvq[..., 0] >> 2, bh, 0), bw, 1)
+    ix = jnp.repeat(jnp.repeat(mvq[..., 1] >> 2, bh, 0), bw, 1)
+    hy = jnp.repeat(jnp.repeat((mvq[..., 0] >> 1) & 1, bh, 0), bw, 1)
+    hx = jnp.repeat(jnp.repeat((mvq[..., 1] >> 1) & 1, bh, 0), bw, 1)
     rows = jnp.arange(h)[:, None] + row0 + iy + margin
     cols = jnp.arange(w)[None, :] + ix + margin
     g = planes[0][rows, cols]
