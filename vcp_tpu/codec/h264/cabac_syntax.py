@@ -663,9 +663,14 @@ def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
     cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
 
+    modes = data.get("modes")          # RD intra: per-MB I16 pred mode
+    cmodes = data.get("cmodes")
     for mby in range(n_mby):
         pred_mode, chroma_mode = (2, 0) if mby == 0 else (0, 2)
         for mbx in range(n_mbx):
+            if modes is not None:
+                pred_mode = int(modes[mby, mbx])
+                chroma_mode = int(cmodes[mby, mbx])
             z_ac = luma_ac[mby, mbx]
             cdc = np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]])
             cac = np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]])

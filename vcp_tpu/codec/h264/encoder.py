@@ -49,7 +49,16 @@ class EncoderConfig:
     bframes: int = 0               # B pictures between anchors (-bf)
     transform8: bool = False       # High-profile adaptive 8x8 transform
     parts: bool = False            # P_8x8 sub-partitions (quality presets)
+    rd_intra: bool | None = None   # per-MB RD I16 mode selection (None=auto:
+                                   # on for quality presets, effort >= 5)
     params: EncodeParams | None = None   # original preset args (rate control)
+
+    def use_rd_intra(self) -> bool:
+        if os.environ.get("VCP_RDI"):
+            return os.environ["VCP_RDI"] != "0"
+        if self.rd_intra is not None:
+            return self.rd_intra
+        return self.effort >= 5
 
     @classmethod
     def from_params(cls, params: EncodeParams, width: int, height: int,
@@ -155,11 +164,17 @@ class H264Encoder:
 
     def _encode_idr(self, yp, up, vp, qp, qpc) -> bytes:
         """One IDR frame; recon stays resident on device."""
-        out = frame_ops.encode_iframe(yp, up, vp, qp, qpc,
-                                      self.cfg.deblock)
+        keys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
+        if self.cfg.use_rd_intra():
+            from . import intra_rd
+            out = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
+                                            self.cfg.deblock)
+            keys += ("modes", "cmodes")
+        else:
+            out = frame_ops.encode_iframe(yp, up, vp, qp, qpc,
+                                          self.cfg.deblock)
         # fetch only the level arrays the entropy layer needs
-        data = {k: np.asarray(out[k]) for k in
-                ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+        data = {k: np.asarray(out[k]) for k in keys}
         nal = entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=self.idr_count % 65536, qp=qp, data=data,
@@ -261,11 +276,26 @@ class H264Encoder:
         yp, up, vp = self._pad(*frames[0])
         prev_tiles = getattr(self, "_prev_tiles", None)
         src_dev = getattr(self, "_src_dev", None)
+        rd_intra = self.cfg.use_rd_intra()
         if delta and (prev_tiles is None or prev_tiles.shape[0] != n_mb):
             prev_tiles = np.zeros((n_mb, gop_ops.TILE_WORDS), np.uint8)
             src_dev = None
         t0 = time.monotonic()
-        if delta and src_dev is not None:
+        iout = None
+        if rd_intra:
+            # quality presets: dense RD-mode intra (per-MB I16 mode
+            # selection); IDRs are one per GOP so the full upload and
+            # dense fetch are amortized
+            from . import intra_rd
+            if delta:
+                gop_ops.tile_delta(yp, up, vp, prev_tiles, full=True)
+                t_pack += time.monotonic() - t0
+            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
+                                             cfg.deblock)
+            ry, ru, rv = iout["recon_y"], iout["recon_u"], iout["recon_v"]
+            if delta:
+                sy, su, sv = gop_ops.source_tiles(yp, up, vp, h16, w16)
+        elif delta and src_dev is not None:
             # IDR delta against the carried source (cross-GOP continuity)
             idx, t = gop_ops.tile_delta(yp, up, vp, prev_tiles)
             t_pack += time.monotonic() - t0
@@ -342,10 +372,15 @@ class H264Encoder:
             self._src_dev = (sy, su, sv)
 
         # Phase 2: fetch + host entropy, IDR first.
-        icnt = int(np.asarray(icount)[0])
-        ibucket = gop_ops.fetch_bucket(icnt, iblocks.shape[0])
-        idata = gop_ops.unpack_sparse_iframe(
-            np.asarray(imeta), np.asarray(iblocks[:ibucket]), icnt, n_mbx)
+        if rd_intra:
+            idata = {k: np.asarray(iout[k]) for k in
+                     ("luma_dc", "luma_ac", "cb_dc", "cb_ac",
+                      "cr_dc", "cr_ac", "modes", "cmodes")}
+        else:
+            icnt = int(np.asarray(icount)[0])
+            ibucket = gop_ops.fetch_bucket(icnt, iblocks.shape[0])
+            idata = gop_ops.unpack_sparse_iframe(
+                np.asarray(imeta), np.asarray(iblocks[:ibucket]), icnt, n_mbx)
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=(self.idr_count - 1) % 65536, qp=qp, data=idata,
@@ -429,9 +464,15 @@ class H264Encoder:
             return disp - len(out) + 1
 
         yp, up, vp = self._pad(*frames[0])
-        iout = frame_ops.encode_iframe(yp, up, vp, qp, qpc, cfg.deblock)
-        idata = {k: np.asarray(iout[k]) for k in
-                 ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+        ikeys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
+        if cfg.use_rd_intra():
+            from . import intra_rd
+            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
+                                             cfg.deblock)
+            ikeys += ("modes", "cmodes")
+        else:
+            iout = frame_ops.encode_iframe(yp, up, vp, qp, qpc, cfg.deblock)
+        idata = {k: np.asarray(iout[k]) for k in ikeys}
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=self.idr_count % 65536, qp=qp, data=idata,

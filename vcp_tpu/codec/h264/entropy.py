@@ -93,6 +93,18 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                             deblock=deblock, poc_lsb=poc_lsb)
 
 
+def _mode_ptrs(data):
+    """(modes_ptr, cmodes_ptr) for the native islice writers — NULLs for
+    the legacy row pattern; keeps the arrays alive via the second return."""
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if data.get("modes") is None:
+        return (i32p(), i32p()), None
+    m = np.ascontiguousarray(data["modes"], np.int32)
+    c = np.ascontiguousarray(data["cmodes"], np.int32)
+    return (m.ctypes.data_as(i32p), c.ctypes.data_as(i32p)), (m, c)
+
+
 def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,
                                data, deblock=False, poc_lsb=0) -> bytes:
     import ctypes
@@ -102,11 +114,13 @@ def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,
     arrs = [np.ascontiguousarray(data[k], np.int32)
             for k in ("luma_dc", "luma_ac", "cb_dc", "cb_ac",
                       "cr_dc", "cr_ac")]
+    mode_ptrs, _keep = _mode_ptrs(data)
     n = lib.vcp_write_islice_cabac(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
         frame_num, idr_pic_id, 0 if deblock else 1,
         sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
         *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for a in arrs],
+        *mode_ptrs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         raise RuntimeError("native cabac islice buffer overflow")
@@ -128,6 +142,7 @@ def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
     arrs = [np.ascontiguousarray(data[k], np.int32)
             for k in ("luma_dc", "luma_ac", "cb_dc", "cb_ac",
                       "cr_dc", "cr_ac")]
+    mode_ptrs, _keep = _mode_ptrs(data)
     n = lib.vcp_write_islice(
         n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
         frame_num, idr_pic_id, 0 if deblock else 1,
@@ -136,6 +151,7 @@ def _write_islice_native(lib, sp, pp, *, frame_num, idr_pic_id, qp, data,
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), y.shape[1],
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), u.shape[1],
+        *mode_ptrs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         raise RuntimeError("native islice buffer overflow")
@@ -162,10 +178,15 @@ def _write_islice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
     cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
 
+    modes = data.get("modes")          # RD intra: per-MB I16 pred mode
+    cmodes = data.get("cmodes")        # per-MB intra_chroma_pred_mode
     for mby in range(n_mby):
         # row 0 has no top neighbors: DC luma + DC chroma; rows 1.. Vertical
         pred_mode, chroma_mode = (2, 0) if mby == 0 else (0, 2)
         for mbx in range(n_mbx):
+            if modes is not None:
+                pred_mode = int(modes[mby, mbx])
+                chroma_mode = int(cmodes[mby, mbx])
             _write_i16_mb(
                 bw, mbx, mby,
                 luma_dc[mby, mbx], luma_ac[mby, mbx],

@@ -25,7 +25,7 @@ def _configure(lib) -> None:
     lib.vcp_write_islice.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
         i32p, i32p, i32p, i32p, i32p, i32p,
-        u8p, i32, u8p, u8p, i32, u8p, i64]
+        u8p, i32, u8p, u8p, i32, i32p, i32p, u8p, i64]
     lib.vcp_write_pslice.restype = i64
     lib.vcp_write_pslice.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32,
@@ -33,7 +33,7 @@ def _configure(lib) -> None:
     lib.vcp_write_islice_cabac.restype = i64
     lib.vcp_write_islice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
-        i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
     lib.vcp_write_pslice_cabac.restype = i64
     lib.vcp_write_pslice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32,

@@ -683,6 +683,8 @@ int64_t vcp_write_islice_cabac(
     const int32_t* luma_dc, const int32_t* luma_ac,
     const int32_t* cb_dc, const int32_t* cb_ac,
     const int32_t* cr_dc, const int32_t* cr_ac,
+    const int32_t* modes,      // per-MB I16 pred mode (RD intra), or NULL
+    const int32_t* cmodes,     // per-MB chroma pred mode, or NULL
     uint8_t* out, int64_t out_cap) {
     HdrWriter bw;
     cabac_slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
@@ -699,6 +701,7 @@ int64_t vcp_write_islice_cabac(
         int chroma_mode = (mby == 0) ? 0 : 2;
         for (int mbx = 0; mbx < n_mbx; mbx++) {
             size_t mb = (size_t)mby * n_mbx + mbx;
+            if (modes) { pred_mode = modes[mb]; chroma_mode = cmodes[mb]; }
             const int32_t* zdc = luma_dc + mb * 16;
             const int32_t* zac = luma_ac + mb * 256;
             const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};

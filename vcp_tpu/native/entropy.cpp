@@ -210,6 +210,8 @@ int64_t vcp_write_islice(
     const int32_t* cr_dc, const int32_t* cr_ac,
     const uint8_t* src_y, int y_stride,
     const uint8_t* src_u, const uint8_t* src_v, int c_stride,
+    const int32_t* modes,      // per-MB I16 pred mode (RD intra), or NULL
+    const int32_t* cmodes,     // per-MB chroma pred mode, or NULL
     uint8_t* out, int64_t out_cap) {
     (void)src_y; (void)y_stride; (void)src_u; (void)src_v; (void)c_stride;
     BitWriter bw;
@@ -226,6 +228,7 @@ int64_t vcp_write_islice(
         int chroma_mode = (mby == 0) ? 0 : 2;
         for (int mbx = 0; mbx < n_mbx; mbx++) {
             size_t mb = (size_t)mby * n_mbx + mbx;
+            if (modes) { pred_mode = modes[mb]; chroma_mode = cmodes[mb]; }
             const int32_t* zdc = luma_dc + mb * 16;
             const int32_t* zac = luma_ac + mb * 256;
             const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
