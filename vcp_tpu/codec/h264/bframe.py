@@ -126,23 +126,28 @@ def _write_bslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
         for mbx in range(n_mbx):
             md = int(mode[mby, mbx])
             cbp = int(cbp_luma[mby, mbx]) | (int(cbp_chroma[mby, mbx]) << 4)
-            if cbp == 0 and col_safe[mby, mbx] \
-                    and _skippable(mvs_xy, use, mbx, mby, n_mbx,
-                                   bool(col_zero[mby, mbx]), md):
+            direct_ok = bool(col_safe[mby, mbx]) \
+                and _skippable(mvs_xy, use, mbx, mby, n_mbx,
+                               bool(col_zero[mby, mbx]), md)
+            if cbp == 0 and direct_ok:
                 skip_run += 1
                 _zero_nz(nz_y, nz_cb, nz_cr, mbx, mby)
                 continue
             bw.ue(skip_run)                 # mb_skip_run
             skip_run = 0
-            bw.ue(_B_MBTYPE_FROM_MODE[md])
-            for lst in range(2):
-                if not use[lst][mby, mbx]:
-                    continue
-                m = (int(mvs_xy[lst][mby, mbx, 0]),
-                     int(mvs_xy[lst][mby, mbx, 1]))
-                pred = mv_pred_dec(mvs_xy[lst], use[lst], mbx, mby, n_mbx)
-                bw.se(m[0] - pred[0])
-                bw.se(m[1] - pred[1])
+            if direct_ok:
+                bw.ue(0)                    # B_Direct_16x16: motion is
+            else:                           # derived, no ref/mvd syntax
+                bw.ue(_B_MBTYPE_FROM_MODE[md])
+                for lst in range(2):
+                    if not use[lst][mby, mbx]:
+                        continue
+                    m = (int(mvs_xy[lst][mby, mbx, 0]),
+                         int(mvs_xy[lst][mby, mbx, 1]))
+                    pred = mv_pred_dec(mvs_xy[lst], use[lst], mbx, mby,
+                                       n_mbx)
+                    bw.se(m[0] - pred[0])
+                    bw.se(m[1] - pred[1])
             bw.ue(CBP_INTER_TO_CODE[cbp])
             if cbp:
                 bw.se(0)                    # mb_qp_delta

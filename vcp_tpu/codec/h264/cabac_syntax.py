@@ -1076,7 +1076,7 @@ def parse_islice_cabac(payload: bytes, qp: int, n_mby: int, n_mbx: int,
 def _encode_mb_type_b(enc, cx, st, mbx, mby, mode: int) -> None:
     """B mb_type binarization (Table 9-37): bin0=1 (not B_Direct), then
     '0'+list bin for L0/L1, or '1'+4 fixed bins 0000 for B_Bi_16x16."""
-    b0 = st.skip_ctx(mbx, mby)   # same condTerm as skip: avail && !skip
+    b0 = st.mbt_b_ctx(mbx, mby)  # condTerm: avail && !skip && !direct
     enc.encode(cx["mbt_b", b0], 1)
     if mode < 2:
         enc.encode(cx["mbt_b_fix", 0], 0)
@@ -1137,10 +1137,10 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
             md = int(mode[mby, mbx])
             cbp_l = int(cbp_luma[mby, mbx])
             cbp_c = int(cbp_chroma[mby, mbx])
-            is_skip = (cbp_l == 0 and cbp_c == 0
-                       and bool(col_safe[mby, mbx])
-                       and _skippable(mvs_xy, use, mbx, mby, n_mbx,
-                                      bool(col_zero[mby, mbx]), md))
+            direct_ok = bool(col_safe[mby, mbx]) \
+                and _skippable(mvs_xy, use, mbx, mby, n_mbx,
+                               bool(col_zero[mby, mbx]), md)
+            is_skip = cbp_l == 0 and cbp_c == 0 and direct_ok
             enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
                        1 if is_skip else 0)
             st.avail[mby, mbx] = True
@@ -1151,20 +1151,27 @@ def write_bslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                 last = mby == n_mby - 1 and mbx == n_mbx - 1
                 enc.encode_terminate(1 if last else 0)
                 continue
-            _encode_mb_type_b(enc, cx, st, mbx, mby, md)
-            for lst in range(2):
-                if not use[lst][mby, mbx]:
-                    continue
-                m = (int(mvs_xy[lst][mby, mbx, 0]),
-                     int(mvs_xy[lst][mby, mbx, 1]))
-                pred = mv_pred_dec(mvs_xy[lst], use[lst], mbx, mby, n_mbx)
-                mvd = (m[0] - pred[0], m[1] - pred[1])
-                _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 0,
-                                 mvd[0], lst)
-                _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 1,
-                                 mvd[1], lst)
-                st.set_absmvd(2 * mby, 2 * mbx, 2, 2, lst,
-                              (abs(mvd[0]), abs(mvd[1])))
+            if direct_ok:
+                # B_Direct_16x16: mb_type bin0 = 0, motion derived, no
+                # mvd (neighbor absMvd context stays zero per 9.3.3.1.1.7)
+                enc.encode(cx["mbt_b", st.mbt_b_ctx(mbx, mby)], 0)
+                st.bdirect[mby, mbx] = True
+            else:
+                _encode_mb_type_b(enc, cx, st, mbx, mby, md)
+                for lst in range(2):
+                    if not use[lst][mby, mbx]:
+                        continue
+                    m = (int(mvs_xy[lst][mby, mbx, 0]),
+                         int(mvs_xy[lst][mby, mbx, 1]))
+                    pred = mv_pred_dec(mvs_xy[lst], use[lst], mbx, mby,
+                                       n_mbx)
+                    mvd = (m[0] - pred[0], m[1] - pred[1])
+                    _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 0,
+                                     mvd[0], lst)
+                    _encode_mvd_comp(enc, cx, st, 2 * mby, 2 * mbx, 1,
+                                     mvd[1], lst)
+                    st.set_absmvd(2 * mby, 2 * mbx, 2, 2, lst,
+                                  (abs(mvd[0]), abs(mvd[1])))
             for b8 in range(4):
                 enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
                            (cbp_l >> b8) & 1)

@@ -112,6 +112,13 @@ def resolve_qp(params: EncodeParams, width: int, height: int,
     return initial_qp(params, width, height, fps)
 
 
+def idr_qp(qp: int) -> int:
+    """I-frame QP: a few steps below the P QP (x264's ipratio 1.4
+    semantics — a better-quality IDR improves every frame that
+    references it, a net BD-rate win)."""
+    return max(0, qp - int(os.environ.get("VCP_QPI_OFFSET", "3")))
+
+
 class H264Encoder:
     """Stateful per-task encoder: feeds frames, emits Annex-B access units."""
 
@@ -199,7 +206,10 @@ class H264Encoder:
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
 
         if is_idr:
-            nal = self._encode_idr(yp, up, vp, qp, qpc)
+            qp_i = idr_qp(qp) if cfg.gop_size > 1 else qp
+            nal = self._encode_idr(yp, up, vp, qp_i,
+                                   chroma_qp(qp_i,
+                                             self.pp.chroma_qp_index_offset))
         else:
             nal = self._encode_pframe(yp, up, vp, qp, qpc)
             self._frame_num += 1
@@ -257,6 +267,8 @@ class H264Encoder:
             return self._encode_gop_b(frames)
         qp = self.rc.gop_qp() if self.rc else cfg.qp
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
+        qp_i = idr_qp(qp) if len(frames) > 1 else qp
+        qpc_i = chroma_qp(qp_i, self.pp.chroma_qp_index_offset)
         sr = pframe.search_range_for_effort(cfg.effort)
         lam = pframe.lam_for_qp(qp)
 
@@ -290,7 +302,7 @@ class H264Encoder:
             if delta:
                 gop_ops.tile_delta(yp, up, vp, prev_tiles, full=True)
                 t_pack += time.monotonic() - t0
-            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
+            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp_i, qpc_i,
                                              cfg.deblock)
             ry, ru, rv = iout["recon_y"], iout["recon_u"], iout["recon_v"]
             if delta:
@@ -302,14 +314,14 @@ class H264Encoder:
             bucket = gop_ops.delta_bucket(len(idx), n_mb)
             idxp, tp = gop_ops.pad_delta(idx, t, bucket, n_mb)
             (imeta, icount, iblocks, sy, su, sv, ry, ru, rv) = \
-                gop_ops.encode_iframe_delta(*src_dev, idxp, tp, qp, qpc,
+                gop_ops.encode_iframe_delta(*src_dev, idxp, tp, qp_i, qpc_i,
                                             h16, w16, cfg.deblock)
         else:
             if delta:
                 gop_ops.tile_delta(yp, up, vp, prev_tiles, full=True)
                 t_pack += time.monotonic() - t0
             imeta, icount, iblocks, ry, ru, rv = gop_ops.encode_iframe_sparse(
-                yp, up, vp, qp, qpc, cfg.deblock)
+                yp, up, vp, qp_i, qpc_i, cfg.deblock)
             if delta:
                 sy, su, sv = gop_ops.source_tiles(yp, up, vp, h16, w16)
         recon = (ry, ru, rv)
@@ -383,7 +395,7 @@ class H264Encoder:
                 np.asarray(imeta), np.asarray(iblocks[:ibucket]), icnt, n_mbx)
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
-            idr_pic_id=(self.idr_count - 1) % 65536, qp=qp, data=idata,
+            idr_pic_id=(self.idr_count - 1) % 65536, qp=qp_i, data=idata,
             src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock,
             cabac=cfg.cabac, poc_lsb=0), True))
         poc_pos = 0
@@ -445,8 +457,10 @@ class H264Encoder:
         cfg = self.cfg
         qp = self.rc.gop_qp() if self.rc else cfg.qp
         qp_b = min(51, qp + int(os.environ.get("VCP_QPB_OFFSET", "2")))
+        qp_i = idr_qp(qp)
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
         qpc_b = chroma_qp(qp_b, self.pp.chroma_qp_index_offset)
+        qpc_i = chroma_qp(qp_i, self.pp.chroma_qp_index_offset)
         sr = pframe.search_range_for_effort(cfg.effort)
         # anchors span (bframes+1) display frames of motion — widen the
         # ME window with the temporal distance (capped; search is O(sr²))
@@ -467,15 +481,16 @@ class H264Encoder:
         ikeys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
         if cfg.use_rd_intra():
             from . import intra_rd
-            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
+            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp_i, qpc_i,
                                              cfg.deblock)
             ikeys += ("modes", "cmodes")
         else:
-            iout = frame_ops.encode_iframe(yp, up, vp, qp, qpc, cfg.deblock)
+            iout = frame_ops.encode_iframe(yp, up, vp, qp_i, qpc_i,
+                                           cfg.deblock)
         idata = {k: np.asarray(iout[k]) for k in ikeys}
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
-            idr_pic_id=self.idr_count % 65536, qp=qp, data=idata,
+            idr_pic_id=self.idr_count % 65536, qp=qp_i, data=idata,
             src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock,
             cabac=cfg.cabac, poc_lsb=0), True, cts(0)))
         self.idr_count += 1

@@ -426,7 +426,15 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
     cu = jnp.where(use_ub, cub, cu0) + lam2 * 1.0
 
     best_exp = jnp.minimum(cbi, jnp.minimum(c0, c1))
-    pick_u = cu <= best_exp
+    # SKIP candidate: the uniform prediction with the residual FORCED to
+    # zero. Costs ~1 bit (skip run / skip flag); regions that adopt it
+    # collapse to B_Skip runs. Without it, residual-free MBs that picked
+    # per-MB vectors pay full mb_type+mvd syntax for nothing.
+    ssd_pu = ((cur_y - pu).astype(jnp.float32) ** 2) \
+        .reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
+    c_skip = ssd_pu + lam2 * 1.0
+    skip_pick = c_skip <= jnp.minimum(cu, best_exp)
+    pick_u = (cu <= best_exp) | skip_pick
     mode = jnp.where(cbi <= jnp.minimum(c0, c1), 2,
                      jnp.where(c1 < c0, 1, 0)).astype(jnp.int32)
     mode = jnp.where(pick_u, jnp.where(use_ub, 2, 0), mode)
@@ -453,6 +461,20 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
      recon_y, recon_u, recon_v, nz4, _t8g) = _residual_recon(
         cur_y, cur_u, cur_v, pred_y, pred_u, pred_v, qp, qpc,
         decimate_extra=3)
+
+    # skip-forced MBs: drop the residual entirely (recon = prediction)
+    keep = ~skip_pick
+    z_luma = z_luma * keep.reshape(n_mby, n_mbx)[..., None]
+    cb_dc = cb_dc * keep[..., None]
+    cb_ac = cb_ac * keep[..., None]
+    cr_dc = cr_dc * keep[..., None]
+    cr_ac = cr_ac * keep[..., None]
+    sk_px = jnp.repeat(jnp.repeat(skip_pick, 16, 0), 16, 1)
+    sk_pxc = jnp.repeat(jnp.repeat(skip_pick, 8, 0), 8, 1)
+    recon_y = jnp.where(sk_px, jnp.clip(pred_y, 0, 255), recon_y)
+    recon_u = jnp.where(sk_pxc, jnp.clip(pred_u, 0, 255), recon_u)
+    recon_v = jnp.where(sk_pxc, jnp.clip(pred_v, 0, 255), recon_v)
+    nz4 = nz4 & ~jnp.repeat(jnp.repeat(skip_pick, 4, 0), 4, 1)
 
     if deblock:
         from ...ops import deblock as dbf

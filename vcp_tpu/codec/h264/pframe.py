@@ -196,8 +196,71 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
     costh = jnp.where(split_of(mvh_q), costh, 2**30)
     costv = jnp.where(split_of(mvv_q), costv, 2**30)
 
-    costs = jnp.stack([cost16, costh, costv, cost8])    # ptype 0..3
-    ptype = jnp.argmin(costs, axis=0).astype(jnp.int32)
+    # SAD preselects the best sub-16x16 shape; the 16x16-vs-sub call is
+    # then a true luma RD trial (transform/quant/recon both candidates,
+    # SSD + lambda2 * (level-bits + mvd-bits + header-bits)) — the SAD
+    # currency alone loses BD-rate on smooth content where splits that
+    # lower SAD don't pay for their syntax after quantization.
+    sub_costs = jnp.stack([costh, costv, cost8])        # sub type 0..2
+    sub_t = jnp.argmin(sub_costs, axis=0).astype(jnp.int32)
+    no_sub = sub_costs.min(axis=0) >= 2**30
+    st2 = jnp.repeat(jnp.repeat(sub_t, 2, 0), 2, 1)[..., None]
+    mv8_sub = jnp.where(st2 == 0, mvh_q,
+                        jnp.where(st2 == 1, mvv_q, mv8))
+    st_px = jnp.repeat(jnp.repeat(sub_t, 16, 0), 16, 1)[:h, :w]
+    pred_sub = jnp.where(st_px == 0, predh,
+                         jnp.where(st_px == 1, predv, pred8))
+
+    lam2 = 0.9 * jnp.power(2.0, (qp - 12) / 3.0)
+
+    def luma_trial(pred):
+        """Per-MB (SSD, level-bits proxy) of the quantized 4x4 path."""
+        zt = tf.quant4(tf.fdct4(tf.to_blocks4(y - pred)), qp, intra=False)
+        rec = jnp.clip(
+            pred + tf.from_blocks4(tf.idct4(tf.dequant4(zt, qp))), 0, 255)
+        d = (y - rec).astype(jnp.float32)
+        ssd = (d * d).reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
+        a = jnp.abs(zt.astype(jnp.float32))
+        lb = jnp.where(a > 0, 2.0 * jnp.log2(a + 1.0) + 1.7, 0.0)
+        lb_mb = lb.reshape(n_mby, 4, n_mbx, 4, 16)
+        nzblk = jnp.any(a.reshape(n_mby, 4, n_mbx, 4, 16) > 0,
+                        axis=-1).astype(jnp.float32)
+        bits = lb_mb.sum(axis=(1, 3, 4)) + 3.0 * nzblk.sum(axis=(1, 3))
+        return ssd, bits
+
+    def se_bits(v):
+        """se(v) Exp-Golomb length proxy, per component, qpel units."""
+        a = jnp.abs(v).astype(jnp.float32)
+        return jnp.where(a == 0, 1.0, 2.0 * jnp.log2(2.0 * a + 1.0) + 1.0)
+
+    # approximate median MV predictor for pricing mvd16 (the real median
+    # depends on final skip/intra state, host-side; neighbors' candidate
+    # 16x16 vectors are a faithful stand-in for rate estimation)
+    mvl = jnp.pad(mv16, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    mvt = jnp.pad(mv16, ((1, 0), (0, 0), (0, 0)))[:-1]
+    mvtr = jnp.pad(mv16, ((1, 0), (0, 1), (0, 0)))[:-1, 1:]
+    mvp = mvl + mvt + mvtr \
+        - jnp.maximum(jnp.maximum(mvl, mvt), mvtr) \
+        - jnp.minimum(jnp.minimum(mvl, mvt), mvtr)
+    mvbits16 = se_bits(mv16 - mvp).sum(-1)
+    # sub-shape mvds priced against the 16x16 vector (their predictors
+    # track the enclosing motion field); plus the base vector's own cost
+    mvb_h = se_bits(mvh - mv16[jnp.arange(2 * n_mby) // 2]) \
+        .sum(-1).reshape(n_mby, 2, n_mbx).sum(1)
+    mvb_v = se_bits(mvv - mv16[:, jnp.arange(2 * n_mbx) // 2]) \
+        .sum(-1).reshape(n_mby, n_mbx, 2).sum(-1)
+    mvb_8 = se_bits(mv8 - mv16_q).sum(-1) \
+        .reshape(n_mby, 2, n_mbx, 2).sum(axis=(1, 3))
+    mvbits_sub = jnp.where(sub_t == 0, mvb_h,
+                           jnp.where(sub_t == 1, mvb_v, mvb_8)) + mvbits16
+    hdr_sub = jnp.where(sub_t == 2, 9.0, 3.0)   # mb_type + sub_mb_types
+
+    ssd16, lbits16 = luma_trial(pred16)
+    ssds, lbitss = luma_trial(pred_sub)
+    rd16 = ssd16 + lam2 * (lbits16 + mvbits16 + 1.0)
+    rdsub = ssds + lam2 * (lbitss + mvbits_sub + hdr_sub)
+    use_sub = (rdsub < rd16) & ~no_sub
+    ptype = jnp.where(use_sub, sub_t + 1, 0).astype(jnp.int32)
     pt2 = jnp.repeat(jnp.repeat(ptype, 2, 0), 2, 1)[..., None]
     mv8_final = jnp.where(
         pt2 == 0, mv16_q, jnp.where(
