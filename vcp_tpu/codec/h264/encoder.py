@@ -76,13 +76,13 @@ class EncoderConfig:
         cfg.transform8 = cfg.cabac and params.effort >= 5
         if os.environ.get("VCP_T8"):
             cfg.transform8 = os.environ["VCP_T8"] != "0"
-        # P_8x8 sub-partitions: opt-in. The decision is SAD+lambda*mvrate
-        # (no true RD), which wins on split-motion content
-        # (tests/test_h264_parts.py) but measures RD-negative on the
-        # golden clips vs plain 16x16+skip — so unlike x264 medium's
-        # p8x8 analysis it stays off until the mode decision can price
-        # real bits.
-        cfg.parts = False
+        # Sub-16x16 partitions (16x8/8x16/P_8x8): on for the quality
+        # presets now that the choice is a true luma RD trial
+        # (transform/quantize both candidates, SSD + lambda*bits).
+        # rdbench with -bf 2 + t8: texture +11.5 -> +2.2, gradmotion
+        # +55.9 -> +54.1 BD-rate vs libx264 medium. Off for speed
+        # presets (the 4-way trial costs a second transform pass).
+        cfg.parts = cfg.cabac and params.effort >= 5
         if os.environ.get("VCP_PARTS"):
             cfg.parts = os.environ["VCP_PARTS"] != "0"
         if params.bframes >= 0:
