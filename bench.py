@@ -83,7 +83,7 @@ def main() -> None:
     # throughput is capability minus noise, so report the best of a few
     # trials.
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
-    fps = 0.0
+    fps_trials = []
     for _ in range(trials):
         encs = [H264Encoder(cfg) for _ in range(streams)]
         t0 = time.monotonic()
@@ -94,14 +94,23 @@ def main() -> None:
         for t in threads:
             t.join()
         dt = time.monotonic() - t0
-        fps = max(fps, streams * N_FRAMES / dt)
+        fps_trials.append(streams * N_FRAMES / dt)
+
+    fps = max(fps_trials)
+    ordered = sorted(fps_trials)
+    median = ordered[len(ordered) // 2] if len(ordered) % 2 else (
+        ordered[len(ordered) // 2 - 1] + ordered[len(ordered) // 2]) / 2
 
     res = "4k" if H == 2160 else "1080p"
+    # value = best trial (tunnel stalls are one-sided noise), but every
+    # trial and the median ride along so the JSON stays honest.
     print(json.dumps({
         "metric": f"h264_{res}_encode_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "median": round(median, 2),
+        "trials": [round(f, 2) for f in fps_trials],
     }))
 
 

@@ -33,7 +33,7 @@ def get_oracle():
         so = os.path.join(_DIR, f"_avshim_{key}.so")
         if not os.path.exists(so):
             cmd = ["g++", "-O2", "-shared", "-fPIC", src, "-o", so + ".tmp",
-                   "-lavcodec", "-lavutil"]
+                   "-lavformat", "-lavcodec", "-lavutil"]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(so + ".tmp", so)
         lib = ctypes.CDLL(so)
@@ -51,6 +51,8 @@ def get_oracle():
     lib.av_oracle_encode_video.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, dbl, i32, i32, i32, i32,
         ctypes.c_char_p, u8p, i32, u8p, i64]
+    lib.av_oracle_mux_avi.restype = i64
+    lib.av_oracle_mux_avi.argtypes = [u8p, i64, i32, i32, i32, u8p, i64]
     lib.av_oracle_encode_aac.restype = i64
     lib.av_oracle_encode_aac.argtypes = [i16p, i64, i32, i32, i32, u8p, i64]
     lib.av_oracle_decode_aac.restype = i64
@@ -110,6 +112,20 @@ def encode_video(codec: str, frames, preset: str = "medium",
                                    _u8(stack), len(frames), _u8(out), cap)
     if n < 0:
         raise RuntimeError(f"oracle {codec} encode failed: {n}")
+    return out[:n].tobytes()
+
+
+def mux_avi(annexb: bytes, w: int, h: int, fps: int = 30) -> bytes:
+    """Wrap an H.264 Annex-B stream into an AVI container (libavformat),
+    to exercise the product's RIFF/AVI ingest against a real muxer."""
+    lib = get_oracle()
+    assert lib is not None
+    data = np.frombuffer(annexb, np.uint8).copy()
+    cap = data.size + (1 << 20)
+    out = np.empty(cap, np.uint8)
+    n = lib.av_oracle_mux_avi(_u8(data), data.size, w, h, fps, _u8(out), cap)
+    if n < 0:
+        raise RuntimeError(f"oracle avi mux failed: {n}")
     return out[:n].tobytes()
 
 

@@ -11,12 +11,16 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 #ifdef __cplusplus
 extern "C" {
 #endif
 #include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #ifdef __cplusplus
@@ -186,6 +190,106 @@ int64_t av_oracle_encode_video(const char *codec_name, const char *preset,
     av_frame_free(&frame);
     avcodec_free_context(&ctx);
     return err ? err : written;
+}
+
+/* ------------------------------------------------------------------ */
+/* Container mux: H.264 Annex-B elementary stream -> AVI (in memory).  */
+/* Exercises the product's RIFF/AVI ingest against a genuine           */
+/* libavformat-written AVI. Returns bytes or <0.                       */
+/* ------------------------------------------------------------------ */
+int64_t av_oracle_mux_avi(const uint8_t *annexb, int64_t n, int w, int h,
+                          int fps, uint8_t *out, int64_t out_cap) {
+    /* a real temp file, not a dyn buf: the AVI muxer back-patches sizes
+     * with seeks that misbehave on libavformat's dynamic buffer */
+    char path[] = "/tmp/av_oracle_avi_XXXXXX";
+    int fd = mkstemp(path);
+    if (fd < 0) return -1;
+    close(fd);
+    AVFormatContext *oc = NULL;
+    if (avformat_alloc_output_context2(&oc, NULL, "avi", path) < 0 || !oc) {
+        unlink(path);
+        return -1;
+    }
+    AVStream *st = avformat_new_stream(oc, NULL);
+    if (!st) { avformat_free_context(oc); unlink(path); return -2; }
+    st->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+    st->codecpar->codec_id = AV_CODEC_ID_H264;
+    st->codecpar->width = w;
+    st->codecpar->height = h;
+    st->time_base = (AVRational){1, fps};
+    st->avg_frame_rate = (AVRational){fps, 1};
+    if (avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) {
+        avformat_free_context(oc);
+        unlink(path);
+        return -3;
+    }
+    if (avformat_write_header(oc, NULL) < 0) {
+        avio_closep(&oc->pb);
+        avformat_free_context(oc);
+        unlink(path);
+        return -4;
+    }
+
+    const AVCodec *dec = avcodec_find_decoder(AV_CODEC_ID_H264);
+    AVCodecContext *ctx = avcodec_alloc_context3(dec);
+    AVCodecParserContext *parser = av_parser_init(AV_CODEC_ID_H264);
+    AVPacket *pkt = av_packet_alloc();
+    const uint8_t *p = annexb;
+    int64_t remaining = n, idx = 0;
+    int err = 0;
+    while (remaining > 0 && !err) {
+        uint8_t *pd = NULL; int ps = 0;
+        int used = av_parser_parse2(parser, ctx, &pd, &ps, p,
+                                    (int)remaining, AV_NOPTS_VALUE,
+                                    AV_NOPTS_VALUE, 0);
+        if (used < 0) { err = -5; break; }
+        p += used; remaining -= used;
+        if (ps > 0) {
+            pkt->data = pd; pkt->size = ps;
+            pkt->pts = pkt->dts = av_rescale_q(idx, (AVRational){1, fps},
+                                               st->time_base);
+            pkt->duration = av_rescale_q(1, (AVRational){1, fps},
+                                         st->time_base);
+            pkt->stream_index = 0;
+            pkt->flags = parser->key_frame ? AV_PKT_FLAG_KEY : 0;
+            if (av_write_frame(oc, pkt) < 0) err = -6;
+            idx++;
+        } else if (used == 0) {
+            break;  /* parser is stalled (trailing partial AU) */
+        }
+    }
+    /* flush the parser's final buffered access unit */
+    if (!err) {
+        uint8_t *pd = NULL; int ps = 0;
+        av_parser_parse2(parser, ctx, &pd, &ps, NULL, 0, AV_NOPTS_VALUE,
+                         AV_NOPTS_VALUE, 0);
+        if (ps > 0) {
+            pkt->data = pd; pkt->size = ps;
+            pkt->pts = pkt->dts = av_rescale_q(idx, (AVRational){1, fps},
+                                               st->time_base);
+            pkt->stream_index = 0;
+            if (av_write_frame(oc, pkt) < 0) err = -6;
+        }
+    }
+    if (!err && av_write_trailer(oc) < 0) err = -7;
+    avio_closep(&oc->pb);
+    av_parser_close(parser);
+    pkt->data = NULL; pkt->size = 0;
+    av_packet_free(&pkt);
+    avcodec_free_context(&ctx);
+    avformat_free_context(oc);
+    int64_t size = 0;
+    if (!err) {
+        FILE *f = fopen(path, "rb");
+        if (!f) err = -8;
+        else {
+            size = (int64_t)fread(out, 1, out_cap, f);
+            if (!feof(f)) err = -9;   /* out_cap too small */
+            fclose(f);
+        }
+    }
+    unlink(path);
+    return err ? err : size;
 }
 
 /* ------------------------------------------------------------------ */

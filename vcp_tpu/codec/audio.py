@@ -114,6 +114,22 @@ def audio_track_for(input_path: str, params) -> m.AudioTrack | None:
     if is_wav(input_path):
         pcm, rate = read_wav(input_path)
         return encode_pcm_track(pcm, rate, br or 128000)
+    if input_path.lower().endswith(".avi"):
+        from .avi import AviDemuxer, AviError
+        try:
+            a = AviDemuxer(input_path).audio
+        except AviError:
+            return None
+        # PCM s16le (WAVEFORMATEX tag 1) → AAC-LC encode; other audio
+        # codecs in AVI are out of envelope (video still transcodes).
+        if a is None or a.format_tag != 1 or a.bits_per_sample != 16:
+            return None
+        import numpy as np
+        pcm = np.frombuffer(b"".join(a.chunks), np.int16)
+        if a.channels > 1:
+            pcm = pcm[:pcm.size - pcm.size % a.channels]
+            pcm = pcm.reshape(-1, a.channels)
+        return encode_pcm_track(pcm, a.sample_rate, br or 128000)
     return None
 
 

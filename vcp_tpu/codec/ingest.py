@@ -41,8 +41,10 @@ def open_video(path: str, max_frames: int | None = None) -> VideoInput:
         return _open_mp4(path, max_frames)
     if ext in (".mkv", ".webm"):
         return _open_mkv(path, max_frames)
+    if ext == ".avi":
+        return _open_avi(path, max_frames)
     raise IngestError(f"unsupported input container: {ext} "
-                      "(supported: .y4m raw, .mp4/.mov/.mkv/.webm h264)")
+                      "(supported: .y4m raw, .mp4/.mov/.mkv/.webm/.avi)")
 
 
 def _open_y4m(path: str, max_frames) -> VideoInput:
@@ -92,6 +94,43 @@ def _open_mp4(path: str, max_frames) -> VideoInput:
             yield f.y, f.u, f.v
 
     return VideoInput(track.width, track.height, fps_num, fps_den, n, gen())
+
+
+def _open_avi(path: str, max_frames) -> VideoInput:
+    """RIFF/AVI ingest (ref cmd/producer.go:485-488 accepts .avi).
+
+    H.264-in-AVI carries Annex-B NALs per video chunk; each chunk feeds
+    the in-repo decoder directly.
+    """
+    from .avi import AviDemuxer, AviError, H264_FOURCCS
+    from .h264.decoder import H264Decoder
+
+    try:
+        demux = AviDemuxer(path)
+    except AviError as e:
+        raise IngestError(str(e)) from e
+    t = demux.video
+    if t is None:
+        raise IngestError("avi: no video stream")
+    if t.fourcc not in H264_FOURCCS:
+        raise IngestError(f"avi: unsupported video fourcc {t.fourcc!r} "
+                          "(h264 only)")
+    n = len(t.chunks) if max_frames is None else min(len(t.chunks),
+                                                     max_frames)
+
+    def gen():
+        from .mp4 import split_annexb
+
+        dec = H264Decoder()
+        for i in range(n):
+            for nal in split_annexb(t.chunks[i]):
+                dec._decode_nal(nal)
+            for f in dec.drain():
+                yield f.y, f.u, f.v
+        for f in dec.drain(flush=True):
+            yield f.y, f.u, f.v
+
+    return VideoInput(t.width, t.height, t.rate, t.scale, n, gen())
 
 
 def _open_mkv(path: str, max_frames) -> VideoInput:
