@@ -427,19 +427,34 @@ class H264Decoder:
             br.byte_align()                 # cabac_alignment_one_bit(s)
             payload = rbsp[br.pos // 8:]
             if is_i:
-                rows, st = CS.parse_islice_cabac(
-                    payload, qp, sp.mb_height, sp.mb_width,
-                    transform_8x8=pp.transform_8x8)
-                i_rows = rows
+                from . import native_parse as NP
+                res = NP.parse_slice_native(
+                    payload, qp, 2, 0, sp.mb_height, sp.mb_width,
+                    pp.transform_8x8)
+                if res is not None:
+                    intra_mb[:, :] = True
+                    nz_y.nz[:, :] = res["cbf_l4"]
+                    nz_cb.nz[:, :] = res["cbf_cb"]
+                    nz_cr.nz[:, :] = res["cbf_cr"]
+                    qp_mb[:, :] = res["qp_mb"]
+                    if res["p_t8"].any():
+                        ctx["p_t8"] = res["p_t8"].astype(bool)
+                    for mbx, mby, parsed in res["iq"]:
+                        i_rows[mby][mbx] = parsed
+                else:
+                    rows, st = CS.parse_islice_cabac(
+                        payload, qp, sp.mb_height, sp.mb_width,
+                        transform_8x8=pp.transform_8x8)
+                    i_rows = rows
+                    nz_y.nz[:, :] = st.cbf_l4
+                    nz_cb.nz[:, :] = st.cbf_c4[0]
+                    nz_cr.nz[:, :] = st.cbf_c4[1]
+                    for mby in range(sp.mb_height):
+                        for mbx in range(sp.mb_width):
+                            qp_mb[mby, mbx] = rows[mby][mbx].get("qp", qp)
+                    if st.t8.any():
+                        ctx["p_t8"] = st.t8  # 8x8 deblock edge semantics
                 intra_mb[:, :] = True
-                nz_y.nz[:, :] = st.cbf_l4
-                nz_cb.nz[:, :] = st.cbf_c4[0]
-                nz_cr.nz[:, :] = st.cbf_c4[1]
-                for mby in range(sp.mb_height):
-                    for mbx in range(sp.mb_width):
-                        qp_mb[mby, mbx] = rows[mby][mbx].get("qp", qp)
-                if st.t8.any():
-                    ctx["p_t8"] = st.t8    # 8x8 deblock edge semantics
             else:
                 from . import inter_cabac
                 inter_cabac.parse_inter_slice_cabac(

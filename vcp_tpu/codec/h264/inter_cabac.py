@@ -137,7 +137,26 @@ def _decode_b_sub_type(dec, cx):
 
 def parse_inter_slice_cabac(ctx, payload: bytes, qp: int, is_b: bool,
                             init_idc: int, intra_queue: list) -> None:
-    """Parse one CABAC P or B slice payload into the decoder ctx."""
+    """Parse one CABAC P or B slice payload into the decoder ctx.
+
+    Tries the native C++ parser first (bit-identical twin,
+    native/h264parse.cpp — the decode-throughput hot path); falls back
+    to the pure-Python parse below for unsupported constructs or when
+    the native library is unavailable (VCP_NATIVE_PARSE=0 forces it)."""
+    from . import native_parse as NP
+    sp_, pp_ = ctx["sp"], ctx["pp"]
+    col = ctx.get("col")
+    res = NP.parse_slice_native(
+        payload, qp, 1 if is_b else 0, init_idc,
+        sp_.mb_height, sp_.mb_width, pp_.transform_8x8,
+        ctx.get("n_ref0", 1), ctx.get("n_ref1", 1),
+        col.col_ref0 if (is_b and col is not None
+                         and col.col_ref0 is not None) else None,
+        col.col_mv8 if (is_b and col is not None
+                        and col.col_ref0 is not None) else None)
+    if res is not None:
+        NP.fill_inter_ctx(ctx, res, is_b, intra_queue)
+        return
     from . import bframe as BF
     from . import mvpred
     from . import pframe as PF

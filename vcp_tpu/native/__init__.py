@@ -48,6 +48,18 @@ def _configure(lib) -> None:
     lib.vcp_tile_delta.restype = i32
     lib.vcp_tile_delta.argtypes = [
         u8p, u8p, u8p, i32, i32, u8p, i32p, u8p, i32]
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.vcp_parse_slice_cabac.restype = i64
+    lib.vcp_parse_slice_cabac.argtypes = [
+        u8p, i64,                       # payload
+        i32, i32, i32, i32, i32,        # kind, qp, init_idc, n_mby, n_mbx
+        i32, i32, i32,                  # pps_t8, n_ref0, n_ref1
+        u8p, i32p,                      # col_ref0, col_mv8 (nullable)
+        i32p, i8p, i32p, i8p,           # mv8/ref8 l0, l1
+        u8p, u8p, u8p, i32p, u8p,       # dec8, intra, mv_valid, qp_mb, t8
+        i32p, i32p, i32p,               # z_luma, cdc, cac
+        i8p, i8p, i8p,                  # cbf grids
+        i32p, i32p, i8p, i32p]          # intra queue
 
 
 def get_lib():

@@ -91,10 +91,13 @@ def generate_tables_header() -> str:
 
     ctab("CTX_INIT_I", CTX_INIT_I)
     ctab("CTX_INIT_P0", CTX_INIT_PB[0])
+    ctab("CTX_INIT_P1", CTX_INIT_PB[1])
+    ctab("CTX_INIT_P2", CTX_INIT_PB[2])
     return "\n".join(lines) + "\n"
 
 
-SOURCES = ("entropy.cpp", "cabac.cpp", "deblock.cpp", "tiles.cpp")
+SOURCES = ("entropy.cpp", "cabac.cpp", "deblock.cpp", "tiles.cpp",
+           "h264parse.cpp")
 
 
 def build(force: bool = False) -> str | None:
