@@ -31,11 +31,14 @@ def _clip(name, n=10):
 
 
 def _decode_both(monkeypatch, es):
-    """Decode es twice: native forced off, then on (counting uses)."""
+    """Decode es twice: native (parse + recon) forced off, then on
+    (counting parser uses)."""
     monkeypatch.setenv("VCP_NATIVE_PARSE", "0")
+    monkeypatch.setenv("VCP_NATIVE_RECON", "0")
     frames_py = H264Decoder().decode_annexb(es)
 
     monkeypatch.setenv("VCP_NATIVE_PARSE", "1")
+    monkeypatch.setenv("VCP_NATIVE_RECON", "1")
     calls = {"hit": 0, "miss": 0}
     orig = native_parse.parse_slice_native
 

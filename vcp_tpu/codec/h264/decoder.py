@@ -422,8 +422,11 @@ class H264Decoder:
                             for _ in range(sp.mb_height)]
 
         n_mbs = sp.mb_width * sp.mb_height
+        nat_res = None              # native parse result (native recon)
+        intra_done = False          # intra recon already done natively
         if pp.cabac:
             from . import cabac_syntax as CS
+            from . import native_recon as NR
             br.byte_align()                 # cabac_alignment_one_bit(s)
             payload = rbsp[br.pos // 8:]
             if is_i:
@@ -439,8 +442,12 @@ class H264Decoder:
                     qp_mb[:, :] = res["qp_mb"]
                     if res["p_t8"].any():
                         ctx["p_t8"] = res["p_t8"].astype(bool)
-                    for mbx, mby, parsed in res["iq"]:
-                        i_rows[mby][mbx] = parsed
+                    intra_done = NR.recon_intra_native(
+                        y, u, v, sp.mb_width, res,
+                        pp.chroma_qp_index_offset)
+                    if not intra_done:
+                        for mbx, mby, parsed in res["iq"]:
+                            i_rows[mby][mbx] = parsed
                 else:
                     rows, st = CS.parse_islice_cabac(
                         payload, qp, sp.mb_height, sp.mb_width,
@@ -457,7 +464,7 @@ class H264Decoder:
                 intra_mb[:, :] = True
             else:
                 from . import inter_cabac
-                inter_cabac.parse_inter_slice_cabac(
+                nat_res = inter_cabac.parse_inter_slice_cabac(
                     ctx, payload, qp, is_b, cabac_init_idc, intra_queue)
         else:
             if is_b:
@@ -470,9 +477,15 @@ class H264Decoder:
         if is_p or is_b:
             from . import inter_recon
             inter_recon.recon_inter_frame(ctx)
-            for mbx, mby, parsed in intra_queue:
-                self._recon_intra_mb(ctx, mbx, mby, parsed)
-        else:
+            if nat_res is not None:
+                from . import native_recon as NR
+                intra_done = NR.recon_intra_native(
+                    y, u, v, sp.mb_width, nat_res,
+                    pp.chroma_qp_index_offset)
+            if not intra_done:
+                for mbx, mby, parsed in intra_queue:
+                    self._recon_intra_mb(ctx, mbx, mby, parsed)
+        elif not intra_done:
             # recon after parse, row by row: a pure-Vertical row (our
             # encoder's rows 1..) depends only on the final row above and
             # reconstructs as one batch; anything else (the DC row 0's

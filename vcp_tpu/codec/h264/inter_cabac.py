@@ -142,7 +142,9 @@ def parse_inter_slice_cabac(ctx, payload: bytes, qp: int, is_b: bool,
     Tries the native C++ parser first (bit-identical twin,
     native/h264parse.cpp — the decode-throughput hot path); falls back
     to the pure-Python parse below for unsupported constructs or when
-    the native library is unavailable (VCP_NATIVE_PARSE=0 forces it)."""
+    the native library is unavailable (VCP_NATIVE_PARSE=0 forces it).
+    Returns the native parse result dict (for the native intra recon)
+    or None when the Python parser ran."""
     from . import native_parse as NP
     sp_, pp_ = ctx["sp"], ctx["pp"]
     col = ctx.get("col")
@@ -156,7 +158,7 @@ def parse_inter_slice_cabac(ctx, payload: bytes, qp: int, is_b: bool,
                         and col.col_ref0 is not None) else None)
     if res is not None:
         NP.fill_inter_ctx(ctx, res, is_b, intra_queue)
-        return
+        return res
     from . import bframe as BF
     from . import mvpred
     from . import pframe as PF

@@ -155,7 +155,14 @@ def _combine(pred0, pred1, use0, use1, rep, *, wt0=None, wt1=None,
 
 
 def recon_inter_frame(ctx) -> None:
-    """Reconstruct every inter MB of the current picture in place."""
+    """Reconstruct every inter MB of the current picture in place.
+
+    The native engine (native/h264recon.cpp, bit-identical) runs when
+    available; the numpy implementation below is the reference and the
+    fallback (VCP_NATIVE_RECON=0 forces it)."""
+    from . import native_recon as NR
+    if NR.recon_inter_native(ctx):
+        return
     y, u, v = ctx["y"], ctx["u"], ctx["v"]
     pp = ctx["pp"]
     h, w = y.shape

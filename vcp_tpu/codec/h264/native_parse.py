@@ -102,6 +102,9 @@ def parse_slice_native(payload: bytes, qp: int, kind: int, init_idc: int,
     if rc < 0:
         return None
 
+    # raw queue arrays: the native intra recon (native_recon.py)
+    # consumes these directly, skipping the per-MB dict plumbing
+    out["_iq_raw"] = (int(rc), iq_mb, iq_info, iq_modes, iq_dc)
     iq = []
     for s in range(int(rc)):
         mi = int(iq_mb[s])

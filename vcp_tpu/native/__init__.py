@@ -60,6 +60,23 @@ def _configure(lib) -> None:
         i32p, i32p, i32p,               # z_luma, cdc, cac
         i8p, i8p, i8p,                  # cbf grids
         i32p, i32p, i8p, i32p]          # intra queue
+    pp = ctypes.POINTER(i32p)
+    lib.vcp_recon_inter_frame.restype = i64
+    lib.vcp_recon_inter_frame.argtypes = [
+        pp, pp, pp, i32,                # list0 planes + count
+        pp, pp, pp, i32,                # list1 planes + count (0 for P)
+        i32, i32,                       # H, W
+        i32p, i8p, i32p, i8p,           # mv8/ref8 l0, l1 (l1 nullable)
+        u8p, i32, i32,                  # inter_mb, n_mby, n_mbx
+        i32p, i32p, i32p,               # z_luma, cdc, cac
+        u8p, i32p, i32,                 # t8, qp_mb, chroma_qp_off
+        i32p, i32p, i32p, i32p,         # wt0, wt1, impl_w0, impl_w1
+        i32p, i32p, i32p]               # y, u, v
+    lib.vcp_recon_intra_mbs.restype = i64
+    lib.vcp_recon_intra_mbs.argtypes = [
+        i32p, i32p, i32p, i32, i32, i32,   # y, u, v, H, W, n_mbx
+        i64, i32p, i32p, i8p, i32p,     # count + iq arrays
+        i32p, i32p, i32p, i32]          # z_luma, cdc, cac, chroma_off
 
 
 def get_lib():

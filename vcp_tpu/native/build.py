@@ -93,11 +93,36 @@ def generate_tables_header() -> str:
     ctab("CTX_INIT_P0", CTX_INIT_PB[0])
     ctab("CTX_INIT_P1", CTX_INIT_PB[1])
     ctab("CTX_INIT_P2", CTX_INIT_PB[2])
+
+    # ---- recon tables (h264recon.cpp): dequant scales, scans, chroma
+    # QP map, quarter-pel plane table, intra gather tables — generated
+    # from the Python ops so both sides share one source of truth.
+    import numpy as np
+
+    from ..ops import transform as tf
+    from ..ops import transform8 as t8
+    from ..ops.motion import _QPEL_TABLE
+
+    def flat(name, arr, ctype="int32_t"):
+        a = np.asarray(arr).reshape(-1)
+        lines.append(f"static const {ctype} {name}[{a.size}] = {{"
+                     + ",".join(str(int(v)) for v in a) + "};")
+
+    flat("VCP_V4", tf.V_TABLE)              # (6,4,4)
+    flat("VCP_V8", t8.V8_TABLE)             # (6,8,8)
+    flat("VCP_ZZ4", T.ZIGZAG_4x4)           # 16
+    flat("VCP_ZZ8", t8.ZIGZAG_8x8)          # 64
+    flat("VCP_CHROMA_QP", tf.CHROMA_QP_FULL)   # 52
+    flat("VCP_QPEL", _QPEL_TABLE)           # (16,6)
+    from ..codec.h264 import decoder as _dec
+    for ns, tabs in ((4, _dec._I4_TABS), (8, _dec._I8_TABS)):
+        packed = np.stack([np.stack(tabs[m]) for m in range(3, 9)])
+        flat(f"VCP_I{ns}_TABS", packed, "uint8_t")  # (6 modes,3,ns,ns)
     return "\n".join(lines) + "\n"
 
 
 SOURCES = ("entropy.cpp", "cabac.cpp", "deblock.cpp", "tiles.cpp",
-           "h264parse.cpp")
+           "h264parse.cpp", "h264recon.cpp")
 
 
 def build(force: bool = False) -> str | None:
