@@ -387,7 +387,7 @@ class H264Decoder:
                 if len(lst0) < num_ref0:
                     raise DecodeError("list0 shorter than active count")
                 ctx["list0_pics"] = lst0
-                ctx["list0"] = [tuple(p.astype(np.int32) for p in r.planes)
+                ctx["list0"] = [r.planes_i32()
                                 for r in lst0]
         if is_b:
             ctx["mv8_l1"] = np.zeros((nby2, nbx2, 2), np.int32)
@@ -404,9 +404,9 @@ class H264Decoder:
                 raise DecodeError("B picture without both anchor "
                                   "references")
             ctx["list0_pics"], ctx["list1_pics"] = lst0, lst1
-            ctx["list0"] = [tuple(p.astype(np.int32) for p in r.planes)
+            ctx["list0"] = [r.planes_i32()
                             for r in lst0]
-            ctx["list1"] = [tuple(p.astype(np.int32) for p in r.planes)
+            ctx["list1"] = [r.planes_i32()
                             for r in lst1]
             ctx["col"] = lst1[0]
             if pp.weighted_bipred == 2:
@@ -446,7 +446,7 @@ class H264Decoder:
                         y, u, v, sp.mb_width, res,
                         pp.chroma_qp_index_offset)
                     if not intra_done:
-                        for mbx, mby, parsed in res["iq"]:
+                        for mbx, mby, parsed in NP.build_iq(res):
                             i_rows[mby][mbx] = parsed
                 else:
                     rows, st = CS.parse_islice_cabac(
@@ -482,6 +482,9 @@ class H264Decoder:
                 intra_done = NR.recon_intra_native(
                     y, u, v, sp.mb_width, nat_res,
                     pp.chroma_qp_index_offset)
+                if not intra_done:
+                    from . import native_parse as NP
+                    intra_queue.extend(NP.build_iq(nat_res))
             if not intra_done:
                 for mbx, mby, parsed in intra_queue:
                     self._recon_intra_mb(ctx, mbx, mby, parsed)

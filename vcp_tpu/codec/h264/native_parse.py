@@ -103,33 +103,44 @@ def parse_slice_native(payload: bytes, qp: int, kind: int, init_idc: int,
         return None
 
     # raw queue arrays: the native intra recon (native_recon.py)
-    # consumes these directly, skipping the per-MB dict plumbing
+    # consumes these directly; the per-MB dicts for the Python recon
+    # fallback are built lazily via build_iq.
     out["_iq_raw"] = (int(rc), iq_mb, iq_info, iq_modes, iq_dc)
+    out["_n_mbx"] = n_mbx
+    return out
+
+
+def build_iq(res) -> list:
+    """Per-MB parsed dicts (decoder._recon_intra_mb format) from a
+    native parse result — only needed on the Python recon fallback."""
+    count, iq_mb, iq_info, iq_modes, iq_dc = res["_iq_raw"]
+    n_mbx = res["_n_mbx"]
     iq = []
-    for s in range(int(rc)):
+    for s in range(count):
         mi = int(iq_mb[s])
         mby, mbx = mi // n_mbx, mi % n_mbx
         k, pred_mode, chroma_mode, mb_qp = (int(v) for v in iq_info[s])
         if k == 0:
             parsed = dict(pred_mode=pred_mode, chroma_mode=chroma_mode,
-                          dc_zz=iq_dc[s], ac=out["z_luma"][mby, mbx],
-                          cdc=out["cdc"][mby, mbx],
-                          cac=out["cac"][mby, mbx], qp=mb_qp)
+                          dc_zz=iq_dc[s], ac=res["z_luma"][mby, mbx],
+                          cdc=res["cdc"][mby, mbx],
+                          cac=res["cac"][mby, mbx], qp=mb_qp)
         else:
             parsed = dict(kind="i4" if k == 1 else "i8",
                           modes=iq_modes[s],
-                          luma=out["z_luma"][mby, mbx],
+                          luma=res["z_luma"][mby, mbx],
                           chroma_mode=chroma_mode,
-                          cdc=out["cdc"][mby, mbx],
-                          cac=out["cac"][mby, mbx], qp=mb_qp)
+                          cdc=res["cdc"][mby, mbx],
+                          cac=res["cac"][mby, mbx], qp=mb_qp)
         iq.append((mbx, mby, parsed))
-    out["iq"] = iq
-    return out
+    return iq
 
 
 def fill_inter_ctx(ctx, res, is_b: bool, intra_queue: list) -> None:
     """Copy a native parse result into the decoder's slice ctx (same
-    final state as inter_cabac.parse_inter_slice_cabac)."""
+    final state as inter_cabac.parse_inter_slice_cabac, except the
+    intra queue stays raw — the decoder recons it natively or builds
+    the dicts via build_iq on fallback)."""
     ctx["mv8_l0"][:] = res["mv8_l0"]
     ctx["ref8_l0"][:] = res["ref8_l0"]
     if is_b:
@@ -146,4 +157,3 @@ def fill_inter_ctx(ctx, res, is_b: bool, intra_queue: list) -> None:
     ctx["nz_y"].nz[:, :] = res["cbf_l4"]
     ctx["nz_cb"].nz[:, :] = res["cbf_cb"]
     ctx["nz_cr"].nz[:, :] = res["cbf_cr"]
-    intra_queue.extend(res["iq"])

@@ -32,6 +32,15 @@ class RefPic:
     col_mv8: np.ndarray | None = None  # (2nMBy, 2nMBx, 2) quarter-pel
     col_ref0: np.ndarray | None = None  # (2nMBy, 2nMBx) bool
     long_term: bool = False            # never set by this decoder
+    _planes_i32: tuple | None = None   # memoized int32 planes (MC path)
+
+    def planes_i32(self) -> tuple:
+        """int32 copies of the planes, converted once per picture (the
+        recon MC paths read every reference each slice)."""
+        if self._planes_i32 is None:
+            self._planes_i32 = tuple(
+                np.ascontiguousarray(p, np.int32) for p in self.planes)
+        return self._planes_i32
 
 
 def frame_num_wrap(fn: int, cur_fn: int, max_fn: int) -> int:

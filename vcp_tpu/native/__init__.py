@@ -72,6 +72,12 @@ def _configure(lib) -> None:
         u8p, i32p, i32,                 # t8, qp_mb, chroma_qp_off
         i32p, i32p, i32p, i32p,         # wt0, wt1, impl_w0, impl_w1
         i32p, i32p, i32p]               # y, u, v
+    lib.vcp_deblock_frame_direct.restype = None
+    lib.vcp_deblock_frame_direct.argtypes = [
+        i32p, i32p, i32p, i32, i32,     # y, u, v, H, W
+        u8p, u8p, i32p, u8p,            # intra, nz, qp_mb, t8
+        i32, i32p, i32p, i32p, i32p,    # mv_mode, mv0, id0, mv1, id1
+        i32, i32, i32p]                 # gh, gw, chroma qp table
     lib.vcp_recon_intra_mbs.restype = i64
     lib.vcp_recon_intra_mbs.argtypes = [
         i32p, i32p, i32p, i32, i32, i32,   # y, u, v, H, W, n_mbx

@@ -118,6 +118,11 @@ def generate_tables_header() -> str:
     for ns, tabs in ((4, _dec._I4_TABS), (8, _dec._I8_TABS)):
         packed = np.stack([np.stack(tabs[m]) for m in range(3, 9)])
         flat(f"VCP_I{ns}_TABS", packed, "uint8_t")  # (6 modes,3,ns,ns)
+
+    from ..ops import deblock as dbf
+    flat("VCP_DB_ALPHA", dbf.ALPHA)         # 52
+    flat("VCP_DB_BETA", dbf.BETA)           # 52
+    flat("VCP_DB_TC0", dbf.TC0)             # (3, 52)
     return "\n".join(lines) + "\n"
 
 

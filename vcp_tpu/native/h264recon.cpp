@@ -180,14 +180,19 @@ struct Plane {
     }
 };
 
-// Quarter-pel 8x8 luma block. out row-major 8x8.
-void mc_luma8(const Plane& ref, int y0, int x0, int mvy, int mvx,
-              int32_t out[64]) {
-    int iy = mvy >> 2, ix = mvx >> 2, fy = mvy & 3, fx = mvx & 3;
-    int Y0 = y0 + iy, X0 = x0 + ix;
+// Quarter-pel 8x8 luma block. out row-major 8x8. FAST selects the
+// interior path (raw row pointers, no per-fetch clamping) — valid when
+// the whole filter window [Y0-2, Y0+12) x [X0-2, X0+12) is in bounds.
+template <bool FAST>
+void mc_luma8_t(const Plane& ref, int Y0, int X0, int fy, int fx,
+                int32_t out[64]) {
+    auto at = [&](int yy, int xx) -> int32_t {
+        if (FAST) return ref.p[(size_t)yy * ref.w + xx];
+        return ref.at(yy, xx);
+    };
     if (fy == 0 && fx == 0) {
         for (int r = 0; r < 8; r++)
-            for (int c = 0; c < 8; c++) out[8 * r + c] = ref.at(Y0 + r, X0 + c);
+            for (int c = 0; c < 8; c++) out[8 * r + c] = at(Y0 + r, X0 + c);
         return;
     }
     const int32_t* q = VCP_QPEL + 6 * (fy * 4 + fx);
@@ -205,15 +210,15 @@ void mc_luma8(const Plane& ref, int y0, int x0, int mvy, int mvx,
             for (int dx = 0; dx < 9; dx++) {
                 int yy = Y0 + dy, xx = X0 + dx;
                 braw[dy + 2][dx] =
-                    ref.at(yy, xx - 2) - 5 * ref.at(yy, xx - 1)
-                    + 20 * ref.at(yy, xx) + 20 * ref.at(yy, xx + 1)
-                    - 5 * ref.at(yy, xx + 2) + ref.at(yy, xx + 3);
+                    at(yy, xx - 2) - 5 * at(yy, xx - 1)
+                    + 20 * at(yy, xx) + 20 * at(yy, xx + 1)
+                    - 5 * at(yy, xx + 2) + at(yy, xx + 3);
             }
     }
     int32_t pg[9][9], pb[9][9], ph[9][9], pj[9][9];
     if (p1i == 0 || p2i == 0)
         for (int dy = 0; dy < 9; dy++)
-            for (int dx = 0; dx < 9; dx++) pg[dy][dx] = ref.at(Y0 + dy, X0 + dx);
+            for (int dx = 0; dx < 9; dx++) pg[dy][dx] = at(Y0 + dy, X0 + dx);
     if (nb)
         for (int dy = 0; dy < 9; dy++)
             for (int dx = 0; dx < 9; dx++)
@@ -222,9 +227,9 @@ void mc_luma8(const Plane& ref, int y0, int x0, int mvy, int mvx,
         for (int dy = 0; dy < 9; dy++)
             for (int dx = 0; dx < 9; dx++) {
                 int yy = Y0 + dy, xx = X0 + dx;
-                int32_t hr = ref.at(yy - 2, xx) - 5 * ref.at(yy - 1, xx)
-                    + 20 * ref.at(yy, xx) + 20 * ref.at(yy + 1, xx)
-                    - 5 * ref.at(yy + 2, xx) + ref.at(yy + 3, xx);
+                int32_t hr = at(yy - 2, xx) - 5 * at(yy - 1, xx)
+                    + 20 * at(yy, xx) + 20 * at(yy + 1, xx)
+                    - 5 * at(yy + 2, xx) + at(yy + 3, xx);
                 ph[dy][dx] = clip255((hr + 16) >> 5);
             }
     if (nj)
@@ -247,6 +252,16 @@ void mc_luma8(const Plane& ref, int y0, int x0, int mvy, int mvx,
         for (int c = 0; c < 8; c++)
             out[8 * r + c] = (pick(p1i, r + o1y, c + o1x)
                               + pick(p2i, r + o2y, c + o2x) + 1) >> 1;
+}
+
+void mc_luma8(const Plane& ref, int y0, int x0, int mvy, int mvx,
+              int32_t out[64]) {
+    int iy = mvy >> 2, ix = mvx >> 2, fy = mvy & 3, fx = mvx & 3;
+    int Y0 = y0 + iy, X0 = x0 + ix;
+    if (Y0 - 2 >= 0 && Y0 + 12 <= ref.h && X0 - 2 >= 0 && X0 + 12 <= ref.w)
+        mc_luma8_t<true>(ref, Y0, X0, fy, fx, out);
+    else
+        mc_luma8_t<false>(ref, Y0, X0, fy, fx, out);
 }
 
 // 1/8-pel bilinear 4x4 chroma block at chroma coords (cy0, cx0).

@@ -597,10 +597,74 @@ def _wavefront_chroma_np(u, v, vthr, hthr, n_mby, n_mbx):
     return (_unskew_np(ys[:hc], 8, 16, wc), _unskew_np(ys[hc:], 8, 16, wc))
 
 
+def _deblock_host_native(y, u, v, qp_mb, intra_mb, nz_y, mvq,
+                         chroma_qp_table, t8):
+    """C++ direct-threshold filter (native/deblock.cpp): bS/alpha/beta/
+    tc0 computed inline per edge segment, no grids materialized.
+    Returns the filtered (y, u, v) or None when native is absent."""
+    from .. import native
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "vcp_deblock_frame_direct"):
+        return None
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    null = ctypes.cast(None, i32p)
+
+    h, w = y.shape
+    yi = np.ascontiguousarray(y, np.int32)
+    ui = np.ascontiguousarray(u, np.int32)
+    vi = np.ascontiguousarray(v, np.int32)
+    qp = np.ascontiguousarray(qp_mb, np.int32)
+    intra = np.ascontiguousarray(intra_mb, bool).view(np.uint8)
+    nz = np.ascontiguousarray(nz_y, bool).view(np.uint8)
+    t8u = np.ascontiguousarray(t8, bool).view(np.uint8) \
+        if t8 is not None else None
+    cq = np.ascontiguousarray(chroma_qp_table, np.int32)
+
+    if isinstance(mvq, dict):
+        mv_mode = 2
+        mv0 = np.ascontiguousarray(mvq["mv0"], np.int32)
+        id0 = np.ascontiguousarray(mvq["id0"], np.int32)
+        mv1 = np.ascontiguousarray(mvq["mv1"], np.int32) \
+            if "mv1" in mvq else None
+        id1 = np.ascontiguousarray(mvq["id1"], np.int32) \
+            if "mv1" in mvq else None
+        gh = gw = 0
+    else:
+        mv_mode = 1
+        mv0 = np.ascontiguousarray(mvq, np.int32)
+        id0 = mv1 = id1 = None
+        gh, gw = mv0.shape[:2]
+
+    def p(a):
+        return a.ctypes.data_as(i32p) if a is not None else null
+    lib.vcp_deblock_frame_direct(
+        p(yi), p(ui), p(vi), h, w,
+        intra.ctypes.data_as(u8p), nz.ctypes.data_as(u8p), p(qp),
+        t8u.ctypes.data_as(u8p) if t8u is not None
+        else ctypes.cast(None, u8p),
+        mv_mode, p(mv0), p(id0), p(mv1), p(id1), gh, gw, p(cq))
+    return yi, ui, vi
+
+
 def deblock_frame_host(y, u, v, qp_mb, intra_mb, nz_y, mvq,
                        chroma_qp_table, t8=None):
-    """Pure-NumPy deblock for the host validation decoder — same spec
-    order as deblock_frame, zero XLA involvement."""
+    """Host deblock for the validation decoder — same spec order as
+    deblock_frame, zero XLA involvement. Native C++ direct-threshold
+    filter when available; pure-NumPy prep + filter otherwise. The
+    tuple-form mvq (encoder two-list) always uses the numpy prep."""
+    if not isinstance(mvq, tuple):
+        out = _deblock_host_native(np.asarray(y), np.asarray(u),
+                                   np.asarray(v), np.asarray(qp_mb),
+                                   np.asarray(intra_mb), np.asarray(nz_y),
+                                   mvq if isinstance(mvq, dict)
+                                   else np.asarray(mvq),
+                                   np.asarray(chroma_qp_table),
+                                   np.asarray(t8) if t8 is not None
+                                   else None)
+        if out is not None:
+            return out
     y = np.asarray(y, np.int64)
     u = np.asarray(u, np.int64)
     v = np.asarray(v, np.int64)
