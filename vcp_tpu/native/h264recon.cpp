@@ -180,19 +180,22 @@ struct Plane {
     }
 };
 
-// Quarter-pel 8x8 luma block. out row-major 8x8. FAST selects the
-// interior path (raw row pointers, no per-fetch clamping) — valid when
-// the whole filter window [Y0-2, Y0+12) x [X0-2, X0+12) is in bounds.
-template <bool FAST>
-void mc_luma8_t(const Plane& ref, int Y0, int X0, int fy, int fx,
-                int32_t out[64]) {
+// Quarter-pel NSxNS luma block (8 = one quadrant, 16 = a whole MB
+// when all four quadrants share mv/ref). out row-major NSxNS. FAST
+// selects the interior path (raw indexing, no per-fetch clamping) —
+// valid when the whole filter window [Y0-2, Y0+NS+4) x [X0-2,
+// X0+NS+4) is in bounds.
+template <int NS, bool FAST>
+void mc_luma_t(const Plane& ref, int Y0, int X0, int fy, int fx,
+               int32_t* out) {
     auto at = [&](int yy, int xx) -> int32_t {
         if (FAST) return ref.p[(size_t)yy * ref.w + xx];
         return ref.at(yy, xx);
     };
     if (fy == 0 && fx == 0) {
-        for (int r = 0; r < 8; r++)
-            for (int c = 0; c < 8; c++) out[8 * r + c] = at(Y0 + r, X0 + c);
+        for (int r = 0; r < NS; r++)
+            for (int c = 0; c < NS; c++)
+                out[NS * r + c] = at(Y0 + r, X0 + c);
         return;
     }
     const int32_t* q = VCP_QPEL + 6 * (fy * 4 + fx);
@@ -202,12 +205,12 @@ void mc_luma8_t(const Plane& ref, int Y0, int X0, int fy, int fx,
     bool nh = p1i == 2 || p2i == 2;
     bool nj = p1i == 3 || p2i == 3;
 
-    // braw[dy+2][dx] for dy in -2..11, dx in 0..8 (only rows needed)
-    int32_t braw[14][9];
+    // braw[dy+2][dx] for dy in -2..NS+3, dx in 0..NS (only rows needed)
+    int32_t braw[NS + 6][NS + 1];
     if (nb || nj) {
-        int rlo = nj ? -2 : 0, rhi = nj ? 12 : 9;   // rows [rlo, rhi)
+        int rlo = nj ? -2 : 0, rhi = nj ? NS + 4 : NS + 1;
         for (int dy = rlo; dy < rhi; dy++)
-            for (int dx = 0; dx < 9; dx++) {
+            for (int dx = 0; dx < NS + 1; dx++) {
                 int yy = Y0 + dy, xx = X0 + dx;
                 braw[dy + 2][dx] =
                     at(yy, xx - 2) - 5 * at(yy, xx - 1)
@@ -215,17 +218,19 @@ void mc_luma8_t(const Plane& ref, int Y0, int X0, int fy, int fx,
                     - 5 * at(yy, xx + 2) + at(yy, xx + 3);
             }
     }
-    int32_t pg[9][9], pb[9][9], ph[9][9], pj[9][9];
+    int32_t pg[NS + 1][NS + 1], pb[NS + 1][NS + 1];
+    int32_t ph[NS + 1][NS + 1], pj[NS + 1][NS + 1];
     if (p1i == 0 || p2i == 0)
-        for (int dy = 0; dy < 9; dy++)
-            for (int dx = 0; dx < 9; dx++) pg[dy][dx] = at(Y0 + dy, X0 + dx);
+        for (int dy = 0; dy < NS + 1; dy++)
+            for (int dx = 0; dx < NS + 1; dx++)
+                pg[dy][dx] = at(Y0 + dy, X0 + dx);
     if (nb)
-        for (int dy = 0; dy < 9; dy++)
-            for (int dx = 0; dx < 9; dx++)
+        for (int dy = 0; dy < NS + 1; dy++)
+            for (int dx = 0; dx < NS + 1; dx++)
                 pb[dy][dx] = clip255((braw[dy + 2][dx] + 16) >> 5);
     if (nh)
-        for (int dy = 0; dy < 9; dy++)
-            for (int dx = 0; dx < 9; dx++) {
+        for (int dy = 0; dy < NS + 1; dy++)
+            for (int dx = 0; dx < NS + 1; dx++) {
                 int yy = Y0 + dy, xx = X0 + dx;
                 int32_t hr = at(yy - 2, xx) - 5 * at(yy - 1, xx)
                     + 20 * at(yy, xx) + 20 * at(yy + 1, xx)
@@ -233,8 +238,8 @@ void mc_luma8_t(const Plane& ref, int Y0, int X0, int fy, int fx,
                 ph[dy][dx] = clip255((hr + 16) >> 5);
             }
     if (nj)
-        for (int dy = 0; dy < 9; dy++)
-            for (int dx = 0; dx < 9; dx++) {
+        for (int dy = 0; dy < NS + 1; dy++)
+            for (int dx = 0; dx < NS + 1; dx++) {
                 int32_t jr = braw[dy][dx] - 5 * braw[dy + 1][dx]
                     + 20 * braw[dy + 2][dx] + 20 * braw[dy + 3][dx]
                     - 5 * braw[dy + 4][dx] + braw[dy + 5][dx];
@@ -248,32 +253,35 @@ void mc_luma8_t(const Plane& ref, int Y0, int X0, int fy, int fx,
             default: return pj[dy][dx];
         }
     };
-    for (int r = 0; r < 8; r++)
-        for (int c = 0; c < 8; c++)
-            out[8 * r + c] = (pick(p1i, r + o1y, c + o1x)
-                              + pick(p2i, r + o2y, c + o2x) + 1) >> 1;
+    for (int r = 0; r < NS; r++)
+        for (int c = 0; c < NS; c++)
+            out[NS * r + c] = (pick(p1i, r + o1y, c + o1x)
+                               + pick(p2i, r + o2y, c + o2x) + 1) >> 1;
 }
 
-void mc_luma8(const Plane& ref, int y0, int x0, int mvy, int mvx,
-              int32_t out[64]) {
+template <int NS>
+void mc_luma(const Plane& ref, int y0, int x0, int mvy, int mvx,
+             int32_t* out) {
     int iy = mvy >> 2, ix = mvx >> 2, fy = mvy & 3, fx = mvx & 3;
     int Y0 = y0 + iy, X0 = x0 + ix;
-    if (Y0 - 2 >= 0 && Y0 + 12 <= ref.h && X0 - 2 >= 0 && X0 + 12 <= ref.w)
-        mc_luma8_t<true>(ref, Y0, X0, fy, fx, out);
+    if (Y0 - 2 >= 0 && Y0 + NS + 4 <= ref.h && X0 - 2 >= 0
+        && X0 + NS + 4 <= ref.w)
+        mc_luma_t<NS, true>(ref, Y0, X0, fy, fx, out);
     else
-        mc_luma8_t<false>(ref, Y0, X0, fy, fx, out);
+        mc_luma_t<NS, false>(ref, Y0, X0, fy, fx, out);
 }
 
-// 1/8-pel bilinear 4x4 chroma block at chroma coords (cy0, cx0).
-void mc_chroma4(const Plane& ref, int cy0, int cx0, int mvy, int mvx,
-                int32_t out[16]) {
+// 1/8-pel bilinear NSxNS chroma block at chroma coords (cy0, cx0).
+template <int NS>
+void mc_chroma(const Plane& ref, int cy0, int cx0, int mvy, int mvx,
+               int32_t* out) {
     int iy = mvy >> 3, ix = mvx >> 3, fy = mvy & 7, fx = mvx & 7;
-    for (int r = 0; r < 4; r++)
-        for (int c = 0; c < 4; c++) {
+    for (int r = 0; r < NS; r++)
+        for (int c = 0; c < NS; c++) {
             int br_ = cy0 + r + iy, bc_ = cx0 + c + ix;
             int32_t a = ref.at(br_, bc_), b = ref.at(br_, bc_ + 1);
             int32_t cc = ref.at(br_ + 1, bc_), d = ref.at(br_ + 1, bc_ + 1);
-            out[4 * r + c] =
+            out[NS * r + c] =
                 ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
                  + (8 - fx) * fy * cc + fx * fy * d + 32) >> 6;
         }
@@ -411,42 +419,30 @@ int64_t vcp_recon_inter_frame(
                 }
             }
 
-            // ---- luma pred per 8x8 quadrant + write
-            for (int q = 0; q < 4; q++) {
-                int by = 2 * mby + q / 2, bx = 2 * mbx + q % 2;
-                size_t bi = (size_t)by * nbx2 + bx;
-                int r0 = ref8_0[bi];
-                int r1 = is_b ? ref8_1[bi] : -1;
-                int32_t p0[64], p1[64], pr[64];
-                if (r0 >= 0) {
-                    Plane rp{l0y[r0], H, W};
-                    mc_luma8(rp, 8 * by, 8 * bx,
-                             mv8_0[2 * bi + 1], mv8_0[2 * bi], p0);
-                }
-                if (r1 >= 0) {
-                    Plane rp{l1y[r1], H, W};
-                    mc_luma8(rp, 8 * by, 8 * bx,
-                             mv8_1[2 * bi + 1], mv8_1[2 * bi], p1);
-                }
-                combine<8>(p0, p1, r0, r1, wt0, wt1, iw0, iw1, n1, -1, pr);
-                int fy0 = 8 * by, fx0 = 8 * bx;
-                int ry0 = 8 * (q / 2), rx0 = 8 * (q % 2);
-                for (int r = 0; r < 8; r++)
-                    for (int c = 0; c < 8; c++)
-                        y[(size_t)(fy0 + r) * W + fx0 + c] = clip255(
-                            pr[8 * r + c] + res[16 * (ry0 + r) + rx0 + c]);
+            // ---- prediction + write. Fast path: when all four 8x8
+            // quadrants share mv/ref on every used list (skip /
+            // direct / 16x16 MBs — the common case), run one 16x16
+            // luma MC + 8x8 chroma MC per list instead of four.
+            size_t bi0 = (size_t)(2 * mby) * nbx2 + 2 * mbx;
+            const size_t bis[4] = {bi0, bi0 + 1, bi0 + nbx2,
+                                   bi0 + nbx2 + 1};
+            bool uni = true;
+            for (int q = 1; q < 4 && uni; q++) {
+                uni = ref8_0[bis[q]] == ref8_0[bis[0]]
+                    && mv8_0[2 * bis[q]] == mv8_0[2 * bis[0]]
+                    && mv8_0[2 * bis[q] + 1] == mv8_0[2 * bis[0] + 1];
+                if (is_b)
+                    uni = uni && ref8_1[bis[q]] == ref8_1[bis[0]]
+                        && mv8_1[2 * bis[q]] == mv8_1[2 * bis[0]]
+                        && mv8_1[2 * bis[q] + 1] == mv8_1[2 * bis[0] + 1];
             }
-
-            // ---- chroma
             int qpc = VCP_CHROMA_QP[clampi(qp + chroma_qp_off, 0, 51)];
+
+            // ---- chroma residual for the whole MB (both components)
+            int32_t resc2[2][64];
             for (int ci = 0; ci < 2; ci++) {
-                int32_t* plane = ci ? v : u;
-                const int32_t* const* refs0 = ci ? l0v : l0u;
-                const int32_t* const* refs1 = ci ? l1v : l1u;
-                // residual 8x8 (whole MB at chroma res)
                 int32_t dcq[4];
                 dequant_dc2(cdc_a + 8 * mi + 4 * ci, qpc, dcq);
-                int32_t resc[64];
                 const int32_t* cac = cac_a + 128 * mi + 64 * ci;
                 for (int blk = 0; blk < 4; blk++) {
                     int32_t b4[16], dq[16], r4[16];
@@ -457,33 +453,95 @@ int64_t vcp_recon_inter_frame(
                     int oy = 4 * (blk / 2), ox = 4 * (blk % 2);
                     for (int r = 0; r < 4; r++)
                         for (int c = 0; c < 4; c++)
-                            resc[8 * (oy + r) + ox + c] = r4[4 * r + c];
+                            resc2[ci][8 * (oy + r) + ox + c] =
+                                r4[4 * r + c];
                 }
-                for (int q = 0; q < 4; q++) {
-                    int by = 2 * mby + q / 2, bx = 2 * mbx + q % 2;
-                    size_t bi = (size_t)by * nbx2 + bx;
-                    int r0 = ref8_0[bi];
-                    int r1 = is_b ? ref8_1[bi] : -1;
-                    int32_t p0[16], p1[16], pr[16];
-                    if (r0 >= 0) {
-                        Plane rp{refs0[r0], Hc, Wc};
-                        mc_chroma4(rp, 4 * by, 4 * bx,
-                                   mv8_0[2 * bi + 1], mv8_0[2 * bi], p0);
-                    }
-                    if (r1 >= 0) {
-                        Plane rp{refs1[r1], Hc, Wc};
-                        mc_chroma4(rp, 4 * by, 4 * bx,
-                                   mv8_1[2 * bi + 1], mv8_1[2 * bi], p1);
-                    }
-                    combine<4>(p0, p1, r0, r1, wt0, wt1, iw0, iw1, n1,
-                               ci, pr);
+            }
+
+            if (uni) {
+                int r0 = ref8_0[bi0];
+                int r1 = is_b ? ref8_1[bi0] : -1;
+                int32_t p0[256], p1[256], pr[256];
+                if (r0 >= 0)
+                    mc_luma<16>(Plane{l0y[r0], H, W}, 16 * mby, 16 * mbx,
+                                mv8_0[2 * bi0 + 1], mv8_0[2 * bi0], p0);
+                if (r1 >= 0)
+                    mc_luma<16>(Plane{l1y[r1], H, W}, 16 * mby, 16 * mbx,
+                                mv8_1[2 * bi0 + 1], mv8_1[2 * bi0], p1);
+                combine<16>(p0, p1, r0, r1, wt0, wt1, iw0, iw1, n1, -1,
+                            pr);
+                for (int r = 0; r < 16; r++)
+                    for (int c = 0; c < 16; c++)
+                        y[(size_t)(16 * mby + r) * W + 16 * mbx + c] =
+                            clip255(pr[16 * r + c] + res[16 * r + c]);
+                for (int ci = 0; ci < 2; ci++) {
+                    int32_t* plane = ci ? v : u;
+                    const int32_t* const* refs0 = ci ? l0v : l0u;
+                    const int32_t* const* refs1 = ci ? l1v : l1u;
+                    int32_t c0[64], c1[64], cr[64];
+                    if (r0 >= 0)
+                        mc_chroma<8>(Plane{refs0[r0], Hc, Wc}, 8 * mby,
+                                     8 * mbx, mv8_0[2 * bi0 + 1],
+                                     mv8_0[2 * bi0], c0);
+                    if (r1 >= 0)
+                        mc_chroma<8>(Plane{refs1[r1], Hc, Wc}, 8 * mby,
+                                     8 * mbx, mv8_1[2 * bi0 + 1],
+                                     mv8_1[2 * bi0], c1);
+                    combine<8>(c0, c1, r0, r1, wt0, wt1, iw0, iw1, n1,
+                               ci, cr);
+                    for (int r = 0; r < 8; r++)
+                        for (int c = 0; c < 8; c++)
+                            plane[(size_t)(8 * mby + r) * Wc + 8 * mbx
+                                  + c] = clip255(cr[8 * r + c]
+                                                 + resc2[ci][8 * r + c]);
+                }
+                continue;
+            }
+
+            // ---- general path: per 8x8 quadrant
+            for (int q = 0; q < 4; q++) {
+                int by = 2 * mby + q / 2, bx = 2 * mbx + q % 2;
+                size_t bi = bis[q];
+                int r0 = ref8_0[bi];
+                int r1 = is_b ? ref8_1[bi] : -1;
+                int32_t p0[64], p1[64], pr[64];
+                if (r0 >= 0)
+                    mc_luma<8>(Plane{l0y[r0], H, W}, 8 * by, 8 * bx,
+                               mv8_0[2 * bi + 1], mv8_0[2 * bi], p0);
+                if (r1 >= 0)
+                    mc_luma<8>(Plane{l1y[r1], H, W}, 8 * by, 8 * bx,
+                               mv8_1[2 * bi + 1], mv8_1[2 * bi], p1);
+                combine<8>(p0, p1, r0, r1, wt0, wt1, iw0, iw1, n1, -1,
+                           pr);
+                int fy0 = 8 * by, fx0 = 8 * bx;
+                int ry0 = 8 * (q / 2), rx0 = 8 * (q % 2);
+                for (int r = 0; r < 8; r++)
+                    for (int c = 0; c < 8; c++)
+                        y[(size_t)(fy0 + r) * W + fx0 + c] = clip255(
+                            pr[8 * r + c] + res[16 * (ry0 + r) + rx0 + c]);
+                for (int ci = 0; ci < 2; ci++) {
+                    int32_t* plane = ci ? v : u;
+                    const int32_t* const* refs0 = ci ? l0v : l0u;
+                    const int32_t* const* refs1 = ci ? l1v : l1u;
+                    int32_t c0[16], c1[16], cr[16];
+                    if (r0 >= 0)
+                        mc_chroma<4>(Plane{refs0[r0], Hc, Wc}, 4 * by,
+                                     4 * bx, mv8_0[2 * bi + 1],
+                                     mv8_0[2 * bi], c0);
+                    if (r1 >= 0)
+                        mc_chroma<4>(Plane{refs1[r1], Hc, Wc}, 4 * by,
+                                     4 * bx, mv8_1[2 * bi + 1],
+                                     mv8_1[2 * bi], c1);
+                    combine<4>(c0, c1, r0, r1, wt0, wt1, iw0, iw1, n1,
+                               ci, cr);
                     int cy0 = 4 * by, cx0 = 4 * bx;
-                    int ry0 = 4 * (q / 2), rx0 = 4 * (q % 2);
+                    int ry = 4 * (q / 2), rx = 4 * (q % 2);
                     for (int r = 0; r < 4; r++)
                         for (int c = 0; c < 4; c++)
                             plane[(size_t)(cy0 + r) * Wc + cx0 + c] =
-                                clip255(pr[4 * r + c]
-                                        + resc[8 * (ry0 + r) + rx0 + c]);
+                                clip255(cr[4 * r + c]
+                                        + resc2[ci][8 * (ry + r) + rx
+                                                    + c]);
                 }
             }
         }
