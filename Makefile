@@ -8,12 +8,13 @@ PY ?= python
 DEV_DIR ?= ./test
 REDIS_PORT ?= 6379
 
-.PHONY: help test bench native clean-native redis-start dev-producer \
-        dev-consumer dev-dirs stats clean-queue lint
+.PHONY: help test test-fast bench native clean-native redis-start \
+        dev-producer dev-consumer dev-dirs stats clean-queue lint
 
 help:
 	@echo "targets:"
-	@echo "  test          run the test suite"
+	@echo "  test          run the FULL test suite (~30+ min on 1 core)"
+	@echo "  test-fast     control-plane + unit gate (< 3 min)"
 	@echo "  bench         run the 1080p encode benchmark (one JSON line)"
 	@echo "  native        (re)build the C++ entropy engine"
 	@echo "  redis-start   run the embedded mini-redis on $(REDIS_PORT)"
@@ -24,6 +25,9 @@ help:
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	$(PY) bench.py

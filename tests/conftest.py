@@ -27,6 +27,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# Modules quick enough for the default developer gate (`make test-fast`,
+# target < 3 min): control plane, containers, unit-level codec pieces.
+# Everything else (jit-heavy encode/decode e2e, oracle conformance) is
+# auto-marked `slow` and runs in `make test` / CI.
+FAST_MODULES = {
+    "test_args", "test_cli", "test_config", "test_fs", "test_queue",
+    "test_pipeline", "test_multinode", "test_robustness", "test_mp4",
+    "test_mkv", "test_quality", "test_ratecontrol", "test_color_scale",
+    "test_transform", "test_h265_headers", "test_cavlc", "test_cabac",
+    "test_h265_residual", "test_audio",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ not in FAST_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def miniredis():

@@ -456,7 +456,10 @@ class H264Encoder:
         from . import bframe as bfmod, gop_ops, pframe
         cfg = self.cfg
         qp = self.rc.gop_qp() if self.rc else cfg.qp
-        qp_b = min(51, qp + int(os.environ.get("VCP_QPB_OFFSET", "2")))
+        # B pictures are non-reference: a deeper QP offset than x264's
+        # pbratio is a measured BD-rate win here (gradmotion +54.1 ->
+        # +52.3 at offset 4 vs 2; rdbench sweep, round 4)
+        qp_b = min(51, qp + int(os.environ.get("VCP_QPB_OFFSET", "4")))
         qp_i = idr_qp(qp)
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
         qpc_b = chroma_qp(qp_b, self.pp.chroma_qp_index_offset)
