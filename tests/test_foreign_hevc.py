@@ -1,0 +1,81 @@
+"""Foreign HEVC decode: real libx265 intra streams, bit-exact.
+
+The reference transcodes anything ffmpeg reads
+(/root/reference/cmd/consumer.go:376-380), including HEVC sources.
+These tests pin codec/h265/foreign.py against the system-ffmpeg oracle
+on real libx265 output: full coding quadtree (32x32 CTU down to 8x8
+NxN), all 35 intra modes, DST-VII 4x4 luma, sign-data hiding, strong
+intra smoothing — every plane of every frame EXACTLY.
+
+Current scope: intra, one slice, no WPP/SAO/AQ/deblock (x265 flags pin
+the profile); the remaining medium-default tools extend from here.
+"""
+
+import numpy as np
+import pytest
+
+from vcp_tpu.codec.h265.foreign import ForeignHevcDecoder
+from vcp_tpu.codec.mp4 import split_annexb
+
+O = pytest.importorskip("av_oracle")
+
+X265_BASE = ("x265-params=ctu=32:no-wpp=1:no-sao=1:aq-mode=0:"
+             "no-deblock=1:keyint=1")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    if O.get_oracle() is None:
+        pytest.skip("system libavcodec unavailable")
+    return O
+
+
+def _assert_bit_exact(oracle, frames, crf, opts=X265_BASE):
+    es = oracle.encode_video("libx265", frames, preset="medium", crf=crf,
+                             gop=1, opts=opts)
+    theirs = oracle.decode_video("hevc", es)
+    dec = ForeignHevcDecoder()
+    ours = []
+    for nal in split_annexb(es):
+        out = dec.decode_nal(nal)
+        if out is not None:
+            ours.append(out)
+    assert len(ours) == len(theirs) == len(frames)
+    for i, (t, o) in enumerate(zip(theirs, ours)):
+        np.testing.assert_array_equal(t[0], o[0], err_msg=f"f{i} luma")
+        np.testing.assert_array_equal(t[1], o[1], err_msg=f"f{i} cb")
+        np.testing.assert_array_equal(t[2], o[2], err_msg=f"f{i} cr")
+
+
+def _clip(name, n=2):
+    import rdbench
+    return rdbench.load_clip(name)[:n]
+
+
+@pytest.mark.parametrize("crf", [20, 28, 38])
+def test_x265_intra_gradmotion(oracle, crf):
+    _assert_bit_exact(oracle, _clip("gradmotion_320x192"), crf)
+
+
+def test_x265_intra_texture(oracle):
+    _assert_bit_exact(oracle, _clip("texture_256x160"), 24)
+
+
+def test_x265_intra_noise_odd_dims(oracle):
+    """Noise maximizes residual-coding coverage; non-CTU-multiple dims
+    exercise the conformance window and boundary quadtree splits."""
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 256, (150, 190)).astype(np.uint8)
+    u = rng.integers(0, 256, (75, 95)).astype(np.uint8)
+    v = rng.integers(0, 256, (75, 95)).astype(np.uint8)
+    _assert_bit_exact(oracle, [(y, u, v)], 18)
+
+
+def test_x265_intra_flat_gradient(oracle):
+    """Flat + ramp content drives planar/DC/angular and strong
+    smoothing paths."""
+    yy, xx = np.mgrid[0:96, 0:128]
+    y = ((xx * 2 + yy) % 256).astype(np.uint8)
+    u = np.full((48, 64), 100, np.uint8)
+    v = np.full((48, 64), 150, np.uint8)
+    _assert_bit_exact(oracle, [(y, u, v)], 30)
