@@ -244,13 +244,15 @@ def parse_slice_header_foreign(br: BitReader, sps: FSps, pps: FPps,
             br.se(); br.se()
     if pps.loop_filter_across_slices and not deblock_disabled:
         br.u(1)
+    entry_points = []
     if pps.entropy_sync:
         n = br.ue()                      # num_entry_point_offsets
         if n:
-            raise ForeignHevcError("WPP entry points unsupported")
+            off_len = br.ue() + 1
+            entry_points = [br.u(off_len) + 1 for _ in range(n)]
     br.u(1)                              # alignment bit
     br.byte_align()
-    return slice_type, slice_qp, deblock_disabled
+    return slice_type, slice_qp, deblock_disabled, entry_points
 
 
 # ---------------------------------------------------------------------------
@@ -739,8 +741,6 @@ def intra_pred(left, corner, top, n: int, mode: int,
 
 class IntraSliceDecoder:
     def __init__(self, sps: FSps, pps: FPps, slice_qp: int):
-        if pps.cu_qp_delta:
-            raise ForeignHevcError("cu_qp_delta (AQ) unsupported yet")
         if pps.transform_skip:
             raise ForeignHevcError("transform_skip unsupported yet")
         self.sps = sps
@@ -761,6 +761,14 @@ class IntraSliceDecoder:
                               np.int8)
         self.tu_edge_v = np.zeros((self.ph // 4, self.pw // 4), bool)
         self.tu_edge_h = np.zeros((self.ph // 4, self.pw // 4), bool)
+        # quantization-group state (8.6.1): per-QG predicted QP + the
+        # parsed delta; qp_prev carries across QGs in decode order
+        self.log2_qg = sps.log2_ctu - pps.diff_cu_qp_delta_depth
+        self.qp_prev = slice_qp
+        self.qg_xy = (0, 0)
+        self.qp_delta_coded = False
+        self.qp_delta_val = 0
+        self.cu_qp = slice_qp
 
     # -- availability-aware mode prediction (8.4.2) -----------------------
     def _cand_mode(self, x: int, y: int, x0: int, y0: int,
@@ -774,11 +782,56 @@ class IntraSliceDecoder:
             return 1
         return int(self.lmode[y >> 2, x >> 2])
 
-    def decode(self, payload: bytes):
+    def decode(self, payload: bytes, entry_points=()):
         sps = self.sps
-        dec = CabacDecoder(payload)
         cx = FCtx(self.qp)
-        self.dec, self.cx = dec, cx
+        self.cx = cx
+        if entry_points:
+            # WPP: one byte-aligned substream per CTU row; contexts of
+            # each row initialize from the snapshot taken after the
+            # second CTU of the row above (9.3.1); the QP predictor
+            # chain also restarts per row (8.6.1)
+            if len(entry_points) != self.ctus_h - 1:
+                raise ForeignHevcError("entry points != CTU rows - 1")
+            starts = [0]
+            for off in entry_points:
+                starts.append(starts[-1] + off)
+            starts.append(len(payload))
+            snapshot = None
+            for cy in range(self.ctus_h):
+                sub = payload[starts[cy]:starts[cy + 1]]
+                dec = CabacDecoder(sub)
+                self.dec = dec
+                if cy > 0 and snapshot is not None:
+                    for name, states in snapshot.items():
+                        for c, (st, mps) in zip(cx.t[name], states):
+                            c.state, c.mps = st, mps
+                # 8.6.1: the QP predictor chain restarts at each CTU
+                # row under entropy sync (cu_qp feeds the next QG's
+                # qp_prev, so both reset)
+                self.qp_prev = self.qp
+                self.cu_qp = self.qp
+                for cx_i in range(self.ctus_w):
+                    self._coding_quadtree(cx_i << sps.log2_ctu,
+                                          cy << sps.log2_ctu,
+                                          sps.log2_ctu, 0)
+                    if cx_i == min(1, self.ctus_w - 1):
+                        snapshot = {name: [(c.state, c.mps) for c in lst]
+                                    for name, lst in cx.t.items()}
+                    last_row = cx_i == self.ctus_w - 1
+                    last_slice = last_row and cy == self.ctus_h - 1
+                    # end_of_slice_segment_flag after every CTU, then
+                    # end_of_subset_one_bit (==1) at each row end
+                    if dec.decode_terminate() != (1 if last_slice
+                                                  else 0):
+                        raise ForeignHevcError("WPP CTU count mismatch")
+                    if last_row and not last_slice:
+                        if dec.decode_terminate() != 1:
+                            raise ForeignHevcError(
+                                "missing end_of_subset bit")
+            return self.y, self.u, self.v
+        dec = CabacDecoder(payload)
+        self.dec = dec
         for cy in range(self.ctus_h):
             for cx_i in range(self.ctus_w):
                 x0 = cx_i << sps.log2_ctu
@@ -793,6 +846,13 @@ class IntraSliceDecoder:
 
     def _coding_quadtree(self, x0, y0, log2_cb, depth):
         sps, dec, cx = self.sps, self.dec, self.cx
+        if self.pps.cu_qp_delta and log2_cb >= self.log2_qg:
+            # new quantization group: qp_prev advances to the previous
+            # group's final CU QP before the predictor uses it
+            self.qp_prev = self.cu_qp
+            self.qg_xy = (x0, y0)
+            self.qp_delta_coded = False
+            self.qp_delta_val = 0
         n = 1 << log2_cb
         inside = (x0 + n <= sps.width) and (y0 + n <= sps.height)
         if inside and log2_cb > sps.log2_min_cb:
@@ -815,9 +875,48 @@ class IntraSliceDecoder:
             return
         self._coding_unit(x0, y0, log2_cb, depth)
 
+    def _decode_qp_delta(self) -> int:
+        dec, cx = self.dec, self.cx
+        if not dec.decode(cx["qp_delta", 0]):
+            return 0
+        mag = 1
+        while mag < 5 and dec.decode(cx["qp_delta", 1]):
+            mag += 1
+        if mag == 5:                     # EG0 bypass suffix
+            k = 0
+            while dec.decode_bypass():
+                k += 1
+                if k > 30:
+                    raise ForeignHevcError("qp_delta EG runaway")
+            suf = 0
+            for _ in range(k):
+                suf = (suf << 1) | dec.decode_bypass()
+            mag = 5 + (1 << k) - 1 + suf
+        return -mag if dec.decode_bypass() else mag
+
+    def _cu_qp_pred(self):
+        """qPY_PRED (8.6.1): left/above of the QG when in the same CTB,
+        else the previous group's QP."""
+        xq, yq = self.qg_xy
+        ctb = 1 << self.sps.log2_ctu
+        qa = qb = self.qp_prev
+        if xq % ctb != 0 and xq > 0:
+            qa = int(self.qp_map[yq >> 2, (xq - 1) >> 2])
+        if yq % ctb != 0 and yq > 0:
+            qb = int(self.qp_map[(yq - 1) >> 2, xq >> 2])
+        return (qa + qb + 1) >> 1
+
     def _coding_unit(self, x0, y0, log2_cb, depth):
         sps, pps, dec, cx = self.sps, self.pps, self.dec, self.cx
         n = 1 << log2_cb
+        if pps.cu_qp_delta:
+            self.cu_qp = (self._cu_qp_pred() + self.qp_delta_val
+                          + 52) % 52
+        else:
+            self.cu_qp = self.qp
+        self.qp_map[y0 >> 2:(y0 + n) >> 2, x0 >> 2:(x0 + n) >> 2] = \
+            self.cu_qp
+        self.cu_origin = (x0, y0, n)
         if pps.transquant_bypass and dec.decode(cx["tq_bypass", 0]):
             raise ForeignHevcError("transquant bypass unsupported")
         # I slice: pred_mode inferred intra; part_mode only at min CB
@@ -962,7 +1061,16 @@ class IntraSliceDecoder:
                         cbf_cr):
         dec, cx, pps = self.dec, self.cx, self.pps
         n = 1 << log2_tr
-        qp = self.qp
+        if pps.cu_qp_delta and not self.qp_delta_coded \
+                and (cbf_luma or cbf_cb or cbf_cr):
+            self.qp_delta_val = self._decode_qp_delta()
+            self.qp_delta_coded = True
+            self.cu_qp = (self._cu_qp_pred() + self.qp_delta_val
+                          + 52) % 52
+            cx0, cy0, cn = self.cu_origin
+            self.qp_map[cy0 >> 2:(cy0 + cn) >> 2,
+                        cx0 >> 2:(cx0 + cn) >> 2] = self.cu_qp
+        qp = self.cu_qp if pps.cu_qp_delta else self.qp
         qpc_cb = th.chroma_qp(qp, pps.cb_qp_offset)
         qpc_cr = th.chroma_qp(qp, pps.cr_qp_offset)
         lmode = self._luma_mode_at(x0, y0, part_nxn, modes)
@@ -1038,15 +1146,15 @@ class ForeignHevcDecoder:
             if self.sps is None or self.pps is None:
                 raise ForeignHevcError("slice before parameter sets")
             br = BitReader(rbsp)
-            _, slice_qp, _dbd = parse_slice_header_foreign(
+            _, slice_qp, _dbd, eps = parse_slice_header_foreign(
                 br, self.sps, self.pps, nal_type)
             payload = rbsp[br.pos // 8:]
             sd = IntraSliceDecoder(self.sps, self.pps, slice_qp)
-            y, u, v = sd.decode(payload)
+            y, u, v = sd.decode(payload, eps)
             if not _dbd:
-                raise ForeignHevcError(
-                    "foreign deblocked streams unsupported yet "
-                    "(general TU/CU-edge read-side deblock pending)")
+                y, u, v = deblock_foreign_intra(
+                    y, u, v, self.sps, self.pps, sd.qp_map,
+                    sd.tu_edge_v, sd.tu_edge_h)
             w = self.sps.width - self.sps.conf_r
             h = self.sps.height - self.sps.conf_b
             x0, y0 = self.sps.conf_l, self.sps.conf_t
@@ -1054,3 +1162,88 @@ class ForeignHevcDecoder:
                     u[y0 // 2:h // 2, x0 // 2:w // 2].astype(np.uint8),
                     v[y0 // 2:h // 2, x0 // 2:w // 2].astype(np.uint8))
         raise ForeignHevcError(f"NAL type {nal_type} unsupported")
+
+
+# ---------------------------------------------------------------------------
+# Read-side deblocking for foreign intra pictures (spec 8.7.2): every
+# TU/CU edge on the 8x8 grid carries bS 2; per-edge QP from the CU QP
+# map (AQ streams), per-segment beta/tc. Reuses the filter cores from
+# ops.deblock_hevc (oracle-pinned by the encoder conformance tests).
+# ---------------------------------------------------------------------------
+
+def deblock_foreign_intra(y, u, v, sps: FSps, pps: FPps, qp_map4,
+                          tu_v, tu_h):
+    from ...ops.deblock_hevc import (BETA_TABLE, TC_TABLE,
+                                     _chroma_edge_filter,
+                                     _luma_edge_filter)
+    h, w = sps.height, sps.width
+    yc = y[:h, :w].copy()
+    uc = u[:h // 2, :w // 2].copy()
+    vc = v[:h // 2, :w // 2].copy()
+    q4 = qp_map4[:h // 4, :w // 4].astype(np.int32)
+    b_off = 2 * pps.beta_offset_div2
+    t_off = 2 * pps.tc_offset_div2
+
+    def luma_dir(plane, tu_edges, qmap):
+        hh, ww = plane.shape
+        ne = ww // 8 - 1
+        blocks = plane.reshape(hh, ww // 8, 8)
+        p = blocks[:, :-1, 4:8].reshape(hh // 4, 4, ne, 4) \
+            .transpose(2, 0, 1, 3)
+        q = blocks[:, 1:, 0:4].reshape(hh // 4, 4, ne, 4) \
+            .transpose(2, 0, 1, 3)
+        # bs/beta/tc per (edge, 4-line segment)
+        edge_cols = 2 * (np.arange(ne) + 1)          # tu grid cols (x/4)
+        bs = np.where(tu_edges[:, edge_cols].T, 2, 0)   # (ne, H/4)
+        q_l = qmap[:, edge_cols - 1].T
+        q_r = qmap[:, edge_cols].T
+        q_av = (q_l + q_r + 1) >> 1
+        beta = BETA_TABLE[np.clip(q_av + b_off, 0, 51)]
+        tc = TC_TABLE[np.clip(q_av + 2 + t_off, 0, 53)]
+        pf, qf = _luma_edge_filter(p, q, bs, beta, tc, np)
+        pf = pf.transpose(1, 2, 0, 3).reshape(hh, ne, 4)
+        qf = qf.transpose(1, 2, 0, 3).reshape(hh, ne, 4)
+        blocks = blocks.copy()
+        blocks[:, :-1, 4:8] = pf
+        blocks[:, 1:, 0:4] = qf
+        return blocks.reshape(hh, ww)
+
+    tv = tu_v[:h // 4, :w // 4]
+    thh = tu_h[:h // 4, :w // 4]
+    yc = luma_dir(yc, tv, q4)
+    yc = luma_dir(yc.T, thh.T, q4.T).T
+
+    def chroma_dir(plane, tu_edges, qmap, c_off):
+        hh, ww = plane.shape                          # chroma dims
+        # chroma planes are only guaranteed multiples of 4; pad the
+        # width to 8 for the block view (pad columns are never edges)
+        ww8 = -(-ww // 8) * 8
+        if ww8 != ww:
+            plane = np.pad(plane, ((0, 0), (0, ww8 - ww)), mode="edge")
+        ne = ww8 // 8 - 1
+        blocks = plane.reshape(hh, ww8 // 8, 8)
+        p = blocks[:, :-1, 6:8].transpose(1, 0, 2)    # (ne, Hc, 2)
+        q = blocks[:, 1:, 0:2].transpose(1, 0, 2)
+        # chroma edge at chroma x = 8(m+1) <-> luma x = 16(m+1)
+        edge_cols = 4 * (np.arange(ne) + 1)
+        rows4 = np.arange(hh) >> 1                    # chroma line -> row4
+        bs = np.where(tu_edges[rows4][:, edge_cols].T, 2, 0)  # (ne, Hc)
+        q_l = qmap[rows4][:, edge_cols - 1].T
+        q_r = qmap[rows4][:, edge_cols].T
+        q_av = (q_l + q_r + 1) >> 1
+        from ...ops.transform_hevc import chroma_qp as _cqp
+        qpc = np.asarray([_cqp(int(qq), c_off)
+                          for qq in range(52)], np.int32)[
+            np.clip(q_av, 0, 51)]
+        tc = TC_TABLE[np.clip(qpc + 2 + t_off, 0, 53)]
+        pf, qf = _chroma_edge_filter(p, q, bs, tc, np)
+        blocks = blocks.copy()
+        blocks[:, :-1, 6:8] = pf.transpose(1, 0, 2)
+        blocks[:, 1:, 0:2] = qf.transpose(1, 0, 2)
+        return blocks.reshape(hh, ww8)[:, :ww]
+
+    uc = chroma_dir(uc, tv, q4, pps.cb_qp_offset)
+    uc = chroma_dir(uc.T, thh.T, q4.T, pps.cb_qp_offset).T
+    vc = chroma_dir(vc, tv, q4, pps.cr_qp_offset)
+    vc = chroma_dir(vc.T, thh.T, q4.T, pps.cr_qp_offset).T
+    return yc, uc, vc
