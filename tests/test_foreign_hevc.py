@@ -7,10 +7,11 @@ on real libx265 output: full coding quadtree (32x32 CTU down to 8x8
 NxN), all 35 intra modes, DST-VII 4x4 luma, sign-data hiding, strong
 intra smoothing — every plane of every frame EXACTLY.
 
-Covered x265 tools: WPP (entry points + per-row context propagation),
-AQ (cu_qp_delta with the per-row QP chain), deblocking (general
-TU/CU-edge read side), CTU 64 and 32. Remaining: SAO (pinned off in
-these streams) and inter pictures.
+Covered x265 tools — the full medium-defaults intra surface: WPP
+(entry points + per-row context propagation), AQ (cu_qp_delta with the
+per-row QP chain), deblocking (general TU/CU-edge read side), SAO
+(band + edge offsets, merge), CTU 64 and 32. Remaining: inter
+pictures.
 """
 
 import numpy as np
@@ -83,22 +84,21 @@ def test_x265_intra_flat_gradient(oracle):
     _assert_bit_exact(oracle, [(y, u, v)], 30)
 
 
-# -- the real bar: x265 medium defaults (SAO is the one tool still off)
+# -- the real bar: untouched x265 medium defaults (WPP + AQ + SAO +
+# deblock + CTU 64, keyint pinned to keep the stream all-intra)
 
-X265_MEDIUM_NO_SAO = "x265-params=no-sao=1:keyint=1"
+X265_MEDIUM = "x265-params=keyint=1"
 
 
 @pytest.mark.parametrize("clip,crf", [
     ("gradmotion_320x192", 26), ("texture_256x160", 30)])
-def test_x265_medium_defaults_minus_sao(oracle, clip, crf):
-    """WPP + AQ (cu_qp_delta) + deblock + CTU 64 + full quadtree — the
-    medium preset with only SAO pinned off."""
-    _assert_bit_exact(oracle, _clip(clip), crf, opts=X265_MEDIUM_NO_SAO)
+def test_x265_medium_defaults(oracle, clip, crf):
+    _assert_bit_exact(oracle, _clip(clip), crf, opts=X265_MEDIUM)
 
 
-def test_x265_medium_minus_sao_odd_dims(oracle):
+def test_x265_medium_defaults_odd_dims(oracle):
     rng = np.random.default_rng(3)
     y = rng.integers(0, 256, (150, 190)).astype(np.uint8)
     u = rng.integers(0, 256, (75, 95)).astype(np.uint8)
     v = rng.integers(0, 256, (75, 95)).astype(np.uint8)
-    _assert_bit_exact(oracle, [(y, u, v)], 32, opts=X265_MEDIUM_NO_SAO)
+    _assert_bit_exact(oracle, [(y, u, v)], 32, opts=X265_MEDIUM)

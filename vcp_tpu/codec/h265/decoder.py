@@ -9,8 +9,11 @@ the verification role ffprobe played for the reference
 (ref cmd/consumer.go:396-419).
 
 Supported stream shape = what the encoder produces (one 32x32 CU per
-CTU; intra DC/Vertical with DM chroma; P slices with one 2Nx2N PU,
-full-pel MVs, single reference). Anything else raises.
+CTU; RD-selected intra DC + top-angular 26-34 with MPM and explicit
+chroma; P slices with one 2Nx2N PU, quarter-pel MVs, single reference;
+in-loop deblocking). Anything else raises here — GENERAL foreign HEVC
+streams (libx265 medium-defaults intra: quadtree, 35 modes, WPP, AQ,
+SAO) decode through codec.h265.foreign instead.
 """
 
 from __future__ import annotations

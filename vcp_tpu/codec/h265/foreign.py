@@ -232,8 +232,10 @@ def parse_slice_header_foreign(br: BitReader, sps: FSps, pps: FPps,
         # combinations raise downstream via CABAC desync)
         if sps.temporal_mvp:
             br.u(1)
+    sao_luma = sao_chroma = False
     if sps.sao:
-        br.u(1); br.u(1)                 # slice_sao_luma/chroma
+        sao_luma = bool(br.u(1))
+        sao_chroma = bool(br.u(1))
     slice_qp = pps.init_qp + br.se()
     if pps.slice_chroma_qp_offsets:
         br.se(); br.se()
@@ -252,7 +254,8 @@ def parse_slice_header_foreign(br: BitReader, sps: FSps, pps: FPps,
             entry_points = [br.u(off_len) + 1 for _ in range(n)]
     br.u(1)                              # alignment bit
     br.byte_align()
-    return slice_type, slice_qp, deblock_disabled, entry_points
+    return (slice_type, slice_qp, deblock_disabled, entry_points,
+            sao_luma, sao_chroma)
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +285,8 @@ _INIT_I = {
             139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197),
     "gt2": (138, 153, 136, 167, 152, 152),
     "tq_bypass": (154,),
+    "sao_merge": (153,),
+    "sao_type": (200,),
 }
 
 
@@ -763,6 +768,12 @@ class IntraSliceDecoder:
         self.tu_edge_h = np.zeros((self.ph // 4, self.pw // 4), bool)
         # quantization-group state (8.6.1): per-QG predicted QP + the
         # parsed delta; qp_prev carries across QGs in decode order
+        self.sao_luma = False
+        self.sao_chroma = False
+        # per-CTB SAO params: [cIdx][ctby][ctbx] = (type, offsets(4),
+        # pos_or_class); type 0=off, 1=band, 2=edge
+        self.sao = [[[None] * self.ctus_w for _ in range(self.ctus_h)]
+                    for _ in range(3)]
         self.log2_qg = sps.log2_ctu - pps.diff_cu_qp_delta_depth
         self.qp_prev = slice_qp
         self.qg_xy = (0, 0)
@@ -812,6 +823,7 @@ class IntraSliceDecoder:
                 self.qp_prev = self.qp
                 self.cu_qp = self.qp
                 for cx_i in range(self.ctus_w):
+                    self._sao_params(cx_i, cy)
                     self._coding_quadtree(cx_i << sps.log2_ctu,
                                           cy << sps.log2_ctu,
                                           sps.log2_ctu, 0)
@@ -834,6 +846,7 @@ class IntraSliceDecoder:
         self.dec = dec
         for cy in range(self.ctus_h):
             for cx_i in range(self.ctus_w):
+                self._sao_params(cx_i, cy)
                 x0 = cx_i << sps.log2_ctu
                 y0 = cy << sps.log2_ctu
                 self._coding_quadtree(x0, y0, sps.log2_ctu, 0)
@@ -843,6 +856,119 @@ class IntraSliceDecoder:
                 if term != (1 if last else 0):
                     raise ForeignHevcError("CTU count mismatch")
         return self.y, self.u, self.v
+
+    def _sao_params(self, ctbx, ctby):
+        """sao() syntax (7.3.8.3), one CTB; no-op when SAO is off."""
+        if not (self.sao_luma or self.sao_chroma):
+            return
+        dec, cx = self.dec, self.cx
+        if ctbx > 0 and dec.decode(cx["sao_merge", 0]):
+            for c in range(3):
+                self.sao[c][ctby][ctbx] = self.sao[c][ctby][ctbx - 1]
+            return
+        if ctby > 0 and dec.decode(cx["sao_merge", 0]):
+            for c in range(3):
+                self.sao[c][ctby][ctbx] = self.sao[c][ctby - 1][ctbx]
+            return
+        typ = [0, 0, 0]
+        eo_class = [0, 0, 0]
+        for c in range(3):
+            if c == 0 and not self.sao_luma:
+                continue
+            if c > 0 and not self.sao_chroma:
+                continue
+            if c <= 1:
+                t = 0
+                if dec.decode(cx["sao_type", 0]):
+                    t = 2 if dec.decode_bypass() else 1
+                typ[c] = t
+            else:
+                typ[2] = typ[1]
+            if typ[c] == 0:
+                self.sao[c][ctby][ctbx] = (0, None, 0)
+                continue
+            offs = []
+            for _ in range(4):
+                a = 0
+                while a < 7 and dec.decode_bypass():
+                    a += 1
+                offs.append(a)
+            if typ[c] == 1:              # band
+                for k in range(4):
+                    if offs[k] and dec.decode_bypass():
+                        offs[k] = -offs[k]
+                pos = 0
+                for _ in range(5):
+                    pos = (pos << 1) | dec.decode_bypass()
+                self.sao[c][ctby][ctbx] = (1, offs, pos)
+            else:                        # edge: signs inferred
+                if c == 0:
+                    eo_class[0] = (dec.decode_bypass() << 1) \
+                        | dec.decode_bypass()
+                elif c == 1:
+                    eo_class[1] = (dec.decode_bypass() << 1) \
+                        | dec.decode_bypass()
+                    eo_class[2] = eo_class[1]
+                offs = [offs[0], offs[1], -offs[2], -offs[3]]
+                self.sao[c][ctby][ctbx] = (2, offs, eo_class[c])
+
+    def apply_sao(self, planes):
+        """8.7.3: offsets applied to the deblocked picture, per CTB
+        region per component (reads pre-SAO neighbors)."""
+        if not (self.sao_luma or self.sao_chroma):
+            return planes
+        out = []
+        ctu = 1 << self.sps.log2_ctu
+        for c, plane in enumerate(planes):
+            src = plane
+            dst = plane.copy()
+            sh = 0 if c == 0 else 1
+            n = ctu >> sh
+            ph, pw = plane.shape
+            for ctby in range(self.ctus_h):
+                for ctbx in range(self.ctus_w):
+                    prm = self.sao[c][ctby][ctbx]
+                    if prm is None or prm[0] == 0:
+                        continue
+                    t, offs, aux = prm
+                    y0, x0 = ctby * n, ctbx * n
+                    y1, x1 = min(y0 + n, ph), min(x0 + n, pw)
+                    if y0 >= ph or x0 >= pw:
+                        continue
+                    reg = src[y0:y1, x0:x1].astype(np.int32)
+                    if t == 1:           # band offset
+                        band = (reg >> 3) - aux
+                        add = np.zeros_like(reg)
+                        for k in range(4):
+                            add = np.where((band & 31) == k, offs[k],
+                                           add)
+                        dst[y0:y1, x0:x1] = np.clip(reg + add, 0, 255)
+                        continue
+                    # edge offset: neighbors from the pre-SAO picture,
+                    # skipping samples whose neighbor leaves the pic
+                    dy, dx = ((0, 1), (1, 0), (1, 1), (-1, 1))[aux]
+                    yy0, xx0 = y0, x0
+                    ys = np.arange(y0, y1)[:, None]
+                    xs = np.arange(x0, x1)[None, :]
+                    ya, xa = ys - dy, xs - dx
+                    yb, xb = ys + dy, xs + dx
+                    ok = ((ya >= 0) & (ya < ph) & (xa >= 0) & (xa < pw)
+                          & (yb >= 0) & (yb < ph) & (xb >= 0)
+                          & (xb < pw))
+                    yac = np.clip(ya, 0, ph - 1)
+                    xac = np.clip(xa, 0, pw - 1)
+                    ybc = np.clip(yb, 0, ph - 1)
+                    xbc = np.clip(xb, 0, pw - 1)
+                    a = src[yac, xac].astype(np.int32)
+                    b = src[ybc, xbc].astype(np.int32)
+                    idx = 2 + np.sign(reg - a) + np.sign(reg - b)
+                    add = np.zeros_like(reg)
+                    for eidx, k in ((0, 0), (1, 1), (3, 2), (4, 3)):
+                        add = np.where(idx == eidx, offs[k], add)
+                    add = np.where(ok, add, 0)
+                    dst[y0:y1, x0:x1] = np.clip(reg + add, 0, 255)
+            out.append(dst)
+        return tuple(out)
 
     def _coding_quadtree(self, x0, y0, log2_cb, depth):
         sps, dec, cx = self.sps, self.dec, self.cx
@@ -1146,15 +1272,23 @@ class ForeignHevcDecoder:
             if self.sps is None or self.pps is None:
                 raise ForeignHevcError("slice before parameter sets")
             br = BitReader(rbsp)
-            _, slice_qp, _dbd, eps = parse_slice_header_foreign(
+            (_, slice_qp, _dbd, eps, sao_l,
+             sao_c) = parse_slice_header_foreign(
                 br, self.sps, self.pps, nal_type)
             payload = rbsp[br.pos // 8:]
             sd = IntraSliceDecoder(self.sps, self.pps, slice_qp)
+            sd.sao_luma, sd.sao_chroma = sao_l, sao_c
             y, u, v = sd.decode(payload, eps)
             if not _dbd:
                 y, u, v = deblock_foreign_intra(
                     y, u, v, self.sps, self.pps, sd.qp_map,
                     sd.tu_edge_v, sd.tu_edge_h)
+            else:
+                h_, w_ = self.sps.height, self.sps.width
+                y = y[:h_, :w_]
+                u = u[:h_ // 2, :w_ // 2]
+                v = v[:h_ // 2, :w_ // 2]
+            y, u, v = sd.apply_sao((y, u, v))
             w = self.sps.width - self.sps.conf_r
             h = self.sps.height - self.sps.conf_b
             x0, y0 = self.sps.conf_l, self.sps.conf_t
