@@ -102,3 +102,57 @@ def test_x265_medium_defaults_odd_dims(oracle):
     u = rng.integers(0, 256, (75, 95)).astype(np.uint8)
     v = rng.integers(0, 256, (75, 95)).astype(np.uint8)
     _assert_bit_exact(oracle, [(y, u, v)], 32, opts=X265_MEDIUM)
+
+
+def test_hevc_mp4_transcode_end_to_end(oracle, tmp_path):
+    """Foreign HEVC MP4 -> our H.264 encoder: the arbitrary-input
+    transcode path the reference serves for HEVC sources
+    (ref cmd/consumer.go:376-380)."""
+    import struct
+
+    from vcp_tpu.codec.ingest import open_video
+    from vcp_tpu.codec.mp4 import Mp4Writer, Sample, VideoTrack
+
+    frames = _clip("gradmotion_320x192", 3)
+    es = oracle.encode_video("libx265", frames, preset="medium", crf=26,
+                             gop=1, opts=X265_MEDIUM)
+    nals = split_annexb(es)
+    by_type = {}
+    for nal in nals:
+        by_type.setdefault((nal[0] >> 1) & 0x3F, []).append(nal)
+    tr = VideoTrack(codec="h265", width=320, height=192,
+                    timescale=30000, vps=by_type[32][:1],
+                    sps=by_type[33][:1], pps=by_type[34][:1])
+    au = []
+    for nal in nals:
+        t = (nal[0] >> 1) & 0x3F
+        if t in (32, 33, 34):
+            continue
+        au.append(nal)
+        if t <= 31:                      # a slice NAL ends the AU
+            data = b"".join(struct.pack(">I", len(x)) + x for x in au)
+            tr.samples.append(Sample(data=data, duration=1000,
+                                     is_sync=True))
+            au = []
+    w = Mp4Writer()
+    w.add_track(tr)
+    path = str(tmp_path / "in_hevc.mp4")
+    w.write(path)
+
+    vid = open_video(path)
+    decoded = list(vid.frames)
+    assert len(decoded) == 3
+    for (y, u, v), (ry, ru, rv) in zip(decoded,
+                                       oracle.decode_video("hevc", es)):
+        np.testing.assert_array_equal(y, ry)
+
+    from vcp_tpu.codec.h264.decoder import H264Decoder, psnr
+    from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
+    enc = H264Encoder(EncoderConfig(width=320, height=192, qp=26,
+                                    gop_size=3, cabac=True, deblock=True,
+                                    effort=4))
+    items = enc.encode_gop(decoded)
+    out = H264Decoder().decode_annexb(
+        enc.headers_annexb() + b"".join(it[0] for it in items))
+    for i, f in enumerate(out):
+        assert psnr(np.asarray(f.y), frames[i][0]) > 30, i

@@ -67,9 +67,11 @@ def _open_mp4(path: str, max_frames) -> VideoInput:
     track = demux.video
     if track is None:
         raise IngestError("no video track in input")
+    if track.codec in ("hvc1", "hev1"):
+        return _open_mp4_hevc(demux, track, max_frames)
     if track.codec != "avc1":
         raise IngestError(f"unsupported input codec {track.codec!r} "
-                          "(h264/avc1 only)")
+                          "(h264/avc1 or hevc/hvc1 only)")
     n = track.sample_count
     if max_frames is not None:
         n = min(n, max_frames)
@@ -94,6 +96,39 @@ def _open_mp4(path: str, max_frames) -> VideoInput:
             yield f.y, f.u, f.v
 
     return VideoInput(track.width, track.height, fps_num, fps_den, n, gen())
+
+
+def _open_mp4_hevc(demux, track, max_frames) -> VideoInput:
+    """HEVC-in-MP4 ingest via the foreign HEVC decoder (libx265
+    medium-defaults intra surface; inter pictures fail with a precise
+    reason — the consumer acks-and-drops, matching reference failure
+    semantics)."""
+    from .h265.foreign import ForeignHevcDecoder, ForeignHevcError
+
+    n = track.sample_count
+    if max_frames is not None:
+        n = min(n, max_frames)
+    if track.sample_durations:
+        avg = max(1, sum(track.sample_durations[:n]) // max(1, n))
+        fps_num, fps_den = track.timescale, avg
+    else:
+        fps_num, fps_den = 30, 1
+
+    def gen():
+        dec = ForeignHevcDecoder()
+        try:
+            for nal in track.vps + track.sps + track.pps:
+                dec.decode_nal(nal)
+            for i in range(n):
+                for nal in demux.sample_nals(track, i):
+                    out = dec.decode_nal(nal)
+                    if out is not None:
+                        yield out
+        except ForeignHevcError as e:
+            raise IngestError(f"hevc: {e}") from e
+
+    return VideoInput(track.width, track.height, fps_num, fps_den, n,
+                      gen())
 
 
 def _open_avi(path: str, max_frames) -> VideoInput:
