@@ -54,6 +54,7 @@ def test_mux_and_demux_audio_track(av_mp4):
     assert r.has_video and len(r.tracks) == 2
 
 
+@pytest.mark.slow
 def test_transcode_carries_audio(av_mp4, tmp_path):
     path, aac = av_mp4
     out = str(tmp_path / "re.mp4")

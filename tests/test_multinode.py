@@ -23,6 +23,7 @@ from test_pipeline import wait_until
 from video_util import synth_video
 
 
+@pytest.mark.slow
 def test_two_producers_mixed_presets_four_consumers(redis_address, tmp_path):
     shared = str(tmp_path / "shared")
     outdir = str(tmp_path / "encoded")

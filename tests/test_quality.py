@@ -23,6 +23,7 @@ def test_metrics_degrade_with_noise():
     assert 1 > ssim(x, small) > ssim(x, big) > 0
 
 
+@pytest.mark.slow
 def test_compare_streams_encode_ladder(tmp_path):
     from vcp_tpu.codec.y4m import write_y4m
     from vcp_tpu.codec.args import parse_encode_args

@@ -1,6 +1,7 @@
 """Rate control tests (CRF/ABR/CQ modes)."""
 
 import numpy as np
+import pytest
 
 from vcp_tpu.codec.args import parse_encode_args
 from vcp_tpu.codec.h264.encoder import EncoderConfig, H264Encoder
@@ -43,6 +44,7 @@ def test_crf_mode_has_no_controller():
     assert enc.rc is None and cfg.qp == 30
 
 
+@pytest.mark.slow
 def test_abr_encoder_adapts_across_gops():
     """Encode several GOPs with an aggressive target; QP must move and the
     stream stays decodable."""

@@ -19,6 +19,7 @@ def test_scene_cut_detector():
     assert _is_scene_cut(y1, inverted)        # hard content change
 
 
+@pytest.mark.slow
 def test_scene_cut_inserts_idr():
     w, h = 64, 48
     a = synth_video(w, h, 4)
@@ -43,6 +44,7 @@ def _stream():
     return enc.headers_annexb() + b"".join(a for a, _ in aus)
 
 
+@pytest.mark.slow
 def test_decoder_survives_bit_corruption():
     """Randomly corrupted streams must raise a clean error or produce
     frames — never crash with an unrelated exception."""

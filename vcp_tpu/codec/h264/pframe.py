@@ -214,7 +214,14 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
     lam2 = 0.9 * jnp.power(2.0, (qp - 12) / 3.0)
 
     def luma_trial(pred):
-        """Per-MB (SSD, level-bits proxy) of the quantized 4x4 path."""
+        """Per-MB (SSD, level-bits proxy) of the quantized 4x4 path.
+
+        Approximation (advisor, round 3): the trial prices every
+        candidate with the 4x4 transform even when transform8 is
+        enabled and the winner may later code 8x8 — consistent across
+        candidates, so the RANKING bias is limited to t8-heavy content;
+        the final residual still makes its own adaptive 4x4/8x8 choice
+        in _residual_recon."""
         zt = tf.quant4(tf.fdct4(tf.to_blocks4(y - pred)), qp, intra=False)
         rec = jnp.clip(
             pred + tf.from_blocks4(tf.idct4(tf.dequant4(zt, qp))), 0, 255)
