@@ -116,3 +116,68 @@ def test_native_stream_decodes(lib):
     assert len(out) == 6
     ry, _, _ = enc.recon_planes
     np.testing.assert_array_equal(out[-1].y, np.asarray(ry))
+
+
+def test_cabac_parts_pslice_native_matches_python():
+    """Partitioned CABAC P slices: the C++ writer
+    (vcp_write_pslice_cabac_parts) must emit byte-identical NALs to
+    cabac_syntax.write_pslice_cabac across every partition type
+    (16x16/16x8/8x16/P_8x8), mixed per MB, with and without t8."""
+    import numpy as np
+
+    from vcp_tpu import native
+    from vcp_tpu.codec.h264 import headers as H
+    from vcp_tpu.codec.h264 import pframe
+    from vcp_tpu.codec.h264.cabac_syntax import write_pslice_cabac
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "vcp_write_pslice_cabac_parts"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(21)
+    n_mby, n_mbx = 6, 7
+    for trial in range(3):
+        t8flag = trial != 1
+        parts = rng.integers(0, 4, (n_mby, n_mbx)).astype(np.int32)
+        mv8 = np.zeros((2 * n_mby, 2 * n_mbx, 2), np.int32)
+        # per-partition-consistent MVs on the 8x8 grid
+        from vcp_tpu.codec.h264.pframe import _P_PARTS
+        for mby in range(n_mby):
+            for mbx in range(n_mbx):
+                pt = int(parts[mby, mbx])
+                geos = [(q >> 1, q & 1, 1, 1) for q in range(4)] \
+                    if pt == 3 else _P_PARTS[pt]
+                for (dy, dx, pw, ph) in geos:
+                    mv = rng.integers(-24, 25, 2)
+                    mv8[2 * mby + dy:2 * mby + dy + ph,
+                        2 * mbx + dx:2 * mbx + dx + pw] = mv
+        luma = np.zeros((n_mby, n_mbx, 16, 16), np.int32)
+        mask = rng.random((n_mby, n_mbx, 16, 16)) < 0.05
+        luma[mask] = rng.integers(-14, 15, int(mask.sum()))
+        if t8flag:
+            t8 = rng.random((n_mby, n_mbx)) < 0.4
+        else:
+            t8 = None
+        cb_dc = rng.integers(-3, 4, (n_mby, n_mbx, 4)).astype(np.int32)
+        cr_dc = rng.integers(-3, 4, (n_mby, n_mbx, 4)).astype(np.int32)
+        cb_ac = np.zeros((n_mby, n_mbx, 4, 16), np.int32)
+        cr_ac = np.zeros((n_mby, n_mbx, 4, 16), np.int32)
+        camask = rng.random(cb_ac.shape) < 0.03
+        camask[..., 0] = False
+        cb_ac[camask] = rng.integers(-5, 6, int(camask.sum()))
+        data = dict(mv=mv8[::2, ::2][:, :, ::-1], mv8=mv8, parts=parts,
+                    luma=luma, cb_dc=cb_dc, cb_ac=cb_ac, cr_dc=cr_dc,
+                    cr_ac=cr_ac)
+        if t8 is not None:
+            data["t8"] = t8
+        sp = H.SeqParams(width=16 * n_mbx, height=16 * n_mby,
+                         profile_idc=100 if t8flag else 77)
+        pp = H.PicParams(init_qp=26, cabac=True, transform_8x8=t8flag)
+        nal_n = pframe.write_pslice(sp, pp, frame_num=1, qp=30,
+                                    data=dict(data), deblock=True,
+                                    cabac=True, poc_lsb=2)
+        nal_p = write_pslice_cabac(sp, pp, frame_num=1, qp=30,
+                                   data=dict(data), deblock=True,
+                                   poc_lsb=2)
+        assert nal_n == nal_p, f"trial {trial}"

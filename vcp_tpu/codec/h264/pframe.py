@@ -487,8 +487,12 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     has_t8 = t8 is not None and bool(np.asarray(t8).any())
     if data.get("parts") is not None and bool(np.asarray(
             data["parts"]).any()):
-        # P_8x8 partition frames: Python writers only (the C++ engines
-        # cover the 16x16-only speed presets)
+        # partitioned P frames (quality presets)
+        if cabac and lib is not None \
+                and hasattr(lib, "vcp_write_pslice_cabac_parts"):
+            return _write_pslice_cabac_parts_native(
+                lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
+                deblock=deblock, poc_lsb=poc_lsb)
         if cabac:
             from .cabac_syntax import write_pslice_cabac
             return write_pslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
@@ -589,6 +593,42 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
         n = lib.vcp_write_pslice_cabac(*common, *tail)
     if n < 0:
         raise RuntimeError("native cabac pslice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
+
+
+def _write_pslice_cabac_parts_native(lib, sp, pp, *, frame_num, qp, data,
+                                     deblock=False, poc_lsb=0) -> bytes:
+    """Partitioned CABAC P slice through the C++ writer (bit-identical
+    to cabac_syntax.write_pslice_cabac — pinned by
+    tests/test_native_entropy.py)."""
+    import ctypes
+    from .entropy import _nal_from_rbsp_native
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    mv8_xy, parts = _mv8_grid_xy(data, n_mby, n_mbx)
+    mv8_xy = np.ascontiguousarray(mv8_xy, np.int32)
+    parts = np.ascontiguousarray(parts, np.int32)
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")]
+    t8a = data.get("t8")
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if t8a is not None:
+        t8a = np.ascontiguousarray(t8a, np.uint8)
+        t8p = t8a.ctypes.data_as(u8p)
+    else:
+        t8p = ctypes.cast(None, u8p)
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.vcp_write_pslice_cabac_parts(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
+        0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+        _active_ptr(data), t8p, 1 if pp.transform_8x8 else 0,
+        mv8_xy.ctypes.data_as(i32p), parts.ctypes.data_as(i32p),
+        *[a.ctypes.data_as(i32p) for a in arrs],
+        out.ctypes.data_as(u8p), cap)
+    if n < 0:
+        raise RuntimeError("native cabac parts pslice buffer overflow")
     return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
 
 

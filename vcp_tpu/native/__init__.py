@@ -42,6 +42,13 @@ def _configure(lib) -> None:
     lib.vcp_write_pslice_cabac_t8.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32,
         u8p, u8p, i32p, i32p, i32p, i32p, i32p, i32p, u8p, i64]
+    lib.vcp_write_pslice_cabac_parts.restype = i64
+    lib.vcp_write_pslice_cabac_parts.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32, i32, i32,
+        u8p, u8p, i32,                  # active, t8, transform_8x8
+        i32p, i32p,                     # mv8_xy, parts
+        i32p, i32p, i32p, i32p, i32p,   # luma + chroma arrays
+        u8p, i64]
     lib.vcp_deblock_frame.restype = None
     lib.vcp_deblock_frame.argtypes = [
         i32p, i32p, i32p, i32, i32, i32p, i32p, i32p, i32p]

@@ -883,4 +883,273 @@ int64_t vcp_write_pslice_cabac_t8(
         out, out_cap, t8, 1);
 }
 
+
+// ---------------------------------------------------------------------------
+// Partitioned CABAC P slice (16x16 / 16x8 / 8x16 / P_8x8) on the 8x8 MV
+// grid — native counterpart of cabac_syntax.write_pslice_cabac with a
+// non-empty ``parts`` grid (the quality presets' shipping path).
+// ---------------------------------------------------------------------------
+
+static bool blk8_before(int by, int bx, int cby, int cbx) {
+    // pframe._blk8_before: MB raster, partitions raster within the MB
+    int mby = by >> 1, mbx = bx >> 1, cmby = cby >> 1, cmbx = cbx >> 1;
+    if (cmby != mby || cmbx != mbx)
+        return cmby < mby || (cmby == mby && cmbx < mbx);
+    return (2 * (cby & 1) + (cbx & 1)) < (2 * (by & 1) + (bx & 1));
+}
+
+struct Nb8 { int x, y, ref; };
+
+static Nb8 get8(const int32_t* mv8, int nbx2, int nby2, int by, int bx) {
+    if (bx < 0 || by < 0 || bx >= nbx2 || by >= nby2)
+        return {0, 0, -1};
+    size_t i = (size_t)by * nbx2 + bx;
+    return {mv8[2 * i + 0], mv8[2 * i + 1], 0};
+}
+
+// pframe._neighbor8 (valid8 all-true encoder semantics)
+static void neighbor8(const int32_t* mv8, int nbx2, int nby2, int by,
+                      int bx, int pw, Nb8* a, Nb8* b, Nb8* c) {
+    *a = get8(mv8, nbx2, nby2, by, bx - 1);
+    *b = get8(mv8, nbx2, nby2, by - 1, bx);
+    bool c_exists = by - 1 >= 0 && bx + pw < nbx2
+        && blk8_before(by, bx, by - 1, bx + pw);
+    if (c_exists) *c = get8(mv8, nbx2, nby2, by - 1, bx + pw);
+    else *c = {0, 0, -1};
+    if (!c_exists || c->ref < 0) {
+        Nb8 d = get8(mv8, nbx2, nby2, by - 1, bx - 1);
+        if (c->ref < 0) *c = d;
+    }
+}
+
+static void mv_pred8c(const int32_t* mv8, int nbx2, int nby2, int by,
+                      int bx, int pw, int ph, int part_idx, int* out) {
+    Nb8 a, b, c;
+    neighbor8(mv8, nbx2, nby2, by, bx, pw, &a, &b, &c);
+    if (pw == 2 && ph == 1) {                       // 16x8
+        if (part_idx == 0 && b.ref == 0) { out[0] = b.x; out[1] = b.y; return; }
+        if (part_idx == 1 && a.ref == 0) { out[0] = a.x; out[1] = a.y; return; }
+    } else if (pw == 1 && ph == 2) {                // 8x16
+        if (part_idx == 0 && a.ref == 0) { out[0] = a.x; out[1] = a.y; return; }
+        if (part_idx == 1 && c.ref == 0) { out[0] = c.x; out[1] = c.y; return; }
+    }
+    bool b_exists = by - 1 >= 0 && b.ref >= 0;
+    if (!b_exists && c.ref < 0 && a.ref >= 0) {
+        out[0] = a.x; out[1] = a.y; return;
+    }
+    int hits = (a.ref == 0) + (b.ref == 0) + (c.ref == 0);
+    if (hits == 1) {
+        const Nb8& m = a.ref == 0 ? a : (b.ref == 0 ? b : c);
+        out[0] = m.x; out[1] = m.y; return;
+    }
+    auto med3 = [](int u, int v, int w) {
+        int lo = u < v ? u : v, hi = u < v ? v : u;
+        return w < lo ? lo : (w > hi ? hi : w);
+    };
+    out[0] = med3(a.x, b.x, c.x);
+    out[1] = med3(a.y, b.y, c.y);
+}
+
+static void skip_mv8c(const int32_t* mv8, int nbx2, int nby2, int mbx,
+                      int mby, int* out) {
+    int by = 2 * mby, bx = 2 * mbx;
+    if (bx - 1 < 0 || by - 1 < 0) { out[0] = out[1] = 0; return; }
+    Nb8 a, b, c;
+    neighbor8(mv8, nbx2, nby2, by, bx, 2, &a, &b, &c);
+    if ((a.ref == 0 && a.x == 0 && a.y == 0)
+        || (b.ref == 0 && b.x == 0 && b.y == 0)
+        || a.ref < 0 || b.ref < 0) {
+        out[0] = out[1] = 0; return;
+    }
+    mv_pred8c(mv8, nbx2, nby2, by, bx, 2, 2, 0, out);
+}
+
+// mvd ctx on the 8x8 grid (cabac_syntax.MbState.mvd_ctx)
+static int mvd_ctx8(const int32_t* absmvd8, const uint8_t* avail,
+                    int n_mbx, int nbx2, int by, int bx, int comp) {
+    int s = 0;
+    if (bx > 0 && avail[(size_t)(by >> 1) * n_mbx + ((bx - 1) >> 1)])
+        s += absmvd8[2 * ((size_t)by * nbx2 + bx - 1) + comp];
+    if (by > 0 && avail[(size_t)((by - 1) >> 1) * n_mbx + (bx >> 1)])
+        s += absmvd8[2 * ((size_t)(by - 1) * nbx2 + bx) + comp];
+    return s < 3 ? 0 : (s <= 32 ? 1 : 2);
+}
+
+static void encode_mvd8(CabacEnc& e, H264Ctxs& cx, int ctx0, int comp,
+                        int mvd) {
+    int v = mvd < 0 ? -mvd : mvd;
+    Ctx** row = cx.mvd[comp];
+    auto ctx_of = [&](int b) {
+        return b == 0 ? ctx0 : (2 + b < 6 ? 2 + b : 6);
+    };
+    int prefix = v < 9 ? v : 9;
+    for (int b = 0; b < prefix; b++) e.encode(*row[ctx_of(b)], 1);
+    if (prefix < 9) e.encode(*row[ctx_of(prefix)], 0);
+    else write_egk(e, (uint32_t)(v - 9), 3);
+    if (v) e.bypass(mvd < 0 ? 1 : 0);
+}
+
+int64_t vcp_write_pslice_cabac_parts(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    const uint8_t* active, const uint8_t* t8, int transform_8x8,
+    const int32_t* mv8_xy,              // (2H, 2W, 2) [x, y] qpel
+    const int32_t* parts,               // (nMBy, nMBx) 0/1/2/3
+    const int32_t* luma,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    HdrWriter bw;
+    cabac_slice_header(bw, false, frame_num_bits, frame_num, 0, qp,
+                       init_qp, deblock_idc, poc_bits, poc_lsb);
+    bw.align_ones();
+
+    CabacEnc e;
+    e.bits.reserve((size_t)n_mby * n_mbx * 128);
+    H264Ctxs cx(qp, true);
+    MbState st(n_mby, n_mbx);
+    const int nbx2 = 2 * n_mbx, nby2 = 2 * n_mby;
+    std::vector<int32_t> mvg(mv8_xy,
+                             mv8_xy + (size_t)nby2 * nbx2 * 2);
+    int32_t* mvp = mvg.data();
+    std::vector<int32_t> absmvd8((size_t)nby2 * nbx2 * 2, 0);
+
+    // partition geometry per pt on the 8x8 grid: (dy, dx, pw, ph)
+    static const int GEO16x8[2][4] = {{0, 0, 2, 1}, {1, 0, 2, 1}};
+    static const int GEO8x16[2][4] = {{0, 0, 1, 2}, {0, 1, 1, 2}};
+
+    auto set_absmvd = [&](int by, int bx, int ph, int pw, int ax,
+                          int ay) {
+        for (int y = by; y < by + ph; y++)
+            for (int x = bx; x < bx + pw; x++) {
+                absmvd8[2 * ((size_t)y * nbx2 + x) + 0] = ax;
+                absmvd8[2 * ((size_t)y * nbx2 + x) + 1] = ay;
+            }
+    };
+
+    for (int mby = 0; mby < n_mby; mby++) {
+        for (int mbx = 0; mbx < n_mbx; mbx++) {
+            size_t mb = (size_t)mby * n_mbx + mbx;
+            int by0 = 2 * mby, bx0 = 2 * mbx;
+            int pt = parts[mb];
+            bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+
+            int cbp_l = 0, cbp_c = 0;
+            const int32_t* zl = luma + mb * 256;
+            const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
+            const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
+            bool is_skip;
+            int m[2] = {0, 0}, smv[2];
+            if (active && !active[mb]) {
+                skip_mv8c(mvp, nbx2, nby2, mbx, mby, smv);
+                for (int y = by0; y < by0 + 2; y++)
+                    for (int x = bx0; x < bx0 + 2; x++) {
+                        mvp[2 * ((size_t)y * nbx2 + x) + 0] = smv[0];
+                        mvp[2 * ((size_t)y * nbx2 + x) + 1] = smv[1];
+                    }
+                is_skip = true;
+            } else {
+                for (int blk = 0; blk < 16; blk++)
+                    for (int k = 0; k < 16; k++)
+                        if (zl[blk * 16 + k]) {
+                            cbp_l |= 1 << (blk / 4);
+                            break;
+                        }
+                bool any_cac = false, any_cdc = false;
+                for (int c = 0; c < 2; c++) {
+                    for (int k = 0; k < 4; k++)
+                        if (cdc[c][k]) any_cdc = true;
+                    for (int blk = 0; blk < 4; blk++)
+                        for (int k = 1; k < 16; k++)
+                            if (cac[c][blk * 16 + k]) any_cac = true;
+                }
+                cbp_c = any_cac ? 2 : (any_cdc ? 1 : 0);
+                m[0] = mvp[2 * ((size_t)by0 * nbx2 + bx0) + 0];
+                m[1] = mvp[2 * ((size_t)by0 * nbx2 + bx0) + 1];
+                is_skip = false;
+                if (pt == 0) {
+                    skip_mv8c(mvp, nbx2, nby2, mbx, mby, smv);
+                    is_skip = cbp_l == 0 && cbp_c == 0
+                        && m[0] == smv[0] && m[1] == smv[1];
+                }
+            }
+            e.encode(*cx.skip[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
+            st.avail[mb] = 1;
+            st.skip[mb] = is_skip ? 1 : 0;
+            if (is_skip) {
+                st.fill_cbp_luma8(mbx, mby, 0);
+                st.cbp_chroma[mb] = 0;
+                e.terminate(last ? 1 : 0);
+                continue;
+            }
+
+            auto mvd_part = [&](int by, int bx, int pw, int ph,
+                                int part_idx) {
+                int pred[2];
+                mv_pred8c(mvp, nbx2, nby2, by, bx, pw, ph, part_idx,
+                          pred);
+                size_t bi = (size_t)by * nbx2 + bx;
+                int dx = mvp[2 * bi + 0] - pred[0];
+                int dy = mvp[2 * bi + 1] - pred[1];
+                encode_mvd8(e, cx,
+                            mvd_ctx8(absmvd8.data(), st.avail.data(),
+                                     n_mbx, nbx2, by, bx, 0), 0, dx);
+                encode_mvd8(e, cx,
+                            mvd_ctx8(absmvd8.data(), st.avail.data(),
+                                     n_mbx, nbx2, by, bx, 1), 1, dy);
+                set_absmvd(by, bx, ph, pw, dx < 0 ? -dx : dx,
+                           dy < 0 ? -dy : dy);
+            };
+
+            if (pt == 3) {                          // P_8x8: "001"
+                e.encode(*cx.mbt_p[0], 0);
+                e.encode(*cx.mbt_p[1], 0);
+                e.encode(*cx.mbt_p[2], 1);
+                for (int q = 0; q < 4; q++)
+                    e.encode(cx.g[21], 1);          // sub_mb_type "1"
+                for (int q = 0; q < 4; q++)
+                    mvd_part(by0 + (q >> 1), bx0 + (q & 1), 1, 1, q);
+            } else if (pt == 1 || pt == 2) {        // 16x8 "011"/8x16 "010"
+                e.encode(*cx.mbt_p[0], 0);
+                e.encode(*cx.mbt_p[1], 1);
+                e.encode(cx.g[17], pt == 1 ? 1 : 0);
+                const int (*geo)[4] = pt == 1 ? GEO16x8 : GEO8x16;
+                for (int i = 0; i < 2; i++)
+                    mvd_part(by0 + geo[i][0], bx0 + geo[i][1],
+                             geo[i][2], geo[i][3], i);
+            } else {                                // P_L0_16x16 "000"
+                e.encode(*cx.mbt_p[0], 0);
+                e.encode(*cx.mbt_p[1], 0);
+                e.encode(*cx.mbt_p[2], 0);
+                mvd_part(by0, bx0, 2, 2, 0);
+            }
+
+            for (int b8 = 0; b8 < 4; b8++) {
+                int bit = (cbp_l >> b8) & 1;
+                e.encode(*cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
+                st.set_cbp_luma8(mbx, mby, b8, bit);
+            }
+            e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)],
+                     cbp_c > 0 ? 1 : 0);
+            if (cbp_c > 0)
+                e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
+                         cbp_c == 2 ? 1 : 0);
+            st.cbp_chroma[mb] = cbp_c;
+            bool t8f = t8 && t8[mb];
+            if (cbp_l > 0 && transform_8x8)
+                e.encode(*cx.t8flag[st.t8_ctx(mbx, mby)], t8f ? 1 : 0);
+            st.t8[mb] = t8f ? 1 : 0;
+            if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
+            p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac,
+                       t8f);
+            e.terminate(last ? 1 : 0);
+        }
+    }
+    std::vector<uint8_t>& buf = bw.buf;
+    e.flush_to(buf);
+    if ((int64_t)buf.size() > out_cap) return -1;
+    std::memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
 }  // extern "C"
