@@ -31,6 +31,18 @@ def load_clip(name: str):
     return [(z[f"f{i}_y"], z[f"f{i}_u"], z[f"f{i}_v"]) for i in range(n)]
 
 
+def _luma_quality(dec_y, frames):
+    """(PSNR dB, mean SSIM) of decoded luma planes vs the source."""
+    from vcp_tpu.quality import ssim
+    mses, ssims = [], []
+    for dy, f in zip(dec_y, frames):
+        a = np.asarray(dy, np.uint8)
+        mses.append(np.mean((a.astype(float) - f[0].astype(float)) ** 2))
+        ssims.append(ssim(a, f[0]))
+    return (10 * np.log10(255.0 ** 2 / np.mean(mses)),
+            float(np.mean(ssims)))
+
+
 def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0,
                 t8: bool = False, effort: int = 6, parts: bool = False):
     from vcp_tpu.codec.h264.decoder import H264Decoder
@@ -46,9 +58,23 @@ def encode_ours(frames, qp: int, cabac: bool = True, bframes: int = 0,
     size = sum(len(a) for a in aus) + len(enc.headers_annexb())
     dec = H264Decoder().decode_annexb(
         enc.headers_annexb() + b"".join(aus))
-    mse = np.mean([np.mean((np.asarray(d.y, float) - f[0].astype(float)) ** 2)
-                   for d, f in zip(dec, frames)])
-    return size, 10 * np.log10(255.0 ** 2 / mse)
+    ps, ss = _luma_quality([d.y for d in dec], frames)
+    return size, ps, ss
+
+
+def golden_x264_quality(name: str, crf: str, frames):
+    """(PSNR dB, SSIM) of the committed libx264-medium encode, via the
+    in-repo foreign decoder (bit-exact vs libavcodec —
+    tests/test_foreign_inter.py), so SSIM needs no ffmpeg at bench time."""
+    from vcp_tpu.codec.h264.decoder import H264Decoder
+    es = open(os.path.join(GOLDEN, f"{name}_x264_crf{crf}.264"), "rb").read()
+    dec = H264Decoder().decode_annexb(es)
+    return _luma_quality([d.y for d in dec], frames)
+
+
+def ssim_db(s: float) -> float:
+    """The usual BD-friendly SSIM axis: -10*log10(1 - SSIM)."""
+    return -10.0 * np.log10(max(1e-9, 1.0 - s))
 
 
 def encode_ours_hevc(frames, qp: int, effort: int = 6):
@@ -62,10 +88,8 @@ def encode_ours_hevc(frames, qp: int, effort: int = 6):
     aus = [enc.encode_frame(*f)[0] for f in frames]
     bs = enc.headers_annexb() + b"".join(aus)
     dec = list(hdec.decode_annexb(bs))
-    mse = np.mean([np.mean((np.asarray(d[0], float)
-                            - f[0].astype(float)) ** 2)
-                   for d, f in zip(dec, frames)])
-    return len(bs), 10 * np.log10(255.0 ** 2 / mse)
+    ps, ss = _luma_quality([d[0] for d in dec], frames)
+    return len(bs), ps, ss
 
 
 def bd_rate(r1, p1, r2, p2):
@@ -91,58 +115,98 @@ def main(argv=None):
     ap.add_argument("--t8", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--parts", action=argparse.BooleanOptionalAction,
-                    default=False,
-                    help="P_8x8 sub-partitions (opt-in: the SAD-based "
-                    "decision wins on split motion but loses BD-rate on "
-                    "the golden clips)")
+                    default=True,
+                    help="16x8/8x16/P_8x8 sub-partitions (shipping "
+                    "quality-preset default since the RD-cost trial; "
+                    "--no-parts for the speed-preset shape)")
     ap.add_argument("--effort", type=int, default=6)
     ap.add_argument("--codec", choices=("h264", "hevc"), default="h264")
     ap.add_argument("--out", default=os.path.join(ROOT, "RD.md"))
+    ap.add_argument("--append", action="store_true",
+                    help="append to --out instead of overwriting (for "
+                    "stacking the h264 and hevc sections in one report)")
+    ap.add_argument("--platform", default=None, choices=("cpu",),
+                    help="pin jax to CPU (all engine math is integer and "
+                    "platform bit-exact; frees the TPU for benches). The "
+                    "image's site hook ignores JAX_PLATFORMS, so this "
+                    "must go through jax.config before first device use.")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     qps = [int(q) for q in args.qps.split(",")]
 
     meta = json.load(open(os.path.join(GOLDEN, "meta.json")))
     fps = 30.0
     report = {}
-    lines = ["# Rate-distortion: vcp-tpu vs libx264 medium",
-             "",
-             "Committed golden clips; libx264-medium numbers from the "
-             "checked-in encodes (tests/golden/meta.json). Luma PSNR.",
-             ""]
     refkey = "x264" if args.codec == "h264" else "x265"
+    lines = [f"# Rate-distortion: vcp-tpu vs lib{refkey} medium",
+             "",
+             f"Committed golden clips; lib{refkey}-medium rate/PSNR from "
+             "the checked-in encodes (tests/golden/meta.json)"
+             + (", SSIM via the in-repo foreign decoder on the committed "
+                "bitstreams" if refkey == "x264" else "")
+             + ". Luma PSNR/SSIM.",
+             ""]
     for name, m in meta.items():
         frames = load_clip(name)
         n = m["n"]
         ours = []
         for qp in qps:
             if args.codec == "hevc":
-                size, ps = encode_ours_hevc(frames, qp,
-                                            effort=args.effort)
+                size, ps, ss = encode_ours_hevc(frames, qp,
+                                                effort=args.effort)
             else:
-                size, ps = encode_ours(frames, qp, bframes=args.bframes,
-                                       t8=args.t8, effort=args.effort,
-                                       parts=args.parts)
+                size, ps, ss = encode_ours(frames, qp,
+                                           bframes=args.bframes,
+                                           t8=args.t8, effort=args.effort,
+                                           parts=args.parts)
             kbps = size * 8 * fps / n / 1000.0
-            ours.append((kbps, ps))
-            print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB",
-                  flush=True)
-        x264 = [(v["bytes"] * 8 * fps / n / 1000.0, v["luma_psnr"])
-                for v in m[refkey].values()]
-        bd = bd_rate([r for r, _ in x264], [p for _, p in x264],
-                     [r for r, _ in ours], [p for _, p in ours])
-        report[name] = {"ours": ours, f"{refkey}_medium": x264,
+            ours.append((kbps, ps, ss))
+            print(f"{name} qp{qp}: {kbps:.1f} kbps  {ps:.2f} dB  "
+                  f"ssim {ss:.4f}", flush=True)
+        ref = []
+        for crf, v in m[refkey].items():
+            kbps = v["bytes"] * 8 * fps / n / 1000.0
+            if refkey == "x264":
+                # SSIM via the in-repo foreign decoder (the committed
+                # .265 goldens use inter frames the foreign HEVC decoder
+                # doesn't parse yet, so HEVC stays PSNR-only)
+                _, ss = golden_x264_quality(name, crf, frames)
+            else:
+                ss = None
+            ref.append((kbps, v["luma_psnr"], ss))
+        bd = bd_rate([r for r, _, _ in ref], [p for _, p, _ in ref],
+                     [r for r, _, _ in ours], [p for _, p, _ in ours])
+        bd_s = None
+        if refkey == "x264":
+            bd_s = bd_rate([r for r, _, _ in ref],
+                           [ssim_db(s) for _, _, s in ref],
+                           [r for r, _, _ in ours],
+                           [ssim_db(s) for _, _, s in ours])
+        report[name] = {"ours": ours, f"{refkey}_medium": ref,
                         f"bd_rate_vs_{refkey}_pct": round(bd, 1)}
+        if bd_s is not None:
+            report[name][f"bd_rate_ssim_vs_{refkey}_pct"] = round(bd_s, 1)
         lines += [f"## {name}", "",
-                  "| encoder | kbps | luma PSNR (dB) |", "|---|---|---|"]
-        for (r, p), qp in zip(ours, qps):
-            lines.append(f"| ours qp{qp} | {r:.1f} | {p:.2f} |")
-        for (r, p), crf in zip(x264, m[refkey].keys()):
-            lines.append(f"| {refkey}-medium crf{crf} | {r:.1f} | {p:.2f} |")
+                  "| encoder | kbps | luma PSNR (dB) | luma SSIM |",
+                  "|---|---|---|---|"]
+        for (r, p, s), qp in zip(ours, qps):
+            lines.append(f"| ours qp{qp} | {r:.1f} | {p:.2f} | "
+                         f"{s:.4f} |" if s is not None else
+                         f"| ours qp{qp} | {r:.1f} | {p:.2f} | — |")
+        for (r, p, s), crf in zip(ref, m[refkey].keys()):
+            cell = f"{s:.4f}" if s is not None else "—"
+            lines.append(f"| {refkey}-medium crf{crf} | {r:.1f} | "
+                         f"{p:.2f} | {cell} |")
         lines += ["",
-                  f"**BD-rate vs lib{refkey} medium: {bd:+.1f}%** "
-                  "(positive = ours needs that many % more bits at equal "
-                  "PSNR)", ""]
-    with open(args.out, "w") as fh:
+                  f"**BD-rate vs lib{refkey} medium: {bd:+.1f}%** (PSNR; "
+                  "positive = ours needs that many % more bits at equal "
+                  "quality)"
+                  + (f" — **SSIM BD-rate: {bd_s:+.1f}%** (quality axis "
+                     "-10·log10(1-SSIM))" if bd_s is not None else ""),
+                  ""]
+    with open(args.out, "a" if args.append else "w") as fh:
         fh.write("\n".join(lines))
     print(json.dumps({k: v[f"bd_rate_vs_{refkey}_pct"]
                       for k, v in report.items()}))

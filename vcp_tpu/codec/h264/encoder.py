@@ -82,14 +82,13 @@ class EncoderConfig:
         # rdbench with -bf 2 + t8: texture +11.5 -> +2.2, gradmotion
         # +55.9 -> +54.1 BD-rate vs libx264 medium. Off for speed
         # presets (the 4-way trial costs a second transform pass).
-        # KNOWN GAPS (advisor, round 3): (a) the chunked GOP path
+        # KNOWN GAP (advisor, round 3): the chunked GOP path
         # (encode_pchunk_* — runs when bframes=0 or GOP <= 2 frames)
         # does not take a parts argument, so this flag only reaches the
         # per-frame pframe.encode_pframe path used by the B-anchor GOP
-        # coder; (b) P slices containing partitions route to the pure-
-        # Python entropy writers (no native CABAC fast path yet), which
-        # is the main quality-preset fps cost — see STATUS.md bench
-        # notes.
+        # coder. (The round-3 entropy gap is closed: partitioned P
+        # slices now have a native CABAC writer,
+        # native.vcp_write_pslice_cabac_parts.)
         cfg.parts = cfg.cabac and params.effort >= 5
         if os.environ.get("VCP_PARTS"):
             cfg.parts = os.environ["VCP_PARTS"] != "0"
