@@ -73,6 +73,15 @@ def main() -> None:
     frames = synth(W, H, N_FRAMES)
     cfg = EncoderConfig(width=W, height=H, fps_num=FPS, qp=QP,
                         gop_size=FPS, effort=EFFORT)
+    if EFFORT >= 5:
+        # mirror EncoderConfig.from_params' quality-preset defaults so
+        # BENCH_EFFORT=6 measures the SHIPPING parity shape (t8 +
+        # partitions + B pictures), not a bare effort bump — the north
+        # star couples >=60 fps with libx264-medium quality, so this is
+        # the configuration whose fps matters (round-3 verdict, weak #2)
+        cfg.transform8 = True
+        cfg.parts = True
+        cfg.bframes = 2
 
     # warmup: compile the I path and all P chunk sizes (8+4+2+1)
     enc = H264Encoder(cfg)

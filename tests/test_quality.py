@@ -62,3 +62,28 @@ def test_quality_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "psnr_y=99.00dB" in out and "ssim_y=1.0000" in out
+
+
+def test_rdbench_golden_ssim_psnr_consistent():
+    """rdbench's golden-quality path (foreign decode of the committed
+    libx264-medium bitstreams) must reproduce the PSNR recorded in
+    tests/golden/meta.json, and its SSIM must be sane/monotone in CRF."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import rdbench
+
+    meta = json.load(open(os.path.join(rdbench.GOLDEN, "meta.json")))
+    name = "texture_256x160"
+    frames = rdbench.load_clip(name)
+    ssims = []
+    for crf, v in meta[name]["x264"].items():
+        ps, ss = rdbench.golden_x264_quality(name, crf, frames)
+        assert abs(ps - v["luma_psnr"]) < 0.005, (crf, ps, v["luma_psnr"])
+        assert 0.5 < ss < 1.0
+        ssims.append(ss)
+    assert ssims == sorted(ssims, reverse=True)  # SSIM falls as CRF rises
+    assert rdbench.ssim_db(0.99) > rdbench.ssim_db(0.9)
