@@ -95,6 +95,12 @@ class HevcDecoder:
                 v[:h // 2, :w // 2].astype(np.uint8))
 
     def _recon_intra(self, ly, lu, lv, modes, qp, qpc):
+        """Intra picture reconstruction. Luma: any of the 35 modes per
+        CTU, predicted with the spec-proven foreign predictors
+        (foreign.intra_refs/_filter_refs/intra_pred — the same math the
+        device encoder is pinned against in tests/test_h265_intra_rd).
+        Chroma: the engine's fixed scheme — DC on CTU row 0, Vertical on
+        rows >= 1 (signalled DM or explicit; anything else raises)."""
         hp = self.hp
         h, w = hp.height, hp.width
         nby, nbx = h // 32, w // 32
@@ -109,49 +115,43 @@ class HevcDecoder:
         res_u = th.inv_np(th.dequant_np(lu, qpc, 4), 4)
         res_v = th.inv_np(th.dequant_np(lv, qpc, 4), 4)
 
-        # CTU row 0: DC (left-only references), sequential along x
-        for bx in range(nbx):
-            if modes[0, bx] != MODE_DC:
-                raise HevcDecodeError(
-                    f"unsupported intra mode {modes[0, bx]} in row 0")
-            if bx == 0:
-                dcy = dcu = dcv = 128
-            else:
-                left_y = rec_y[0:32, bx * 32 - 1]
-                left_u = rec_u[0:16, bx * 16 - 1]
-                left_v = rec_v[0:16, bx * 16 - 1]
-                dcy = int(left_y.sum() + 32 * left_y[0] + 32) >> 6
-                dcu = int(left_u.sum() + 16 * left_u[0] + 16) >> 5
-                dcv = int(left_v.sum() + 16 * left_v[0] + 16) >> 5
-            rec_y[0:32, bx * 32:bx * 32 + 32] = np.clip(
-                dcy + res_y[0, bx], 0, 255)
-            rec_u[0:16, bx * 16:bx * 16 + 16] = np.clip(
-                dcu + res_u[0, bx], 0, 255)
-            rec_v[0:16, bx * 16:bx * 16 + 16] = np.clip(
-                dcv + res_v[0, bx], 0, 255)
-
-        # rows >= 1: top-only modes (Vertical 26 + positive angular
-        # 27..34), per CTU row — prediction from the final row above
-        from .frame_ops import top_mode_preds_np
-        for by in range(1, nby):
-            if np.any((modes[by] < 26) | (modes[by] > 34)):
-                raise HevcDecodeError("unsupported intra mode below row 0")
-            if np.any((cmodes[by] != -1) & (cmodes[by] != MODE_VER)):
-                raise HevcDecodeError("unsupported chroma intra mode")
-            preds = top_mode_preds_np(rec_y[by * 32 - 1], nbx)
-            sel = np.stack([preds[int(modes[by, bx]) - 26, bx]
-                            for bx in range(nbx)])        # (nbx, 32, 32)
-            py = sel.transpose(1, 0, 2).reshape(32, w)
-            top_u = rec_u[by * 16 - 1]
-            top_v = rec_v[by * 16 - 1]
-            row_y = res_y[by].transpose(1, 0, 2).reshape(32, w)
-            row_u = res_u[by].transpose(1, 0, 2).reshape(16, w // 2)
-            row_v = res_v[by].transpose(1, 0, 2).reshape(16, w // 2)
-            rec_y[by * 32:by * 32 + 32] = np.clip(py + row_y, 0, 255)
-            rec_u[by * 16:by * 16 + 16] = np.clip(
-                top_u[None, :] + row_u, 0, 255)
-            rec_v[by * 16:by * 16 + 16] = np.clip(
-                top_v[None, :] + row_v, 0, 255)
+        from .foreign import _filter_refs, intra_pred, intra_refs
+        for by in range(nby):
+            chroma_pred = MODE_DC if by == 0 else MODE_VER
+            for bx in range(nbx):
+                mode = int(modes[by, bx])
+                eff_c = mode if cmodes[by, bx] == -1 else int(cmodes[by, bx])
+                if eff_c != chroma_pred:
+                    raise HevcDecodeError(
+                        f"unsupported chroma intra mode {eff_c}")
+                # luma: general prediction on the partial recon plane
+                left, corner, top = intra_refs(
+                    rec_y, bx * 32, by * 32, 32, 5, nbx, w, h)
+                fl, fc, ft = _filter_refs(left, int(corner), top, 32,
+                                          mode, strong_ok=False)
+                py = intra_pred(fl, fc, ft, 32, mode, luma=True)
+                rec_y[by * 32:by * 32 + 32, bx * 32:bx * 32 + 32] = \
+                    np.clip(py + res_y[by, bx], 0, 255)
+                # chroma: DC from the left column (row 0) / Vertical
+                if by == 0:
+                    if bx == 0:
+                        dcu = dcv = 128
+                    else:
+                        left_u = rec_u[0:16, bx * 16 - 1]
+                        left_v = rec_v[0:16, bx * 16 - 1]
+                        dcu = int(left_u.sum() + 16 * left_u[0] + 16) >> 5
+                        dcv = int(left_v.sum() + 16 * left_v[0] + 16) >> 5
+                    pu = np.full((16, 16), dcu, np.int32)
+                    pv = np.full((16, 16), dcv, np.int32)
+                else:
+                    pu = np.broadcast_to(
+                        rec_u[by * 16 - 1, bx * 16:bx * 16 + 16], (16, 16))
+                    pv = np.broadcast_to(
+                        rec_v[by * 16 - 1, bx * 16:bx * 16 + 16], (16, 16))
+                rec_u[by * 16:by * 16 + 16, bx * 16:bx * 16 + 16] = \
+                    np.clip(pu + res_u[by, bx], 0, 255)
+                rec_v[by * 16:by * 16 + 16, bx * 16:bx * 16 + 16] = \
+                    np.clip(pv + res_v[by, bx], 0, 255)
         from ...ops.deblock_hevc import deblock_frame_hevc
         return deblock_frame_hevc(rec_y, rec_u, rec_v, qp, qpc,
                                   intra=True, xp=np)

@@ -45,7 +45,17 @@ class HevcEncoderConfig:
     qp: int = 32
     gop_size: int = 30
     effort: int = 4
+    rd_intra: bool | None = None   # per-CTU RD mode selection over the
+                                   # full MODESET (None = auto: quality
+                                   # presets, effort >= 5)
     params: EncodeParams | None = None
+
+    def use_rd_intra(self) -> bool:
+        if os.environ.get("VCP_HEVC_RDI"):
+            return os.environ["VCP_HEVC_RDI"] != "0"
+        if self.rd_intra is not None:
+            return self.rd_intra
+        return self.effort >= 5
 
     @classmethod
     def from_params(cls, params: EncodeParams, width: int, height: int,
@@ -131,7 +141,11 @@ class HevcEncoder:
         yp, up, vp = self._pad(y, u, v)
 
         if is_idr:
-            out = frame_ops.encode_iframe(yp, up, vp, qp, qpc)
+            if cfg.use_rd_intra():
+                from . import intra_rd
+                out = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc)
+            else:
+                out = frame_ops.encode_iframe(yp, up, vp, qp, qpc)
             mv = None
             self.poc = 0
         else:

@@ -37,13 +37,17 @@ foreign.intra_refs); predictors are 8.4.4.2.4 (planar), .5 (DC),
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .foreign import ANGLE, INV_ANGLE
 
 N = 32
+LOG2N = 5
 
 # encoder candidate set: planar, DC, and the angular family at ~4-mode
 # spacing (the same coarse grid x265's fast mode decision seeds with).
@@ -191,3 +195,161 @@ def pred_mode(refs_plain, refs_filt, mode: int):
     if mode == 1:
         return _pred_dc(l64, c, t64)
     return _pred_angular(l64, c, t64, mode)
+
+
+# ---------------------------------------------------------------------------
+# Wavefront I-frame encoder (quality presets)
+# ---------------------------------------------------------------------------
+
+def _bits_proxy(levels):
+    """~2*log2(|z|)+1.7 bits per nonzero level (the currency every RD
+    decision in this repo prices level cost in; see h264.intra_rd)."""
+    a = jnp.abs(levels.astype(jnp.float32))
+    return jnp.where(a > 0, 2.0 * jnp.log2(a + 1.0) + 1.7, 0.0).sum(
+        axis=tuple(range(2, levels.ndim)))
+
+
+# luma mode signalling estimate (bits): planar/DC usually ride the MPM
+# list (prev_intra flag + <=2 bypass bins); Vertical often does via the
+# degenerate [cand, cand+/-1] chain; other angular modes mostly pay the
+# 1 + 5-bit rem escape.
+_MODE_BITS = {0: 2.5, 1: 2.5, 26: 4.0}
+_MODE_BITS_DEFAULT = 6.5
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "qpc"))
+def encode_iframe_rd(y, u, v, qp: int, qpc: int):
+    """Encode one HEVC intra frame with per-CTU RD mode selection over
+    MODESET (planar, DC, angular 2..34 at 4-mode spacing — the
+    left-dependent families the row-scan path cannot reach).
+
+    y: (H, W) int planes padded to 32 multiples; u, v: (H/2, W/2) padded
+    to 16. Returns the same dict as frame_ops.encode_iframe (deblocked
+    recon + levels) plus per-CTU "modes". Chroma keeps the engine's
+    fixed scheme (row 0 DC, rows >= 1 Vertical) so the existing syntax
+    and validation decoder semantics are unchanged.
+
+    Schedule: lax.scan over slope-2 diagonals (see module docstring);
+    each step runs every lane's full MODESET trial batched on the MXU
+    (one fwd-transform/quant/recon per mode), argmins, and scatters the
+    lane recons back into the carried frame planes.
+    """
+    from .frame_ops import _tq
+
+    y = y.astype(jnp.int32)
+    u = u.astype(jnp.int32)
+    v = v.astype(jnp.int32)
+    h, w = y.shape
+    nby, nbx = h // N, w // N
+    MBY, MBX, VALID, DMAP, KMAP = diagonal_maps2(nby, nbx)
+    D, L = MBY.shape
+    M = len(MODESET)
+    lam2 = 0.9 * 2.0 ** ((qp - 12) / 3.0)
+    modeset = jnp.asarray(MODESET, jnp.int32)
+    base_bits = jnp.asarray([_MODE_BITS.get(m, _MODE_BITS_DEFAULT)
+                             for m in MODESET], jnp.float32)
+
+    ymb = jnp.moveaxis(y.reshape(nby, N, nbx, N), 1, 2)     # (nby,nbx,32,32)
+    umb = jnp.moveaxis(u.reshape(nby, 16, nbx, 16), 1, 2)
+    vmb = jnp.moveaxis(v.reshape(nby, 16, nbx, 16), 1, 2)
+
+    # padded recon planes: +1 top/left border (masked by availability);
+    # +32 right cols keep the raw top64 gather in-bounds at the last CTU
+    # column (substitution masks the garbage); +32 bottom trash rows
+    # take the scatters of invalid lanes
+    py0 = jnp.zeros((h + N + 1, w + N + 1), jnp.int32)
+    pu0 = jnp.zeros((h // 2 + 17, w // 2 + 1), jnp.int32)
+    pv0 = jnp.zeros((h // 2 + 17, w // 2 + 1), jnp.int32)
+
+    a16 = jnp.arange(16)
+    a32 = jnp.arange(N)
+    a64 = jnp.arange(2 * N)
+
+    def step(carry, xs):
+        py, pu, pv = carry
+        mby, mbx, valid = xs
+        mbyc = jnp.where(valid, mby, 0)
+        mbxc = jnp.where(valid, mbx, 0)
+        avl = (mbx > 0) & valid
+        avt = (mby > 0) & valid
+        avtr = avt & (mbx < nbx - 1)
+
+        # ---- luma: full MODESET RD trial ----
+        y0 = mbyc * N + 1
+        x0 = mbxc * N + 1
+        cur = ymb[mbyc, mbxc]                               # (L,32,32)
+        left32 = py[y0[:, None] + a32[None, :], (x0 - 1)[:, None]]
+        top64 = py[(y0 - 1)[:, None], x0[:, None] + a64[None, :]]
+        corner = py[y0 - 1, x0 - 1]
+        refs_plain = build_refs(left32, top64, corner, avl, avt, avtr)
+        refs_filt = filter_refs(*refs_plain)
+        preds = jnp.stack([pred_mode(refs_plain, refs_filt, m)
+                           for m in MODESET])               # (M,L,32,32)
+        z, rr = _tq(cur[None] - preds, qp, LOG2N, True)
+        recon = jnp.clip(preds + rr, 0, 255)
+        ssd = ((cur[None] - recon).astype(jnp.float32) ** 2).sum((2, 3))
+        bits = _bits_proxy(z.reshape(M, L, -1))
+        # explicit-chroma signalling (~3 bits) whenever the luma mode
+        # differs from the row's fixed chroma prediction (DM otherwise)
+        chroma_pred = jnp.where(mby == 0, 1, 26)            # (L,)
+        pen = base_bits[:, None] + jnp.where(
+            modeset[:, None] == chroma_pred[None, :], 0.0, 3.0)
+        cost = ssd + lam2 * (bits + pen)
+        best = jnp.argmin(cost, axis=0)                     # (L,)
+        lane = jnp.arange(L)
+        mode_row = modeset[best]
+        zy = z[best, lane]
+        recon_b = recon[best, lane]
+        y0s = jnp.where(valid, y0, h + 1)
+        py = py.at[y0s[:, None, None] + a32[None, :, None],
+                   x0[:, None, None] + a32[None, None, :]].set(recon_b)
+
+        # ---- chroma: fixed row scheme (row 0 DC-from-left, rows >= 1
+        # Vertical), matching syntax.encode_slice_data's chroma_pred ----
+        c0 = mbyc * 16 + 1
+        cx0 = mbxc * 16 + 1
+        row0 = (mby == 0)
+
+        def chroma(pc, cmb):
+            curc = cmb[mbyc, mbxc]                          # (L,16,16)
+            leftc = pc[c0[:, None] + a16[None, :], (cx0 - 1)[:, None]]
+            topc = pc[(c0 - 1)[:, None], cx0[:, None] + a16[None, :]]
+            # DC with 8.4.4.2.2 substitution: top row propagates from
+            # left[0]; nothing available (frame corner) -> 128
+            dcc = jnp.where(avl,
+                            (leftc.sum(1) + 16 * leftc[:, 0] + 16) >> 5,
+                            128)
+            predc = jnp.where(
+                row0[:, None, None],
+                jnp.broadcast_to(dcc[:, None, None], (L, 16, 16)),
+                jnp.broadcast_to(topc[:, None, :], (L, 16, 16)))
+            zc, rc = _tq(curc - predc, qpc, 4, True)
+            reconc = jnp.clip(predc + rc, 0, 255)
+            c0s = jnp.where(valid, c0, h // 2 + 1)
+            pc = pc.at[c0s[:, None, None] + a16[None, :, None],
+                       cx0[:, None, None] + a16[None, None, :]].set(reconc)
+            return pc, zc
+
+        pu, zu = chroma(pu, umb)
+        pv, zv = chroma(pv, vmb)
+        return (py, pu, pv), (mode_row, zy, zu, zv)
+
+    (py, pu, pv), outs = jax.lax.scan(
+        step, (py0, pu0, pv0),
+        (jnp.asarray(MBY), jnp.asarray(MBX), jnp.asarray(VALID)))
+    modes_s, zy_s, zu_s, zv_s = outs
+
+    dm, km = jnp.asarray(DMAP), jnp.asarray(KMAP)
+    rec_y = py[1:h + 1, 1:w + 1]
+    rec_u = pu[1:h // 2 + 1, 1:w // 2 + 1]
+    rec_v = pv[1:h // 2 + 1, 1:w // 2 + 1]
+    from ...ops.deblock_hevc import deblock_frame_hevc
+    rec_y, rec_u, rec_v = deblock_frame_hevc(rec_y, rec_u, rec_v,
+                                             qp, qpc, intra=True)
+    return {
+        "levels_y": zy_s[dm, km].astype(jnp.int16),
+        "levels_u": zu_s[dm, km].astype(jnp.int16),
+        "levels_v": zv_s[dm, km].astype(jnp.int16),
+        "modes": modes_s[dm, km],
+        "recon_y": rec_y, "recon_u": rec_u, "recon_v": rec_v,
+    }
