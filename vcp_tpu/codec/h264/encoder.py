@@ -459,7 +459,15 @@ class H264Encoder:
         order I, P1, B.., P2, B..; libx264 -bf N with b-adapt 0 /
         b-pyramid none — the reference's libx264-medium preset semantics
         minus adaptive placement). Returns (nal, is_idr, cts_offset)
-        triples; cts_offset = display - decode + 1 in frame units."""
+        triples; cts_offset = display - decode + 1 in frame units.
+
+        Two-phase schedule: phase 1 dispatches the WHOLE decode-order
+        device chain, packing each frame's entropy inputs into one flat
+        int16 buffer that streams to the host in the background
+        (copy_to_host_async); phase 2 fetches + runs host entropy in
+        order. The naive dispatch-fetch-per-frame form spent ~2/3 of
+        its wall clock blocked on dense int32 fetches through the
+        tunneled host<->chip link (profiled round 4)."""
         from . import bframe as bfmod, gop_ops, pframe
         cfg = self.cfg
         qp = self.rc.gop_qp() if self.rc else cfg.qp
@@ -477,16 +485,52 @@ class H264Encoder:
         sr_a = min(24, sr * (cfg.bframes + 1))
         subpel = pframe.subpel_for_effort(cfg.effort)
         b, n = cfg.bframes, len(frames)
+        nby, nbx = self.sp.mb_height, self.sp.mb_width
         out: list = []
 
         anchors = list(range(0, n, b + 1))
         if anchors[-1] != n - 1:
             anchors.append(n - 1)
 
-        def cts(disp):
-            # decode index of the sample about to be appended is len(out)
-            return disp - len(out) + 1
+        # per-frame packed-fetch layouts (levels/MVs/modes all fit int16)
+        pfields = [("luma", (nby, nbx, 16, 16), np.int32),
+                   ("cb_dc", (nby, nbx, 4), np.int32),
+                   ("cb_ac", (nby, nbx, 4, 16), np.int32),
+                   ("cr_dc", (nby, nbx, 4), np.int32),
+                   ("cr_ac", (nby, nbx, 4, 16), np.int32)]
+        if cfg.parts:
+            pfields += [("mv8", (2 * nby, 2 * nbx, 2), np.int32),
+                        ("parts", (nby, nbx), np.int32)]
+        else:
+            pfields += [("mv", (nby, nbx, 2), np.int32)]
+        if cfg.transform8:
+            pfields += [("t8", (nby, nbx), np.bool_)]
+        bfields = [("mv0", (nby, nbx, 2), np.int32),
+                   ("mv1", (nby, nbx, 2), np.int32),
+                   ("mode", (nby, nbx), np.int32),
+                   ("luma", (nby, nbx, 16, 16), np.int32),
+                   ("cb_dc", (nby, nbx, 4), np.int32),
+                   ("cb_ac", (nby, nbx, 4, 16), np.int32),
+                   ("cr_dc", (nby, nbx, 4), np.int32),
+                   ("cr_ac", (nby, nbx, 4, 16), np.int32)]
 
+        def pack_dev(o, fields):
+            import jax.numpy as jnp
+            return jnp.concatenate(
+                [jnp.asarray(o[name]).astype(jnp.int16).ravel()
+                 for name, _, _ in fields])
+
+        def unpack(buf, fields):
+            host = np.asarray(buf)
+            data, off = {}, 0
+            for name, shape, dtype in fields:
+                cnt = int(np.prod(shape))
+                data[name] = np.asarray(host[off:off + cnt],
+                                        dtype).reshape(shape)
+                off += cnt
+            return data
+
+        # ---- phase 1: dispatch IDR, anchors and Bs (device-chained) ----
         yp, up, vp = self._pad(*frames[0])
         ikeys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
         if cfg.use_rd_intra():
@@ -497,6 +541,40 @@ class H264Encoder:
         else:
             iout = frame_ops.encode_iframe(yp, up, vp, qp_i, qpc_i,
                                            cfg.deblock)
+        prev_a = 0
+        prev_recon = (iout["recon_y"], iout["recon_u"], iout["recon_v"])
+
+        segs = []
+        for k, a in enumerate(anchors[1:], start=1):
+            ayp, aup, avp = self._pad(*frames[a])
+            pout = pframe.encode_pframe(
+                ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
+                deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8,
+                parts=cfg.parts)
+            pbuf = pack_dev(pout, pfields)
+            cur_recon = (pout["recon_y"], pout["recon_u"], pout["recon_v"])
+            bbufs = []
+            for d in range(prev_a + 1, a):
+                byp, bup, bvp = self._pad(*frames[d])
+                bout = gop_ops.encode_bframe(
+                    byp, bup, bvp, *prev_recon, *cur_recon,
+                    qp_b, qpc_b, sr, pframe.lam_for_qp(qp_b),
+                    subpel, cfg.deblock)
+                bbufs.append(pack_dev(bout, bfields))
+            segs.append((k, a, prev_a, pbuf, bbufs))
+            prev_a, prev_recon = a, cur_recon
+        for _, _, _, pbuf, bbufs in segs:
+            for x in (pbuf, *bbufs):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    pass
+
+        # ---- phase 2: fetch + host entropy, decode order ----
+        def cts(disp):
+            # decode index of the sample about to be appended is len(out)
+            return disp - len(out) + 1
+
         idata = {k: np.asarray(iout[k]) for k in ikeys}
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
@@ -504,27 +582,15 @@ class H264Encoder:
             src_y=yp, src_u=up, src_v=vp, deblock=cfg.deblock,
             cabac=cfg.cabac, poc_lsb=0), True, cts(0)))
         self.idr_count += 1
-        prev_a = 0
-        prev_recon = (iout["recon_y"], iout["recon_u"], iout["recon_v"])
 
-        for k, a in enumerate(anchors[1:], start=1):
-            ayp, aup, avp = self._pad(*frames[a])
-            pout = pframe.encode_pframe(
-                ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
-                deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8,
-                parts=cfg.parts)
-            pdata = {kk: np.asarray(pout[kk]) for kk in
-                     ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
-            if cfg.transform8:
-                pdata["t8"] = np.asarray(pout["t8"])
+        for k, a, seg_prev, pbuf, bbufs in segs:
+            pdata = unpack(pbuf, pfields)
             if cfg.parts:
-                pdata["mv8"] = np.asarray(pout["mv8"])
-                pdata["parts"] = np.asarray(pout["parts"])
+                pdata["mv"] = pdata["mv8"][::2, ::2]
             out.append((pframe.write_pslice(
                 self.sp, self.pp, frame_num=k, qp=qp, data=pdata,
                 deblock=cfg.deblock, cabac=cfg.cabac,
                 poc_lsb=2 * a), False, cts(a)))
-            cur_recon = (pout["recon_y"], pout["recon_u"], pout["recon_v"])
             # colZero grid of the future anchor (L1[0]) for B_Skip
             # spatial-direct derivation: inter MB with |mv| <= 1 qpel.
             # With P_8x8 anchors colZero is per 8x8 block; the MB grid is
@@ -541,15 +607,8 @@ class H264Encoder:
                 col_zero = (np.abs(pdata["mv"]) <= 1).all(-1)
                 col_safe = None
 
-            for d in range(prev_a + 1, a):
-                byp, bup, bvp = self._pad(*frames[d])
-                bout = gop_ops.encode_bframe(
-                    byp, bup, bvp, *prev_recon, *cur_recon,
-                    qp_b, qpc_b, sr, pframe.lam_for_qp(qp_b),
-                    subpel, cfg.deblock)
-                bdata = {kk: np.asarray(bout[kk]) for kk in
-                         ("mv0", "mv1", "mode", "luma",
-                          "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
+            for i, d in enumerate(range(seg_prev + 1, a)):
+                bdata = unpack(bbufs[i], bfields)
                 bdata["col_zero"] = col_zero
                 if col_safe is not None:
                     bdata["col_safe"] = col_safe
@@ -557,7 +616,6 @@ class H264Encoder:
                     self.sp, self.pp, frame_num=k + 1, qp=qp_b,
                     data=bdata, deblock=cfg.deblock, cabac=cfg.cabac,
                     poc_lsb=2 * d), False, cts(d)))
-            prev_a, prev_recon = a, cur_recon
 
         self._recon = prev_recon
         self._frame_num = len(anchors)
