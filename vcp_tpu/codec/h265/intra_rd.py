@@ -38,6 +38,7 @@ foreign.intra_refs); predictors are 8.4.4.2.4 (planar), .5 (DC),
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -244,7 +245,11 @@ def encode_iframe_rd(y, u, v, qp: int, qpc: int):
     MBY, MBX, VALID, DMAP, KMAP = diagonal_maps2(nby, nbx)
     D, L = MBY.shape
     M = len(MODESET)
-    lam2 = 0.9 * 2.0 ** ((qp - 12) / 3.0)
+    # the level-bits proxy underprices the HEVC residual coder's real
+    # CABAC cost for spread-out coefficient patterns; the multiplier is
+    # calibrated by BD-rate sweep (rdbench --codec hevc)
+    lam2 = 0.9 * 2.0 ** ((qp - 12) / 3.0) \
+        * float(os.environ.get("VCP_HEVC_RDI_LAM", "1"))
     modeset = jnp.asarray(MODESET, jnp.int32)
     base_bits = jnp.asarray([_MODE_BITS.get(m, _MODE_BITS_DEFAULT)
                              for m in MODESET], jnp.float32)
