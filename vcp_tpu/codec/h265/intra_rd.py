@@ -218,8 +218,16 @@ _MODE_BITS = {0: 2.5, 1: 2.5, 26: 4.0}
 _MODE_BITS_DEFAULT = 6.5
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qpc"))
 def encode_iframe_rd(y, u, v, qp: int, qpc: int):
+    """Env-reading wrapper: VCP_HEVC_RDI_LAM is resolved HERE (call time)
+    and passed as a static argument so an in-process calibration sweep
+    re-traces instead of silently reusing the first-traced lambda."""
+    lam_mult = float(os.environ.get("VCP_HEVC_RDI_LAM", "1"))
+    return _encode_iframe_rd(y, u, v, qp, qpc, lam_mult)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "qpc", "lam_mult"))
+def _encode_iframe_rd(y, u, v, qp: int, qpc: int, lam_mult: float = 1.0):
     """Encode one HEVC intra frame with per-CTU RD mode selection over
     MODESET (planar, DC, angular 2..34 at 4-mode spacing — the
     left-dependent families the row-scan path cannot reach).
@@ -248,8 +256,7 @@ def encode_iframe_rd(y, u, v, qp: int, qpc: int):
     # the level-bits proxy underprices the HEVC residual coder's real
     # CABAC cost for spread-out coefficient patterns; the multiplier is
     # calibrated by BD-rate sweep (rdbench --codec hevc)
-    lam2 = 0.9 * 2.0 ** ((qp - 12) / 3.0) \
-        * float(os.environ.get("VCP_HEVC_RDI_LAM", "1"))
+    lam2 = 0.9 * 2.0 ** ((qp - 12) / 3.0) * lam_mult
     modeset = jnp.asarray(MODESET, jnp.int32)
     base_bits = jnp.asarray([_MODE_BITS.get(m, _MODE_BITS_DEFAULT)
                              for m in MODESET], jnp.float32)

@@ -127,6 +127,19 @@ class Producer:
                     self.failed += 1
                 return None
 
+            # Publish-time codec probe (header-only): reject payloads no
+            # in-repo decoder handles (e.g. VP9 in .webm) HERE, with a
+            # precise reason, instead of letting the consumer fail after
+            # the file moved to shared storage (round-4 verdict #6).
+            from ..codec.probe import probe_reject_reason
+            reason = probe_reject_reason(path)
+            if reason is not None:
+                self.log.warn("rejected at publish", file=name,
+                              reason=reason)
+                with self._lock:
+                    self.failed += 1
+                return None
+
             # Dedup-rename with a nanosecond timestamp when the shared
             # target already exists (ref producer.go:378-383).
             shared_name = name
