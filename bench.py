@@ -86,11 +86,16 @@ def main() -> None:
         cfg.parts = True
         cfg.bframes = 2
 
-    # warmup: compile the I path and all P chunk sizes (8+4+2+1)
-    enc = H264Encoder(cfg)
-    enc.encode_gop(frames[: min(N_FRAMES, 16)])
-
     gop = cfg.gop_size
+
+    # warmup = one full untimed trial: compiles every program the timed
+    # trials dispatch (I path, every P chunk size of every GOP in the
+    # schedule, the sticky-cap combine_fetch shapes incl. growth) — a
+    # partial warmup left one ~45 s compile inside the first timed trial
+    # (round-5 session, trial 1 of 9 measured 2.82 fps)
+    enc = H264Encoder(cfg)
+    for i in range(0, N_FRAMES, gop):
+        enc.encode_gop(frames[i:i + gop])
 
     def one_trial() -> float:
         encs = [H264Encoder(cfg) for _ in range(streams)]

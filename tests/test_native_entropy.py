@@ -95,6 +95,47 @@ def test_cabac_pslice_t8_bit_identical(lib, qp):
         assert a == b, f"CABAC t8 frame {i} differs at qp {qp}"
 
 
+def _encode_both_b(qp, n=7, w=64, h=48, effort=2, t8=False, parts=False):
+    frames = synth_video(w, h, n)
+
+    def run():
+        enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
+                                        gop_size=n, effort=effort,
+                                        cabac=True, bframes=2,
+                                        transform8=t8, parts=parts))
+        return [s[0] for s in enc.encode_gop(frames)]
+
+    os.environ["VCP_NO_NATIVE"] = "1"
+    try:
+        py = run()
+    finally:
+        del os.environ["VCP_NO_NATIVE"]
+    nat = run()
+    return py, nat
+
+
+@pytest.mark.parametrize("qp", [22, 34])
+def test_cabac_bslice_bit_identical(lib, qp):
+    """B slices (B_Skip / B_Direct / L0/L1/Bi + two-list mvd): the C++
+    writer (vcp_write_bslice_cabac) must be byte-identical to
+    cabac_syntax.write_bslice_cabac for the whole B-GOP stream."""
+    if not hasattr(lib, "vcp_write_bslice_cabac"):
+        pytest.skip("native lib lacks B support")
+    py, nat = _encode_both_b(qp=qp)
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, f"CABAC B-GOP frame {i} differs at qp {qp}"
+
+
+def test_cabac_bslice_bit_identical_quality_shape(lib):
+    """The shipping quality shape (t8 + partitioned anchors): B slices
+    under a transform-8x8 PPS with P_8x8-anchor col_safe masking."""
+    if not hasattr(lib, "vcp_write_bslice_cabac"):
+        pytest.skip("native lib lacks B support")
+    py, nat = _encode_both_b(qp=28, effort=6, t8=True, parts=True)
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, f"quality-shape frame {i} differs"
+
+
 def test_native_cabac_stream_decodes(lib):
     enc = H264Encoder(EncoderConfig(width=64, height=48, qp=26, gop_size=4,
                                     cabac=True))

@@ -106,3 +106,48 @@ def test_graft_entry_and_dryrun():
         env=dict(os.environ, PYTHONPATH=root))
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "dryrun_multichip OK" in r.stdout
+
+
+def test_mesh_executor_bitstream_identical():
+    """Round-4 verdict item 7: the consumer executor on a multi-device
+    mesh (VCP_MESH) must produce a BYTE-identical output file to the
+    single-device path — the sharded step is the same math, the sparse/
+    delta fetch machinery it bypasses is lossless repackaging. Runs in a
+    fresh subprocess (8 virtual CPU devices) like the other mesh tests."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import os, sys, tempfile
+sys.path.insert(0, %r); sys.path.insert(0, %r)
+from video_util import synth_video
+from vcp_tpu.codec.y4m import write_y4m
+from vcp_tpu.pipeline import executor
+d = tempfile.mkdtemp()
+src = os.path.join(d, 'in.y4m')
+write_y4m(src, synth_video(96, 128, 10), fps_num=30)   # 8 MB rows
+args = '-c:v libx264 -crf 28 -movflags +faststart'
+os.environ['VCP_MESH'] = '0'
+executor.execute(src, os.path.join(d, 'single.mp4'), args, timeout=600)
+os.environ['VCP_MESH'] = '8'
+executor.execute(src, os.path.join(d, 'mesh.mp4'), args, timeout=600)
+a = open(os.path.join(d, 'single.mp4'), 'rb').read()
+b = open(os.path.join(d, 'mesh.mp4'), 'rb').read()
+assert len(a) > 0 and a == b, (len(a), len(b))
+print('MESH-EXEC OK')
+""" % (root, os.path.join(root, "tests"))
+    env = dict(os.environ,
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"),
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [root] + os.environ.get("PYTHONPATH", "").split(
+                       os.pathsep)))
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=900,
+                       env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "MESH-EXEC OK" in r.stdout

@@ -74,12 +74,58 @@ def write_bslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     mode (nMBy, nMBx) with 0=L0 / 1=L1 / 2=Bi, level arrays as for P."""
     if cabac:
         assert pp.cabac, "pp.cabac must match the slice entropy mode"
+        from ... import native
+        lib = native.get_lib()
+        if lib is not None and hasattr(lib, "vcp_write_bslice_cabac"):
+            return _write_bslice_cabac_native(
+                lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
+                deblock=deblock, poc_lsb=poc_lsb)
         from .cabac_syntax import write_bslice_cabac
         return write_bslice_cabac(sp, pp, frame_num=frame_num, qp=qp,
                                   data=data, deblock=deblock,
                                   poc_lsb=poc_lsb)
     return _write_bslice_py(sp, pp, frame_num=frame_num, qp=qp, data=data,
                             deblock=deblock, poc_lsb=poc_lsb)
+
+
+def _write_bslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
+                               deblock=False, poc_lsb=0) -> bytes:
+    """CABAC B slice through the C++ writer (native/cabac.cpp
+    vcp_write_bslice_cabac) — bit-identical to
+    cabac_syntax.write_bslice_cabac (pinned by test_native_entropy)."""
+    import ctypes
+
+    from .entropy import _nal_from_rbsp_native
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    mode = np.ascontiguousarray(data["mode"], np.int32)
+    mvs = []
+    for k in ("mv0", "mv1"):
+        mv = np.asarray(data[k])
+        mvs.append(np.ascontiguousarray(
+            np.stack([mv[..., 1], mv[..., 0]], axis=-1), np.int32))
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")]
+    col_zero = np.ascontiguousarray(
+        data.get("col_zero", np.zeros((n_mby, n_mbx), bool)), np.uint8)
+    col_safe = np.ascontiguousarray(
+        data.get("col_safe", np.ones((n_mby, n_mbx), bool)), np.uint8)
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.vcp_write_bslice_cabac(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
+        0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+        1 if pp.transform_8x8 else 0,
+        mvs[0].ctypes.data_as(i32p), mvs[1].ctypes.data_as(i32p),
+        mode.ctypes.data_as(i32p),
+        col_zero.ctypes.data_as(u8p), col_safe.ctypes.data_as(u8p),
+        *[a.ctypes.data_as(i32p) for a in arrs],
+        out.ctypes.data_as(u8p), cap)
+    if n < 0:
+        raise RuntimeError("native cabac bslice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 0)
 
 
 def _write_bslice_py(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,

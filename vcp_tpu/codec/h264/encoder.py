@@ -256,6 +256,103 @@ class H264Encoder:
     # -- GOP-chunked hot path (one device call + one fetch per chunk) -----
     P_CHUNKS = (8, 4, 2, 1)
 
+    def _get_mesh(self):
+        """Within-encode tile mesh (round-4 verdict item 7): when more
+        than one accelerator is visible (or VCP_MESH=N forces a count),
+        the non-B GOP path routes through
+        parallel.mesh.encode_pchunk_sharded — horizontal bands on the
+        ``tile`` axis, ICI all_gathers for the reference planes,
+        bit-identical to the single-chip step (tests/test_parallel.py).
+        VCP_MESH=0 disables. The sharded step covers the speed shape
+        (no t8/parts/B)."""
+        val = os.environ.get("VCP_MESH", "")
+        if val == "0":
+            return None
+        cfg = self.cfg
+        if cfg.bframes > 0 or cfg.transform8 or cfg.parts:
+            return None
+        import jax
+        n = len(jax.devices())
+        if val.isdigit() and int(val) > 0:
+            want = int(val)
+        elif n > 1 and jax.default_backend() != "cpu":
+            # auto only on real accelerators: the test suite runs on 8
+            # VIRTUAL cpu devices and must not silently reroute
+            want = n
+        else:
+            return None
+        if want < 2:
+            return None
+        # the tile count must divide the MB rows (band height MB-aligned)
+        t = min(want, n)
+        while t > 1 and self.sp.mb_height % t:
+            t -= 1
+        if t < 2:
+            return None
+        if getattr(self, "_mesh_key", None) != t:
+            from ...parallel.mesh import make_mesh
+            self._mesh = make_mesh(t, data=1, tile=t)
+            self._mesh_key = t
+        return self._mesh
+
+    def _encode_gop_mesh(self, frames: list, mesh) -> list:
+        """Non-B GOP over the device mesh: IDR single-band, P chunks via
+        encode_pchunk_sharded (dense packed fetch — the sparse/delta
+        machinery is a single-chip optimization)."""
+        from . import gop_ops, pframe
+        from ...parallel import mesh as meshmod
+        cfg = self.cfg
+        qp = self.rc.gop_qp() if self.rc else cfg.qp
+        qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
+        qp_i = idr_qp(qp) if len(frames) > 1 else qp
+        qpc_i = chroma_qp(qp_i, self.pp.chroma_qp_index_offset)
+        sr = pframe.search_range_for_effort(cfg.effort)
+        lam = pframe.lam_for_qp(qp)
+        subpel = pframe.subpel_for_effort(cfg.effort)
+        n_mby, n_mbx = self.sp.mb_height, self.sp.mb_width
+
+        out: list[tuple[bytes, bool]] = []
+        yp, up, vp = self._pad(*frames[0])
+        out.append((self._encode_idr(yp, up, vp, qp_i, qpc_i), True))
+        self.frame_index += 1
+        recon = self._recon
+        i = 1
+        poc_pos = 0
+        while i < len(frames):
+            chunk = next(c for c in self.P_CHUNKS if c <= len(frames) - i)
+            pads = [self._pad(*frames[i + k]) for k in range(chunk)]
+            ys = np.stack([p[0] for p in pads])
+            us = np.stack([p[1] for p in pads])
+            vs = np.stack([p[2] for p in pads])
+            packed, ry, ru, rv = meshmod.encode_pchunk_sharded(
+                mesh, ys[None], us[None], vs[None],
+                np.asarray(recon[0])[None], np.asarray(recon[1])[None],
+                np.asarray(recon[2])[None],
+                qp, qpc, sr=sr, lam=lam, subpel=subpel,
+                deblock=cfg.deblock)
+            recon = (ry[0].astype("uint8"), ru[0].astype("uint8"),
+                     rv[0].astype("uint8"))
+            packed_h = np.asarray(packed[0])
+            for k in range(chunk):
+                data = gop_ops.unpack_frame(packed_h[k], n_mby, n_mbx)
+                poc_pos += 1
+                nal = pframe.write_pslice(self.sp, self.pp,
+                                          frame_num=self._frame_num,
+                                          qp=qp, data=data,
+                                          deblock=cfg.deblock,
+                                          cabac=cfg.cabac,
+                                          poc_lsb=2 * poc_pos)
+                self._frame_num += 1
+                self.frame_index += 1
+                out.append((nal, False))
+            i += chunk
+        self._recon = recon
+        self._prev_tiles = None       # mesh path bypasses the delta carry
+        self._src_dev = None
+        if self.rc:
+            self.rc.update(len(frames), sum(len(nal) for nal, _ in out))
+        return out
+
     def _use_delta(self) -> bool:
         """Conditional-replenishment uploads (gop_ops delta tiles): upload
         only changed 16x16 tiles, carry the source on device. Bit-exact
@@ -272,6 +369,10 @@ class H264Encoder:
         cfg = self.cfg
         if cfg.bframes > 0 and len(frames) > 2:
             return self._encode_gop_b(frames)
+        if len(frames) > 1:
+            mesh = self._get_mesh()
+            if mesh is not None:
+                return self._encode_gop_mesh(frames, mesh)
         qp = self.rc.gop_qp() if self.rc else cfg.qp
         qpc = chroma_qp(qp, self.pp.chroma_qp_index_offset)
         qp_i = idr_qp(qp) if len(frames) > 1 else qp

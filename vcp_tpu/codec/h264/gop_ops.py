@@ -59,6 +59,22 @@ def _use_pallas_me() -> bool:
     return _jax.default_backend() not in ("cpu",)
 
 
+def _use_hier_me(sr: int) -> bool:
+    """Two-level pyramid search (ops.motion.hier_search): default on for
+    the quality presets' wide windows (R >= 12), where the exhaustive
+    sweep's (2R+1)^2 full-plane passes dominate device time (round-4
+    profile: ~1.5 s/frame at effort 6). VCP_HIER_ME=0 opts out, =1
+    forces on at every range. Read at trace time (cached per static
+    sr, like _use_pallas_me)."""
+    import os
+    val = os.environ.get("VCP_HIER_ME", "")
+    if val == "0":
+        return False
+    if val == "1":
+        return True
+    return sr >= 12
+
+
 # x264-style decimation weights: an isolated ±1 coefficient preceded by
 # `run` zeros contributes tab[min(run, 7)]; blocks whose total falls below
 # the threshold cost more bits than the distortion they remove.
@@ -129,7 +145,9 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     whole_frame = isinstance(row0, int) and row0 == 0
 
     pred_full = None
-    if whole_frame and _use_pallas_me():
+    if whole_frame and subpel and _use_hier_me(sr):
+        mv_full = mops.hier_search(cur_y, ref_y, sr, lam)
+    elif whole_frame and _use_pallas_me():
         from ...ops.motion_pallas import full_search_pallas
         if subpel:
             mv_full = full_search_pallas(cur_y, ref_y, sr, lam)
@@ -314,7 +332,9 @@ def _search_mc_luma(cur_y, ref_y, sr: int, lam, subpel: int):
     grid against the same interpolation planes (used for the uniform-MV
     B_Skip candidate)."""
     pred_full = None
-    if _use_pallas_me():
+    if subpel and _use_hier_me(sr):
+        mv_full = mops.hier_search(cur_y, ref_y, sr, lam)
+    elif _use_pallas_me():
         from ...ops.motion_pallas import full_search_pallas
         if subpel:
             mv_full = full_search_pallas(cur_y, ref_y, sr, lam)

@@ -134,7 +134,10 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
     h, w = y.shape
     n_mby, n_mbx = h // 16, w // 16
 
-    mv16f, mv8f, mvhf, mvvf = mops.full_search_parts(y, ref_y, sr, lam)
+    if gop_ops._use_hier_me(sr):
+        mv16f, mv8f, mvhf, mvvf = mops.hier_search_parts(y, ref_y, sr, lam)
+    else:
+        mv16f, mv8f, mvhf, mvvf = mops.full_search_parts(y, ref_y, sr, lam)
     pad = sr + 6
     margin = pad - 3
     planes = jnp.stack(mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))

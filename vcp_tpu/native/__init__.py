@@ -49,6 +49,13 @@ def _configure(lib) -> None:
         i32p, i32p,                     # mv8_xy, parts
         i32p, i32p, i32p, i32p, i32p,   # luma + chroma arrays
         u8p, i64]
+    lib.vcp_write_bslice_cabac.restype = i64
+    lib.vcp_write_bslice_cabac.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
+        i32p, i32p, i32p,               # mv0_xy, mv1_xy, mode
+        u8p, u8p,                       # col_zero, col_safe
+        i32p, i32p, i32p, i32p, i32p,   # luma + chroma arrays
+        u8p, i64]
     lib.vcp_deblock_frame.restype = None
     lib.vcp_deblock_frame.argtypes = [
         i32p, i32p, i32p, i32, i32, i32p, i32p, i32p, i32p]

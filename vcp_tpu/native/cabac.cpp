@@ -275,7 +275,15 @@ struct H264Ctxs {
         for (int j = 0; j < 9; j++) last8[j] = &g[417 + j];
         for (int j = 0; j < 10; j++) abs8[j] = &g[426 + j];
         for (int j = 0; j < 3; j++) t8flag[j] = &g[399 + j];
+        // B-slice slots (cabac_syntax._ctx_index_map "B"): skip 24..26,
+        // mb_type bin0 27..29, fixed tail bins 30..32
+        for (int i = 0; i < 3; i++) {
+            skip_b[i] = &g[24 + i];
+            mbt_b[i] = &g[27 + i];
+            mbt_b_fix[i] = &g[30 + i];
+        }
     }
+    Ctx *skip_b[3], *mbt_b[3], *mbt_b_fix[3];
 };
 
 // Luma 4x4 coding order → (y, x) offsets (frame_ops.LUMA_BLK_ORDER).
@@ -1142,6 +1150,278 @@ int64_t vcp_write_pslice_cabac_parts(
             if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
             p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac,
                        t8f);
+            e.terminate(last ? 1 : 0);
+        }
+    }
+    std::vector<uint8_t>& buf = bw.buf;
+    e.flush_to(buf);
+    if ((int64_t)buf.size() > out_cap) return -1;
+    std::memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+// ---------------------------------------------------------------------------
+// CABAC B slice — native counterpart of cabac_syntax.write_bslice_cabac
+// (B_Skip / B_Direct_16x16 / B_L0/L1/Bi_16x16, spatial direct, two-list
+// mvd, non-reference picture). Bit-identical to the Python writer
+// (pinned by tests/test_native_entropy.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Decoder-semantics neighbor for one reference list (pframe.
+// _mv_neighbors_dec): positions outside the picture are absent; an
+// in-picture MB not using the list IS present with mv (0,0), ref -1.
+struct NbB { int x, y, ref; bool pos; };
+
+static NbB getb(const int32_t* mv_xy, const uint8_t* use, int n_mbx,
+                int x, int y) {
+    if (x < 0 || y < 0 || x >= n_mbx) return {0, 0, -1, false};
+    size_t i = (size_t)y * n_mbx + x;
+    if (!use[i]) return {0, 0, -1, true};
+    return {mv_xy[2 * i + 0], mv_xy[2 * i + 1], 0, true};
+}
+
+static void nbs_decb(const int32_t* mv, const uint8_t* use, int n_mbx,
+                     int mbx, int mby, NbB* a, NbB* b, NbB* c) {
+    *a = getb(mv, use, n_mbx, mbx - 1, mby);
+    *b = getb(mv, use, n_mbx, mbx, mby - 1);
+    if (mby > 0 && mbx + 1 < n_mbx)
+        *c = getb(mv, use, n_mbx, mbx + 1, mby - 1);
+    else
+        *c = {0, 0, -1, false};
+    if (!c->pos) *c = getb(mv, use, n_mbx, mbx - 1, mby - 1);
+}
+
+static void mv_pred_decb(const int32_t* mv, const uint8_t* use, int n_mbx,
+                         int mbx, int mby, int out[2]) {
+    NbB a, b, c;
+    nbs_decb(mv, use, n_mbx, mbx, mby, &a, &b, &c);
+    if (!b.pos && !c.pos && a.pos) { out[0] = a.x; out[1] = a.y; return; }
+    int hits = (a.pos && a.ref == 0) + (b.pos && b.ref == 0)
+        + (c.pos && c.ref == 0);
+    if (hits == 1) {
+        const NbB& m = (a.pos && a.ref == 0) ? a
+            : ((b.pos && b.ref == 0) ? b : c);
+        out[0] = m.x; out[1] = m.y; return;
+    }
+    auto med3 = [](int u, int v, int w) {
+        int lo = u < v ? u : v, hi = u < v ? v : u;
+        return w < lo ? lo : (w > hi ? hi : w);
+    };
+    int ax = a.pos ? a.x : 0, ay = a.pos ? a.y : 0;
+    int bx2 = b.pos ? b.x : 0, by2 = b.pos ? b.y : 0;
+    int cx2 = c.pos ? c.x : 0, cy2 = c.pos ? c.y : 0;
+    out[0] = med3(ax, bx2, cx2);
+    out[1] = med3(ay, by2, cy2);
+}
+
+// bframe.direct_spatial: MB-level spatial direct derivation. Returns
+// (use0, use1) and fills mv0/mv1 for the used lists.
+static void direct_spatialc(const int32_t* mv0, const int32_t* mv1,
+                            const uint8_t* use0, const uint8_t* use1,
+                            int n_mbx, int mbx, int mby, int col_zero,
+                            bool* u0, bool* u1, int dmv0[2], int dmv1[2]) {
+    NbB a0, b0, c0, a1, b1, c1;
+    nbs_decb(mv0, use0, n_mbx, mbx, mby, &a0, &b0, &c0);
+    nbs_decb(mv1, use1, n_mbx, mbx, mby, &a1, &b1, &c1);
+    int r0 = ((a0.pos && a0.ref == 0) || (b0.pos && b0.ref == 0)
+              || (c0.pos && c0.ref == 0)) ? 0 : -1;
+    int r1 = ((a1.pos && a1.ref == 0) || (b1.pos && b1.ref == 0)
+              || (c1.pos && c1.ref == 0)) ? 0 : -1;
+    if (r0 < 0 && r1 < 0) {          // directZeroPredictionFlag
+        *u0 = *u1 = true;
+        dmv0[0] = dmv0[1] = dmv1[0] = dmv1[1] = 0;
+        return;
+    }
+    *u0 = r0 >= 0;
+    *u1 = r1 >= 0;
+    if (*u0) {
+        if (col_zero) dmv0[0] = dmv0[1] = 0;
+        else mv_pred_decb(mv0, use0, n_mbx, mbx, mby, dmv0);
+    }
+    if (*u1) {
+        if (col_zero) dmv1[0] = dmv1[1] = 0;
+        else mv_pred_decb(mv1, use1, n_mbx, mbx, mby, dmv1);
+    }
+}
+
+}  // namespace
+
+extern "C" int64_t vcp_write_bslice_cabac(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    int transform_8x8,
+    const int32_t* mv0_xy, const int32_t* mv1_xy,   // (nMB, 2) [x, y] qpel
+    const int32_t* mode,                            // 0=L0 1=L1 2=Bi
+    const uint8_t* col_zero, const uint8_t* col_safe,
+    const int32_t* luma, const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    size_t n_mb = (size_t)n_mby * n_mbx;
+    HdrWriter bw;
+    // headers.write_slice_header, slice_type "B", non-reference
+    bw.ue(0);                          // first_mb_in_slice
+    bw.ue(6);                          // slice_type B-all
+    bw.ue(0);                          // pps id
+    bw.u(frame_num_bits,
+         (uint32_t)(frame_num & ((1 << frame_num_bits) - 1)));
+    if (poc_bits > 0)
+        bw.u(poc_bits, (uint32_t)(poc_lsb & ((1 << poc_bits) - 1)));
+    bw.u(1, 1);                        // direct_spatial_mv_pred_flag
+    bw.u(1, 0);                        // num_ref_idx_active_override
+    bw.u(1, 0);                        // ref_pic_list_modification_l0
+    bw.u(1, 0);                        // ref_pic_list_modification_l1
+    // nal_ref_idc 0: no dec_ref_pic_marking
+    bw.ue(0);                          // cabac_init_idc
+    bw.se(qp - init_qp);               // slice_qp_delta
+    bw.ue((uint32_t)deblock_idc);
+    if (deblock_idc != 1) { bw.se(0); bw.se(0); }
+    bw.align_ones();
+
+    CabacEnc e;
+    e.bits.reserve(n_mb * 64);
+    H264Ctxs cx(qp, true);
+    MbState st(n_mby, n_mbx);
+    std::vector<uint8_t> bdirect(n_mb, 0);
+    std::vector<int32_t> absmvd_b(n_mb * 4, 0);     // (nMB, lst, comp)
+    std::vector<uint8_t> use0(n_mb), use1(n_mb);
+    for (size_t i = 0; i < n_mb; i++) {
+        use0[i] = mode[i] != 1 ? 1 : 0;
+        use1[i] = mode[i] != 0 ? 1 : 0;
+    }
+
+    auto mbt_b_ctx = [&](int mbx, int mby) {
+        int ca = (mbx > 0 && st.avail[st.mb(mbx - 1, mby)]
+                  && !st.skip[st.mb(mbx - 1, mby)]
+                  && !bdirect[st.mb(mbx - 1, mby)]) ? 1 : 0;
+        int cb = (mby > 0 && st.avail[st.mb(mbx, mby - 1)]
+                  && !st.skip[st.mb(mbx, mby - 1)]
+                  && !bdirect[st.mb(mbx, mby - 1)]) ? 1 : 0;
+        return ca + cb;
+    };
+    auto mvd_ctx_b = [&](int mbx, int mby, int lst, int comp) {
+        int s = 0;
+        if (mbx > 0 && st.avail[st.mb(mbx - 1, mby)])
+            s += absmvd_b[4 * st.mb(mbx - 1, mby) + 2 * lst + comp];
+        if (mby > 0 && st.avail[st.mb(mbx, mby - 1)])
+            s += absmvd_b[4 * st.mb(mbx, mby - 1) + 2 * lst + comp];
+        return s < 3 ? 0 : (s <= 32 ? 1 : 2);
+    };
+    auto encode_mvd_b = [&](int mbx, int mby, int lst, int comp, int mvd) {
+        int v = mvd < 0 ? -mvd : mvd;
+        int b0 = mvd_ctx_b(mbx, mby, lst, comp);
+        Ctx** row = cx.mvd[comp];
+        auto ctx_of = [&](int b) {
+            return b == 0 ? b0 : (2 + b < 6 ? 2 + b : 6);
+        };
+        int prefix = v < 9 ? v : 9;
+        for (int b = 0; b < prefix; b++) e.encode(*row[ctx_of(b)], 1);
+        if (prefix < 9) e.encode(*row[ctx_of(prefix)], 0);
+        else write_egk(e, (uint32_t)(v - 9), 3);
+        if (v) e.bypass(mvd < 0 ? 1 : 0);
+    };
+
+    for (int mby = 0; mby < n_mby; mby++) {
+        for (int mbx = 0; mbx < n_mbx; mbx++) {
+            size_t mb = st.mb(mbx, mby);
+            const int32_t* zl = luma + mb * 256;
+            const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
+            const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
+            int cbp_l = 0;
+            for (int blk = 0; blk < 16; blk++)
+                for (int k = 0; k < 16; k++)
+                    if (zl[blk * 16 + k]) { cbp_l |= 1 << (blk / 4); break; }
+            bool any_cac = false, any_cdc = false;
+            for (int c = 0; c < 2; c++) {
+                for (int k = 0; k < 4; k++) if (cdc[c][k]) any_cdc = true;
+                for (int blk = 0; blk < 4; blk++)
+                    for (int k = 1; k < 16; k++)
+                        if (cac[c][blk * 16 + k]) any_cac = true;
+            }
+            int cbp_c = any_cac ? 2 : (any_cdc ? 1 : 0);
+            int md = mode[mb];
+
+            // direct_ok: spatial direct reproduces (mode, mv0, mv1)
+            bool direct_ok = col_safe[mb] != 0;
+            if (direct_ok) {
+                bool u0, u1;
+                int dmv0[2], dmv1[2];
+                direct_spatialc(mv0_xy, mv1_xy, use0.data(), use1.data(),
+                                n_mbx, mbx, mby, col_zero[mb],
+                                &u0, &u1, dmv0, dmv1);
+                int dmd = (u0 && u1) ? 2 : (u1 ? 1 : 0);
+                if (dmd != md) direct_ok = false;
+                if (direct_ok && u0 &&
+                    (dmv0[0] != mv0_xy[2 * mb] ||
+                     dmv0[1] != mv0_xy[2 * mb + 1])) direct_ok = false;
+                if (direct_ok && u1 &&
+                    (dmv1[0] != mv1_xy[2 * mb] ||
+                     dmv1[1] != mv1_xy[2 * mb + 1])) direct_ok = false;
+            }
+            bool is_skip = cbp_l == 0 && cbp_c == 0 && direct_ok;
+            e.encode(*cx.skip_b[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
+            st.avail[mb] = 1;
+            st.skip[mb] = is_skip ? 1 : 0;
+            bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+            if (is_skip) {
+                st.fill_cbp_luma8(mbx, mby, 0);
+                st.cbp_chroma[mb] = 0;
+                e.terminate(last ? 1 : 0);
+                continue;
+            }
+            if (direct_ok) {
+                // B_Direct_16x16: bin0 = 0, motion derived, no mvd
+                e.encode(*cx.mbt_b[mbt_b_ctx(mbx, mby)], 0);
+                bdirect[mb] = 1;
+            } else {
+                // mb_type (Table 9-37): bin0 = 1, then '0'+list bin for
+                // L0/L1 or '1' + 4 fixed zero bins for B_Bi_16x16
+                e.encode(*cx.mbt_b[mbt_b_ctx(mbx, mby)], 1);
+                if (md < 2) {
+                    e.encode(*cx.mbt_b_fix[0], 0);
+                    e.encode(*cx.mbt_b_fix[2], md);
+                } else {
+                    e.encode(*cx.mbt_b_fix[0], 1);
+                    e.encode(*cx.mbt_b_fix[1], 0);
+                    e.encode(*cx.mbt_b_fix[2], 0);
+                    e.encode(*cx.mbt_b_fix[2], 0);
+                    e.encode(*cx.mbt_b_fix[2], 0);
+                }
+                for (int lst = 0; lst < 2; lst++) {
+                    const uint8_t* use = lst ? use1.data() : use0.data();
+                    const int32_t* mvl = lst ? mv1_xy : mv0_xy;
+                    if (!use[mb]) continue;
+                    int pred[2];
+                    mv_pred_decb(mvl, use, n_mbx, mbx, mby, pred);
+                    int mvd_x = mvl[2 * mb + 0] - pred[0];
+                    int mvd_y = mvl[2 * mb + 1] - pred[1];
+                    encode_mvd_b(mbx, mby, lst, 0, mvd_x);
+                    encode_mvd_b(mbx, mby, lst, 1, mvd_y);
+                    absmvd_b[4 * mb + 2 * lst + 0] =
+                        mvd_x < 0 ? -mvd_x : mvd_x;
+                    absmvd_b[4 * mb + 2 * lst + 1] =
+                        mvd_y < 0 ? -mvd_y : mvd_y;
+                }
+            }
+            for (int b8 = 0; b8 < 4; b8++) {
+                int bit = (cbp_l >> b8) & 1;
+                e.encode(*cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
+                st.set_cbp_luma8(mbx, mby, b8, bit);
+            }
+            e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)],
+                     cbp_c > 0 ? 1 : 0);
+            if (cbp_c > 0)
+                e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
+                         cbp_c == 2 ? 1 : 0);
+            st.cbp_chroma[mb] = cbp_c;
+            if (cbp_l > 0 && transform_8x8) {
+                // B pictures keep the 4x4 transform; flag still coded
+                e.encode(*cx.t8flag[st.t8_ctx(mbx, mby)], 0);
+            }
+            if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
+            p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac,
+                       false);
             e.terminate(last ? 1 : 0);
         }
     }

@@ -109,6 +109,245 @@ def full_search_parts(cur, ref, search_range: int, lam=4):
     return (mv_of(res[1]), mv_of(res[3]), mv_of(res[5]), mv_of(res[7]))
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical (two-level) full-pel search
+# ---------------------------------------------------------------------------
+#
+# The exhaustive sweep costs (2R+1)^2 full-plane passes; at the quality
+# presets' R=16..24 that is 1k-2.4k passes and dominates the whole encode
+# (round-4 profile: ~1.5 s/frame of device time at effort 6). The
+# classical pyramid cuts this ~20x: a 4x-downsampled coarse sweep finds
+# each MB's neighborhood (a 4x4 coarse block IS one full-res MB), then a
+# +-REFINE_R full-pel sweep over per-MB re-centered windows polishes it.
+# The re-centering is ONE dense gather; the refine sweep is then plain
+# shifted-difference passes over a compact (nMBy*(16+2r), nMBx*(16+2r))
+# plane. Not bit-identical to full_search (it is an encoder-side choice,
+# not normative); rdbench pins the BD-rate impact.
+
+REFINE_R = 4            # +-4 full-pel refine window around the coarse MV
+
+
+def _downsample4(a):
+    """4x4 box mean (H, W) -> (H/4, W/4), int32 (rounded)."""
+    h, w = a.shape
+    return (a.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3)) + 8) >> 4
+
+
+def _coarse_search(cur4, ref4, sr4: int, lam):
+    """full_search with 4x4 blocks on the quarter-res plane (one block
+    per full-res MB). Returns TWO full-res full-pel base candidates per
+    MB (x4 scale):
+
+    * per-block argmin — accurate where the 16-px coarse SAD is
+      trustworthy (distinct local motion, small objects),
+    * 3x3-block context argmin (48x48 full-res support) — robust where
+      box decimation aliases the tiny per-block SAD (textures, noise).
+
+    The refine stage sweeps around BOTH and keeps the winner, so each
+    failure mode covers the other's."""
+    h4, w4 = cur4.shape
+    nby, nbx = h4 // 4, w4 // 4
+    side = 2 * sr4 + 1
+    ref_pad = jnp.pad(ref4, sr4, mode="edge")
+    cur_b = cur4.reshape(nby, 4, nbx, 4)
+
+    def body(o, carry):
+        bc_blk, bo_blk, bc_ctx, bo_ctx = carry
+        dy = o // side - sr4
+        dx = o % side - sr4
+        shifted = jax.lax.dynamic_slice(
+            ref_pad, (dy + sr4, dx + sr4), (h4, w4))
+        sad = jnp.abs(cur_b - shifted.reshape(nby, 4, nbx, 4)) \
+            .sum(axis=(1, 3))
+        rate = jnp.abs(dx) + jnp.abs(dy)
+        cost_blk = sad * 16 + lam * 4 * rate
+        sp = jnp.pad(sad, 1, mode="edge")
+        ctx = sum(sp[dy2:dy2 + nby, dx2:dx2 + nbx]
+                  for dy2 in range(3) for dx2 in range(3))
+        cost_ctx = ctx * 16 + lam * 4 * 9 * rate
+        bb = cost_blk < bc_blk
+        bx_ = cost_ctx < bc_ctx
+        return (jnp.where(bb, cost_blk, bc_blk), jnp.where(bb, o, bo_blk),
+                jnp.where(bx_, cost_ctx, bc_ctx), jnp.where(bx_, o, bo_ctx))
+
+    z = jnp.zeros((nby, nbx), jnp.int32)
+    full = jnp.full((nby, nbx), 2**30, jnp.int32)
+    _, bo_blk, _, bo_ctx = jax.lax.fori_loop(
+        0, side * side, body, (full, z, full, z))
+
+    def mv_of(o):
+        return jnp.stack([o // side - sr4, o % side - sr4], axis=-1) * 4
+
+    return mv_of(bo_blk), mv_of(bo_ctx)
+
+
+def _rebase_windows(ref, mv_base, sr: int, r: int):
+    """Gather per-MB (16+2r)^2 reference windows centered at each MB's
+    base MV into one dense plane (nMBy*(16+2r), nMBx*(16+2r))."""
+    nby, nbx = mv_base.shape[:2]
+    pad = sr + r
+    ref_pad = jnp.pad(ref, pad, mode="edge")
+    ws = 16 + 2 * r
+    i = jnp.arange(nby * ws)
+    j = jnp.arange(nbx * ws)
+    by = i // ws
+    bx = j // ws
+    rows = (by * 16 + (i % ws)) [:, None] \
+        + mv_base[:, :, 0][by][:, bx] + (pad - r)
+    cols = (bx * 16 + (j % ws))[None, :] \
+        + mv_base[:, :, 1][by][:, bx] + (pad - r)
+    return ref_pad[rows, cols]
+
+
+def _refine_sweep(cur, windows, mv_base, lam, r: int, track_parts: bool):
+    """+-r full-pel sweep over the rebased windows. With track_parts,
+    also tracks 8x8 / 16x8 / 8x16 argmins (full_search_parts analogue).
+    Returns mv16 or (mv16, mv8, mv16x8, mv8x16), full-pel."""
+    h, w = cur.shape
+    nby, nbx = h // 16, w // 16
+    ws = 16 + 2 * r
+    side = 2 * r + 1
+    cur_mb = cur.reshape(nby, 16, nbx, 16)
+    win4 = windows.reshape(nby, ws, nbx, ws)
+
+    def sads_of(o):
+        """(sad8 (2nby, 2nbx), per-MB rate) at refine offset o."""
+        dy = o // side
+        dx = o % side
+        sh = jax.lax.dynamic_slice(
+            win4, (0, dy, 0, dx), (nby, 16, nbx, 16))
+        diff = jnp.abs(cur_mb - sh)
+        sad8 = diff.reshape(nby, 2, 8, nbx, 2, 8).sum(axis=(2, 5)) \
+            .reshape(2 * nby, 2 * nbx)
+        mvy = mv_base[..., 0] + dy - r
+        mvx = mv_base[..., 1] + dx - r
+        rate = lam * (jnp.abs(mvx) + jnp.abs(mvy))
+        return sad8, rate
+
+    def mv_of(o, base=None):
+        b = mv_base if base is None else base
+        return b + jnp.stack([o // side - r, o % side - r], axis=-1)
+
+    if not track_parts:
+        def body16(o, carry):
+            best_cost, best_o = carry
+            sad8, rate = sads_of(o)
+            sad16 = sad8.reshape(nby, 2, nbx, 2).sum(axis=(1, 3))
+            cost = sad16 + rate
+            better = cost < best_cost
+            return (jnp.where(better, cost, best_cost),
+                    jnp.where(better, o, best_o))
+
+        init = (jnp.full((nby, nbx), 2**30, jnp.int32),
+                jnp.zeros((nby, nbx), jnp.int32))
+        best_cost, best_o = jax.lax.fori_loop(0, side * side, body16, init)
+        return mv_of(best_o), best_cost
+
+    def body_parts(o, carry):
+        sad8, rate = sads_of(o)
+        s4 = sad8.reshape(nby, 2, nbx, 2)
+        sad16 = s4.sum(axis=(1, 3))
+        sad_h = sad8[:, 0::2] + sad8[:, 1::2]       # (2nby, nbx) 16x8
+        sad_v = sad8[0::2, :] + sad8[1::2, :]       # (nby, 2nbx) 8x16
+        costs = (sad16 + rate,
+                 sad8 + jnp.repeat(jnp.repeat(rate, 2, 0), 2, 1),
+                 sad_h + jnp.repeat(rate, 2, 0),
+                 sad_v + jnp.repeat(rate, 2, 1))
+        out = []
+        for cost, best_c, best_o in zip(costs, carry[0::2], carry[1::2]):
+            bet = cost < best_c
+            out.append(jnp.where(bet, cost, best_c))
+            out.append(jnp.where(bet, o, best_o))
+        return tuple(out)
+
+    def init_pair(shape):
+        return (jnp.full(shape, 2**30, jnp.int32),
+                jnp.zeros(shape, jnp.int32))
+
+    init = (init_pair((nby, nbx)) + init_pair((2 * nby, 2 * nbx))
+            + init_pair((2 * nby, nbx)) + init_pair((nby, 2 * nbx)))
+    res = jax.lax.fori_loop(0, side * side, body_parts, init)
+
+    def base_rep(ry, rx):
+        return jnp.repeat(jnp.repeat(mv_base, ry, 0), rx, 1)
+
+    return ((mv_of(res[1]), mv_of(res[3], base_rep(2, 2)),
+             mv_of(res[5], base_rep(2, 1)), mv_of(res[7], base_rep(1, 2))),
+            (res[0], res[2], res[4], res[6]))
+
+
+def _zero_sad(cur, ref, gran):
+    """Per-block SAD of the zero vector at granularity 16/8/h/v."""
+    h, w = cur.shape
+    nby, nbx = h // 16, w // 16
+    d = jnp.abs(cur - ref)
+    sad8 = d.reshape(2 * nby, 8, 2 * nbx, 8).sum(axis=(1, 3))
+    if gran == 8:
+        return sad8
+    if gran == 16:
+        return sad8.reshape(nby, 2, nbx, 2).sum(axis=(1, 3))
+    if gran == "h":
+        return sad8[:, 0::2] + sad8[:, 1::2]
+    return sad8[0::2, :] + sad8[1::2, :]
+
+
+def _coarse_bases(cur, ref, sr: int, lam):
+    """Both coarse candidates, clamped so base + refine never leaves the
+    +-sr window (downstream sub-pel margins are sized for sr)."""
+    sr4 = max(1, -(-sr // 4))
+    b_blk, b_ctx = _coarse_search(_downsample4(cur), _downsample4(ref),
+                                  sr4, lam)
+    lim = sr - REFINE_R
+    return jnp.clip(b_blk, -lim, lim), jnp.clip(b_ctx, -lim, lim)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def hier_search(cur, ref, search_range: int, lam=4):
+    """Two-level pyramid full-pel search (quality presets, R >= 12).
+    Same MV output convention as full_search. Refines around both coarse
+    candidates (per-block + context vote) and keeps the per-MB winner;
+    a zero-vector candidate guards content where the whole coarse level
+    decorrelates (noise): the winner must beat SAD(0,0) or the MV is 0."""
+    sr = search_range
+    b_blk, b_ctx = _coarse_bases(cur, ref, sr, lam)
+    mv, cost = _refine_sweep(
+        cur, _rebase_windows(ref, b_blk, sr, REFINE_R), b_blk, lam,
+        REFINE_R, False)
+    mv2, cost2 = _refine_sweep(
+        cur, _rebase_windows(ref, b_ctx, sr, REFINE_R), b_ctx, lam,
+        REFINE_R, False)
+    take2 = cost2 < cost
+    mv = jnp.where(take2[..., None], mv2, mv)
+    cost = jnp.minimum(cost, cost2)
+    zero_better = _zero_sad(cur, ref, 16) <= cost
+    return jnp.where(zero_better[..., None], 0, mv)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def hier_search_parts(cur, ref, search_range: int, lam=4):
+    """Pyramid counterpart of full_search_parts: one coarse 16x16 sweep,
+    dual +-r refines (both coarse candidates) tracking all partition
+    granularities, each granularity with its own per-block winner and
+    zero-vector fallback."""
+    sr = search_range
+    b_blk, b_ctx = _coarse_bases(cur, ref, sr, lam)
+    mvs, costs = _refine_sweep(
+        cur, _rebase_windows(ref, b_blk, sr, REFINE_R), b_blk, lam,
+        REFINE_R, True)
+    mvs2, costs2 = _refine_sweep(
+        cur, _rebase_windows(ref, b_ctx, sr, REFINE_R), b_ctx, lam,
+        REFINE_R, True)
+    out = []
+    for mv, cost, mv2, cost2, gran in zip(mvs, costs, mvs2, costs2,
+                                          (16, 8, "h", "v")):
+        take2 = cost2 < cost
+        mv = jnp.where(take2[..., None], mv2, mv)
+        cost = jnp.minimum(cost, cost2)
+        zb = _zero_sad(cur, ref, gran) <= cost
+        out.append(jnp.where(zb[..., None], 0, mv))
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def mc_luma(ref, mv, search_range: int, row0=0):
     """Full-pel luma MC: gather each MB's 16x16 block at its MV.
