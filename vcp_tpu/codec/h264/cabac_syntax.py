@@ -500,6 +500,97 @@ def _encode_mb_i16(enc, cx, st, mbx, mby, pred_mode, chroma_mode,
     st.cbp_chroma[mby, mbx] = cbp_chroma
 
 
+def _encode_mb_i8(enc, cx, st, mbx, mby, modes4, i8_luma, cdc, cac, i4g,
+                  chroma_mode=0, in_pslice=False):
+    """I_NxN macroblock with transform_size_8x8 (the x264-medium i8
+    workhorse): mb_type bin 0, t8 flag 1, four prev/rem pred modes
+    against the 4x4-granular mode grid ``i4g`` (-1 = not I_NxN -> DC),
+    chroma mode, CBP, cat-5 residual. Mirrors _parse_i_nxn exactly.
+
+    modes4: (4,) int per-8x8 modes; i8_luma: (4, 64) zigzag scans;
+    cdc (2, 4), cac (2, 4, 16)."""
+    if in_pslice:
+        enc.encode(cx["mbt_p", 0], 1)        # intra prefix in P slice
+    enc.encode(cx["mbt_i", st.mbt_i_ctx(mbx, mby)], 0)   # I_NxN
+    st.intra[mby, mbx] = True
+    st.i_nxn[mby, mbx] = True
+    enc.encode(cx["t8flag", st.t8_ctx(mbx, mby)], 1)
+    st.t8[mby, mbx] = True
+    for b8 in range(4):
+        by = 4 * mby + 2 * (b8 // 2)
+        bx = 4 * mbx + 2 * (b8 % 2)
+        if bx == 0 or by == 0:
+            pred = 2                          # unavailable -> DC (8.3.1.1)
+        else:
+            a = i4g[by, bx - 1]
+            b = i4g[by - 1, bx]
+            pred = min(a if a >= 0 else 2, b if b >= 0 else 2)
+        mode = int(modes4[b8])
+        if mode == pred:
+            enc.encode(cx.g[68], 1)           # prev_intra8x8_pred_mode
+        else:
+            enc.encode(cx.g[68], 0)
+            rem = mode if mode < pred else mode - 1
+            enc.encode(cx.g[69], rem & 1)
+            enc.encode(cx.g[69], (rem >> 1) & 1)
+            enc.encode(cx.g[69], (rem >> 2) & 1)
+        i4g[by:by + 2, bx:bx + 2] = mode
+    # intra_chroma_pred_mode (TU cMax 3)
+    cm_ctx = st.chroma_mode_ctx(mbx, mby)
+    if chroma_mode == 0:
+        enc.encode(cx["chroma_mode", cm_ctx], 0)
+    else:
+        enc.encode(cx["chroma_mode", cm_ctx], 1)
+        for b in range(1, 3):
+            if chroma_mode == b:
+                enc.encode(cx["chroma_mode", 3], 0)
+                break
+            enc.encode(cx["chroma_mode", 3], 1)
+    st.chroma_mode[mby, mbx] = chroma_mode
+    # CBP
+    cbp_l = 0
+    for b8 in range(4):
+        if np.any(i8_luma[b8]):
+            cbp_l |= 1 << b8
+    any_cac = bool(np.any(cac[:, :, 1:]))
+    any_cdc = bool(np.any(cdc))
+    cbp_c = 2 if any_cac else (1 if any_cdc else 0)
+    for b8 in range(4):
+        bit = (cbp_l >> b8) & 1
+        enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)], bit)
+        st.cbp_luma8[2 * mby + b8 // 2, 2 * mbx + b8 % 2] = bit
+    enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)],
+               1 if cbp_c > 0 else 0)
+    if cbp_c > 0:
+        enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)],
+                   1 if cbp_c == 2 else 0)
+    st.cbp_chroma[mby, mbx] = cbp_c
+    if cbp_l or cbp_c:
+        enc.encode(cx["qp_delta", 0], 0)      # mb_qp_delta == 0
+    st.last_qp_delta = 0
+    # residual: four cat-5 8x8 scans (no per-block cbf), chroma as usual
+    for b8 in range(4):
+        bit = (cbp_l >> b8) & 1
+        if bit:
+            _encode_block8(enc, cx, i8_luma[b8])
+        gy, gx = 4 * mby + 2 * (b8 // 2), 4 * mbx + 2 * (b8 % 2)
+        st.cbf_l4[gy:gy + 2, gx:gx + 2] = bit
+    if cbp_c:
+        for c in range(2):
+            _encode_block(enc, cx, st, cdc[c], CAT_CHROMA_DC, mbx, mby,
+                          0, True, c)
+    else:
+        for c in range(2):
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c)
+    for c in range(2):
+        for blk in range(4):
+            if cbp_c == 2:
+                _encode_block(enc, cx, st, cac[c, blk, 1:],
+                              CAT_CHROMA_AC, mbx, mby, blk, True, c)
+            else:
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c)
+
+
 def _decode_qp_delta(dec, cx, st) -> int:
     """mb_qp_delta (9.3.2.7 + 9.3.3.1.1.5): unary bins, ctx 60+last!=0,
     61, 62...; code k → (-1)^(k+1) * ceil(k/2)."""
@@ -665,26 +756,36 @@ def write_islice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
 
     modes = data.get("modes")          # RD intra: per-MB I16 pred mode
     cmodes = data.get("cmodes")
+    i8 = data.get("i8")                # RD intra i8: per-MB I_NxN flag
+    i8_modes = data.get("i8_modes")
+    i8_luma = data.get("i8_luma")
+    i4g = np.full((4 * n_mby, 4 * n_mbx), -1, np.int8)
     for mby in range(n_mby):
         pred_mode, chroma_mode = (2, 0) if mby == 0 else (0, 2)
         for mbx in range(n_mbx):
             if modes is not None:
                 pred_mode = int(modes[mby, mbx])
                 chroma_mode = int(cmodes[mby, mbx])
-            z_ac = luma_ac[mby, mbx]
             cdc = np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]])
             cac = np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]])
-            cbp_luma15 = bool(np.any(z_ac[:, 1:]))
-            any_cac = bool(np.any(cac[:, :, 1:]))
-            any_cdc = bool(np.any(cdc))
-            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
-            _encode_mb_i16(enc, cx, st, mbx, mby, pred_mode, chroma_mode,
-                           cbp_luma15, cbp_chroma)
-            enc.encode(cx["qp_delta", 0], 0)   # mb_qp_delta == 0
-            _mb_i16_residual(enc, cx, st, mbx, mby, encode=True,
-                             cbp_luma15=cbp_luma15, cbp_chroma=cbp_chroma,
-                             dc_zz=luma_dc[mby, mbx], ac=z_ac,
-                             cdc=cdc, cac=cac)
+            if i8 is not None and i8[mby, mbx]:
+                _encode_mb_i8(enc, cx, st, mbx, mby, i8_modes[mby, mbx],
+                              i8_luma[mby, mbx], cdc, cac, i4g,
+                              chroma_mode=chroma_mode)
+            else:
+                z_ac = luma_ac[mby, mbx]
+                cbp_luma15 = bool(np.any(z_ac[:, 1:]))
+                any_cac = bool(np.any(cac[:, :, 1:]))
+                any_cdc = bool(np.any(cdc))
+                cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+                _encode_mb_i16(enc, cx, st, mbx, mby, pred_mode,
+                               chroma_mode, cbp_luma15, cbp_chroma)
+                enc.encode(cx["qp_delta", 0], 0)   # mb_qp_delta == 0
+                _mb_i16_residual(enc, cx, st, mbx, mby, encode=True,
+                                 cbp_luma15=cbp_luma15,
+                                 cbp_chroma=cbp_chroma,
+                                 dc_zz=luma_dc[mby, mbx], ac=z_ac,
+                                 cdc=cdc, cac=cac)
             st.avail[mby, mbx] = True
             last = mby == n_mby - 1 and mbx == n_mbx - 1
             enc.encode_terminate(1 if last else 0)
@@ -828,6 +929,189 @@ def write_pslice_cabac(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
                         cac=np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]]),
                         t8=t8f)
             last = mby == n_mby - 1 and mbx == n_mbx - 1
+            enc.encode_terminate(1 if last else 0)
+    return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes() + enc.flush(),
+                    nal_ref_idc=2)
+
+
+def write_pslice_cabac_intra(sp: H.SeqParams, pp: H.PicParams, *,
+                             frame_num: int, qp: int, data: dict,
+                             deblock: bool = False,
+                             poc_lsb: int = 0) -> bytes:
+    """Partitioned CABAC P slice WITH intra macroblocks (the quality
+    presets' intra-overlay path: data carries "intra"/"i8"/"imodes"/
+    "icmodes"/"luma_dc"/"i8_modes" from pframe's overlay pass).
+
+    MV prediction and P_Skip derivation use the DECODER-exact state
+    machine (codec.h264.mvpred over (mv8, ref8, dec8) grids): an intra
+    neighbor is available with refIdx -1 / mv (0,0) — the all-inter
+    writer's encoder-semantics helpers conflate that with out-of-
+    picture, which mis-predicts next to intra MBs (spec 8.4.1.3.2)."""
+    from . import mvpred
+    from .pframe import _P_PARTS as _PF_PARTS, _mv8_grid_xy
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    nbx2 = 2 * n_mbx
+    bw = BitWriter()
+    H.write_slice_header(bw, sp, pp, is_idr=False, frame_num=frame_num,
+                         slice_qp=qp, disable_deblocking=not deblock,
+                         poc_lsb=poc_lsb)
+    bw.byte_align(1)
+
+    enc = CabacEncoder()
+    cx = H264CabacContexts(qp, pslice=True)
+    st = MbState(n_mby, n_mbx)
+
+    luma = data["luma"]
+    cb_dc, cb_ac = data["cb_dc"], data["cb_ac"]
+    cr_dc, cr_ac = data["cr_dc"], data["cr_ac"]
+    t8 = data.get("t8")
+    intra = np.asarray(data["intra"])
+    i8g = np.asarray(data["i8"])
+    imodes = np.asarray(data["imodes"])
+    icmodes = np.asarray(data["icmodes"])
+    luma_dc = np.asarray(data["luma_dc"])
+    i8_modes = np.asarray(data["i8_modes"])
+    mv_xy, parts = _mv8_grid_xy(data, n_mby, n_mbx)
+    i4g = np.full((4 * n_mby, 4 * n_mbx), -1, np.int8)
+
+    # decoder-exact MV state (intra blocks: ref -1, mv 0)
+    mv8g = np.zeros((2 * n_mby, nbx2, 2), np.int32)
+    ref8g = np.full((2 * n_mby, nbx2), -1, np.int8)
+    dec8g = np.zeros((2 * n_mby, nbx2), bool)
+
+    luma_nz = np.any(np.asarray(luma) != 0, axis=-1)
+    quad_nz = luma_nz.reshape(n_mby, n_mbx, 4, 4).any(axis=-1)
+    cbp_luma = (quad_nz * np.array([1, 2, 4, 8])).sum(axis=-1)
+    any_cac = np.any(np.asarray(cb_ac)[..., 1:] != 0, axis=(-1, -2)) | \
+        np.any(np.asarray(cr_ac)[..., 1:] != 0, axis=(-1, -2))
+    any_cdc = np.any(np.asarray(cb_dc) != 0, axis=-1) | \
+        np.any(np.asarray(cr_dc) != 0, axis=-1)
+    cbp_chroma = np.where(any_cac, 2, np.where(any_cdc, 1, 0))
+
+    def mark(by, bx, ph, pw, mv):
+        mv8g[by:by + ph, bx:bx + pw] = mv
+        ref8g[by:by + ph, bx:bx + pw] = 0
+        dec8g[by:by + ph, bx:bx + pw] = True
+
+    for mby in range(n_mby):
+        for mbx in range(n_mbx):
+            by0, bx0 = 2 * mby, 2 * mbx
+            last = mby == n_mby - 1 and mbx == n_mbx - 1
+            cdc = np.stack([cb_dc[mby, mbx], cr_dc[mby, mbx]])
+            cac = np.stack([cb_ac[mby, mbx], cr_ac[mby, mbx]])
+            if intra[mby, mbx]:
+                enc.encode(cx["skip", st.skip_ctx(mbx, mby)], 0)
+                st.avail[mby, mbx] = True
+                if i8g[mby, mbx]:
+                    i8_luma = np.asarray(luma[mby, mbx]).reshape(4, 64)
+                    _encode_mb_i8(enc, cx, st, mbx, mby,
+                                  i8_modes[mby, mbx], i8_luma, cdc, cac,
+                                  i4g, chroma_mode=int(icmodes[mby, mbx]),
+                                  in_pslice=True)
+                else:
+                    z_ac = np.asarray(luma[mby, mbx])
+                    cbp_luma15 = bool(np.any(z_ac[:, 1:]))
+                    a_cac = bool(np.any(cac[:, :, 1:]))
+                    a_cdc = bool(np.any(cdc))
+                    cbp_c = 2 if a_cac else (1 if a_cdc else 0)
+                    _encode_mb_i16(enc, cx, st, mbx, mby,
+                                   int(imodes[mby, mbx]),
+                                   int(icmodes[mby, mbx]),
+                                   cbp_luma15, cbp_c, in_pslice=True)
+                    enc.encode(cx["qp_delta", 0], 0)
+                    _mb_i16_residual(enc, cx, st, mbx, mby, encode=True,
+                                     cbp_luma15=cbp_luma15,
+                                     cbp_chroma=cbp_c,
+                                     dc_zz=luma_dc[mby, mbx], ac=z_ac,
+                                     cdc=cdc, cac=cac)
+                ref8g[by0:by0 + 2, bx0:bx0 + 2] = -1
+                dec8g[by0:by0 + 2, bx0:bx0 + 2] = True
+                enc.encode_terminate(1 if last else 0)
+                continue
+
+            pt = int(parts[mby, mbx])
+            m = (int(mv_xy[by0, bx0, 0]), int(mv_xy[by0, bx0, 1]))
+            cbp_l = int(cbp_luma[mby, mbx])
+            cbp_c = int(cbp_chroma[mby, mbx])
+            is_skip = False
+            if pt == 0:
+                smv = mvpred.p_skip_mv(mv8g, ref8g, dec8g, mby, mbx, nbx2)
+                is_skip = cbp_l == 0 and cbp_c == 0 and tuple(smv) == m
+            enc.encode(cx["skip", st.skip_ctx(mbx, mby)],
+                       1 if is_skip else 0)
+            st.avail[mby, mbx] = True
+            st.skip[mby, mbx] = is_skip
+            if is_skip:
+                st.cbp_luma8[by0:by0 + 2, bx0:bx0 + 2] = 0
+                st.cbp_chroma[mby, mbx] = 0
+                mark(by0, bx0, 2, 2, m)
+                enc.encode_terminate(1 if last else 0)
+                continue
+            if pt == 3:
+                enc.encode(cx["mbt_p", 0], 0)
+                enc.encode(cx["mbt_p", 1], 0)
+                enc.encode(cx["mbt_p", 2], 1)
+                for _ in range(4):
+                    enc.encode(cx["submbt_p", 0], 1)   # P_L0_8x8
+                for q in range(4):
+                    by, bx = by0 + (q >> 1), bx0 + (q & 1)
+                    pred = mvpred.mv_pred(mv8g, ref8g, dec8g, by, bx,
+                                          1, 1, 0, nbx2, part_idx=q)
+                    mvd = (int(mv_xy[by, bx, 0]) - pred[0],
+                           int(mv_xy[by, bx, 1]) - pred[1])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 0, mvd[0])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 1, mvd[1])
+                    st.set_absmvd(by, bx, 1, 1, 0,
+                                  (abs(mvd[0]), abs(mvd[1])))
+                    mark(by, bx, 1, 1, mv_xy[by, bx])
+            elif pt in (1, 2):
+                enc.encode(cx["mbt_p", 0], 0)
+                enc.encode(cx["mbt_p", 1], 1)
+                enc.encode(cx["mbt_p_alt", 0], 1 if pt == 1 else 0)
+                for i, (dy, dx, pw, ph) in enumerate(_PF_PARTS[pt]):
+                    by, bx = by0 + dy, bx0 + dx
+                    pred = mvpred.mv_pred(mv8g, ref8g, dec8g, by, bx,
+                                          pw, ph, 0, nbx2, part_idx=i)
+                    mvd = (int(mv_xy[by, bx, 0]) - pred[0],
+                           int(mv_xy[by, bx, 1]) - pred[1])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 0, mvd[0])
+                    _encode_mvd_comp(enc, cx, st, by, bx, 1, mvd[1])
+                    st.set_absmvd(by, bx, ph, pw, 0,
+                                  (abs(mvd[0]), abs(mvd[1])))
+                    mark(by, bx, ph, pw, mv_xy[by, bx])
+            else:
+                enc.encode(cx["mbt_p", 0], 0)
+                enc.encode(cx["mbt_p", 1], 0)
+                enc.encode(cx["mbt_p", 2], 0)
+                pred = mvpred.mv_pred(mv8g, ref8g, dec8g, by0, bx0,
+                                      2, 2, 0, nbx2)
+                mvd = (m[0] - pred[0], m[1] - pred[1])
+                _encode_mvd_comp(enc, cx, st, by0, bx0, 0, mvd[0])
+                _encode_mvd_comp(enc, cx, st, by0, bx0, 1, mvd[1])
+                st.set_absmvd(by0, bx0, 2, 2, 0,
+                              (abs(mvd[0]), abs(mvd[1])))
+                mark(by0, bx0, 2, 2, m)
+            for b8 in range(4):
+                enc.encode(cx["cbp_l", st.cbp_luma_ctx(mbx, mby, b8)],
+                           (cbp_l >> b8) & 1)
+                st.cbp_luma8[by0 + b8 // 2, bx0 + b8 % 2] = \
+                    (cbp_l >> b8) & 1
+            enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 0)],
+                       1 if cbp_c > 0 else 0)
+            if cbp_c > 0:
+                enc.encode(cx["cbp_c", st.cbp_chroma_ctx(mbx, mby, 1)],
+                           1 if cbp_c == 2 else 0)
+            st.cbp_chroma[mby, mbx] = cbp_c
+            t8f = bool(t8[mby, mbx]) if t8 is not None else False
+            if cbp_l > 0 and pp.transform_8x8:
+                enc.encode(cx["t8flag", st.t8_ctx(mbx, mby)],
+                           1 if t8f else 0)
+            st.t8[mby, mbx] = t8f
+            if cbp_l or cbp_c:
+                enc.encode(cx["qp_delta", 0], 0)
+            _p_residual(enc, cx, st, mbx, mby, encode=True, cbp_l=cbp_l,
+                        cbp_c=cbp_c, luma=luma[mby, mbx],
+                        cdc=cdc, cac=cac, t8=t8f)
             enc.encode_terminate(1 if last else 0)
     return nal_unit(H.NAL_SLICE_NONIDR, bw.to_bytes() + enc.flush(),
                     nal_ref_idc=2)

@@ -574,6 +574,22 @@ class H264Decoder:
                                  sp.num_ref_frames)
         self.frames.append(DecodedFrame(crop_y, crop_u, crop_v, is_idr))
         self._order.append((self._group, poc))
+        if getattr(self, "collect_stats", False):
+            # opt-in per-slice observability (stream analysis / rdbench
+            # attribution): slice type, intra-MB share, t8 share, i4/i8
+            # block counts
+            if not hasattr(self, "mb_stats"):
+                self.mb_stats = []
+            im = ctx["intra_mb"]
+            self.mb_stats.append({
+                "type": "I" if is_i else ("B" if is_b else "P"),
+                "intra_frac": float(im.mean()),
+                "t8_frac": float(ctx["p_t8"].mean()),
+                "i_nxn": int(((ctx["i4_modes"] >= 0).reshape(
+                    sp.mb_height, 4, sp.mb_width, 4).any(
+                        axis=(1, 3))).sum()),
+                "n_mb": int(im.size),
+            })
 
     def _decode_mbs_cavlc(self, ctx, is_p, n_mbs, intra_queue, i_rows):
         br = ctx["br"]

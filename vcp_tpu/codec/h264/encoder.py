@@ -51,6 +51,8 @@ class EncoderConfig:
     parts: bool = False            # P_8x8 sub-partitions (quality presets)
     rd_intra: bool | None = None   # per-MB RD I16 mode selection (None=auto:
                                    # on for quality presets, effort >= 5)
+    intra_p: bool | None = None    # intra MBs inside P pictures (None=auto:
+                                   # on for the CABAC quality shape)
     params: EncodeParams | None = None   # original preset args (rate control)
 
     def use_rd_intra(self) -> bool:
@@ -59,6 +61,20 @@ class EncoderConfig:
         if self.rd_intra is not None:
             return self.rd_intra
         return self.effort >= 5
+
+    def use_intra_p(self) -> bool:
+        """Intra overlay in P pictures (x264-medium's dominant tool on
+        gradient content — 65%% of its gradmotion P MBs are intra i8,
+        measured round 5). Needs the partitioned CABAC path (the intra
+        writer is CABAC-only)."""
+        if os.environ.get("VCP_INTRA_P"):
+            return os.environ["VCP_INTRA_P"] != "0"
+        if self.intra_p is not None:
+            return self.intra_p
+        # transform8 required: the overlay emits I_NxN/i8 MBs, which
+        # need a transform-8x8 PPS
+        return (self.effort >= 5 and self.cabac and self.parts
+                and self.transform8)
 
     @classmethod
     def from_params(cls, params: EncodeParams, width: int, height: int,
@@ -176,14 +192,26 @@ class H264Encoder:
         vp = frame_ops.pad_plane(np.asarray(v, np.uint8), 8)
         return yp, up, vp
 
+    def _rd_iframe(self, yp, up, vp, qp, qpc):
+        """Quality-preset intra encode: per-MB RD over I16 modes, plus
+        the I_NxN/i8 family when the stream is High-profile CABAC
+        (x264-medium's dominant intra tool on gradients). Returns
+        (device dict, extra fetch keys)."""
+        from . import intra_rd
+        if self.cfg.transform8 and self.cfg.cabac:
+            out = intra_rd.encode_iframe_rd8(yp, up, vp, qp, qpc,
+                                             self.cfg.deblock)
+            return out, ("modes", "cmodes", "i8", "i8_modes", "i8_luma")
+        out = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
+                                        self.cfg.deblock)
+        return out, ("modes", "cmodes")
+
     def _encode_idr(self, yp, up, vp, qp, qpc) -> bytes:
         """One IDR frame; recon stays resident on device."""
         keys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
         if self.cfg.use_rd_intra():
-            from . import intra_rd
-            out = intra_rd.encode_iframe_rd(yp, up, vp, qp, qpc,
-                                            self.cfg.deblock)
-            keys += ("modes", "cmodes")
+            out, extra = self._rd_iframe(yp, up, vp, qp, qpc)
+            keys += extra
         else:
             out = frame_ops.encode_iframe(yp, up, vp, qp, qpc,
                                           self.cfg.deblock)
@@ -228,6 +256,9 @@ class H264Encoder:
         self._src_dev = None
         return nal, is_idr
 
+    INTRA_P_KEYS = ("intra", "i8", "imodes", "icmodes", "luma_dc",
+                    "i8_modes")
+
     def _encode_pframe(self, yp, up, vp, qp, qpc) -> bytes:
         from . import pframe
         ry, ru, rv = self._recon
@@ -238,7 +269,8 @@ class H264Encoder:
                                    subpel=pframe.subpel_for_effort(
                                        self.cfg.effort),
                                    t8=self.cfg.transform8,
-                                   parts=self.cfg.parts)
+                                   parts=self.cfg.parts,
+                                   intra_mbs=self.cfg.use_intra_p())
         data = {k: np.asarray(out[k]) for k in
                 ("mv", "luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")}
         if self.cfg.transform8:
@@ -246,6 +278,9 @@ class H264Encoder:
         if self.cfg.parts:
             data["mv8"] = np.asarray(out["mv8"])
             data["parts"] = np.asarray(out["parts"])
+        if "intra" in out:
+            for k in self.INTRA_P_KEYS:
+                data[k] = np.asarray(out[k])
         self._last_p_data = data
         self._recon = (out["recon_y"], out["recon_u"], out["recon_v"])
         return pframe.write_pslice(self.sp, self.pp,
@@ -403,15 +438,13 @@ class H264Encoder:
         t0 = time.monotonic()
         iout = None
         if rd_intra:
-            # quality presets: dense RD-mode intra (per-MB I16 mode
+            # quality presets: dense RD-mode intra (per-MB I16/i8 mode
             # selection); IDRs are one per GOP so the full upload and
             # dense fetch are amortized
-            from . import intra_rd
             if delta:
                 gop_ops.tile_delta(yp, up, vp, prev_tiles, full=True)
                 t_pack += time.monotonic() - t0
-            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp_i, qpc_i,
-                                             cfg.deblock)
+            iout, _ikeys = self._rd_iframe(yp, up, vp, qp_i, qpc_i)
             ry, ru, rv = iout["recon_y"], iout["recon_u"], iout["recon_v"]
             if delta:
                 sy, su, sv = gop_ops.source_tiles(yp, up, vp, h16, w16)
@@ -495,7 +528,7 @@ class H264Encoder:
         if rd_intra:
             idata = {k: np.asarray(iout[k]) for k in
                      ("luma_dc", "luma_ac", "cb_dc", "cb_ac",
-                      "cr_dc", "cr_ac", "modes", "cmodes")}
+                      "cr_dc", "cr_ac") + _ikeys}
         else:
             icnt = int(np.asarray(icount)[0])
             ibucket = gop_ops.fetch_bucket(icnt, iblocks.shape[0])
@@ -606,6 +639,14 @@ class H264Encoder:
             pfields += [("mv", (nby, nbx, 2), np.int32)]
         if cfg.transform8:
             pfields += [("t8", (nby, nbx), np.bool_)]
+        intra_p = cfg.use_intra_p()
+        if intra_p:
+            pfields += [("intra", (nby, nbx), np.bool_),
+                        ("i8", (nby, nbx), np.bool_),
+                        ("imodes", (nby, nbx), np.int32),
+                        ("icmodes", (nby, nbx), np.int32),
+                        ("luma_dc", (nby, nbx, 16), np.int32),
+                        ("i8_modes", (nby, nbx, 4), np.int32)]
         bfields = [("mv0", (nby, nbx, 2), np.int32),
                    ("mv1", (nby, nbx, 2), np.int32),
                    ("mode", (nby, nbx), np.int32),
@@ -642,10 +683,8 @@ class H264Encoder:
         yp, up, vp = self._pad(*frames[0])
         ikeys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
         if cfg.use_rd_intra():
-            from . import intra_rd
-            iout = intra_rd.encode_iframe_rd(yp, up, vp, qp_i, qpc_i,
-                                             cfg.deblock)
-            ikeys += ("modes", "cmodes")
+            iout, extra = self._rd_iframe(yp, up, vp, qp_i, qpc_i)
+            ikeys += extra
         else:
             iout = frame_ops.encode_iframe(yp, up, vp, qp_i, qpc_i,
                                            cfg.deblock)
@@ -658,7 +697,7 @@ class H264Encoder:
             pout = pframe.encode_pframe(
                 ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
                 deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8,
-                parts=cfg.parts)
+                parts=cfg.parts, intra_mbs=intra_p)
             pbuf = pack_dev(pout, pfields)
             cur_recon = (pout["recon_y"], pout["recon_u"], pout["recon_v"])
             bbufs = []
@@ -707,6 +746,11 @@ class H264Encoder:
             # split inside the MB).
             if cfg.parts:
                 z8 = (np.abs(pdata["mv8"]) <= 1).all(-1)
+                if intra_p:
+                    # intra colocated blocks: refIdxCol -1 -> never
+                    # colZero (their mv slots carry garbage)
+                    z8 &= ~np.repeat(np.repeat(pdata["intra"], 2, 0),
+                                     2, 1)
                 zq = z8.reshape(self.sp.mb_height, 2,
                                 self.sp.mb_width, 2)
                 col_zero = zq.all(axis=(1, 3))

@@ -72,9 +72,10 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     the CABAC syntax layer (requires pp.cabac; Python host path)."""
     from ... import native
     lib = native.get_lib()
+    has_i8 = data.get("i8") is not None and bool(np.any(data["i8"]))
     if cabac:
         assert pp.cabac, "pp.cabac must match the slice entropy mode"
-        if lib is not None:
+        if lib is not None and not has_i8:
             return _write_islice_cabac_native(
                 lib, sp, pp, frame_num=frame_num, idr_pic_id=idr_pic_id,
                 qp=qp, data=data, deblock=deblock, poc_lsb=poc_lsb)

@@ -87,12 +87,13 @@ def _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
 
 def encode_pframe(y, u, v, ref_y, ref_u, ref_v, qp, qpc, search_range=8,
                   deblock: bool = False, subpel: int = 1,
-                  t8: bool = False, parts: bool = False):
+                  t8: bool = False, parts: bool = False,
+                  intra_mbs: bool = False):
     lam = lam_for_qp(qp)
     if parts:
         return _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
                                            qp, qpc, search_range, lam,
-                                           deblock, subpel, t8)
+                                           deblock, subpel, t8, intra_mbs)
     return _encode_pframe_device(y, u, v, ref_y, ref_u, ref_v,
                                  qp, qpc, search_range, lam, deblock,
                                  subpel, t8)
@@ -109,11 +110,11 @@ P2PART_BIT_PENALTY = int(os.environ.get("VCP_P2_PENALTY", "20"))
 P8X8_MIN_SPLIT_Q = int(os.environ.get("VCP_P8_MINSPLIT", "4"))
 
 
-@functools.partial(jax.jit, static_argnums=(8, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(8, 10, 11, 12, 13))
 def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
                                 qp, qpc, sr: int, lam,
                                 deblock: bool = False, subpel: int = 1,
-                                t8: bool = False):
+                                t8: bool = False, intra_mbs: bool = False):
     """P step with the x264-medium-style partition decision (quality
     presets): every MB picks 16x16 / 16x8 / 8x16 / P_8x8.
 
@@ -292,16 +293,7 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
      recon_y, recon_u, recon_v, nz4, t8g) = gop_ops._residual_recon(
         y, u, v, pred_y, pred_u, pred_v, qp, qpc, t8=t8)
 
-    if deblock:
-        from ...ops import deblock as dbf
-        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
-        intra = jnp.zeros((n_mby, n_mbx), bool)
-        recon_y, recon_u, recon_v = dbf.deblock_frame(
-            recon_y, recon_u, recon_v, qp_mb, intra, nz4, mv8_final,
-            tf.CHROMA_QP_FULL, no_strong=True, qp_scalar=qp,
-            t8=t8g if t8 else None)
-
-    return {
+    out = {
         "mv": mv8_final[::2, ::2],             # partition-0 view (compat)
         "mv8": mv8_final, "parts": part,
         "cb_dc": cb_dc.reshape(n_mby, n_mbx, 4),
@@ -310,10 +302,64 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
         "luma": z_luma.reshape(n_mby, n_mbx, 16, 16),
         "cb_ac": cb_ac.reshape(n_mby, n_mbx, 4, 16),
         "cr_ac": cr_ac.reshape(n_mby, n_mbx, 4, 16),
-        "recon_y": recon_y.astype(jnp.uint8),
-        "recon_u": recon_u.astype(jnp.uint8),
-        "recon_v": recon_v.astype(jnp.uint8),
     }
+    intra_grid = jnp.zeros((n_mby, n_mbx), bool)
+    if intra_mbs:
+        # per-MB intra overlay (x264-medium's dominant gradient tool):
+        # inter RD cost in the overlay's currency, then the slope-2
+        # wavefront replaces MBs where I16/i8 wins (intra_rd)
+        from . import intra_rd as ird
+        d = (y - recon_y).astype(jnp.float32)
+        issd = (d * d).reshape(n_mby, 16, n_mbx, 16).sum(axis=(1, 3))
+        az = jnp.abs(z_luma.reshape(n_mby, n_mbx, 256)
+                     .astype(jnp.float32))
+        lb = jnp.where(az > 0, 2.0 * jnp.log2(az + 1.0) + 1.7, 0.0) \
+            .sum(-1)
+        ac_ = jnp.abs(jnp.concatenate(
+            [cb_dc.reshape(n_mby, n_mbx, -1),
+             cr_dc.reshape(n_mby, n_mbx, -1),
+             cb_ac.reshape(n_mby, n_mbx, -1),
+             cr_ac.reshape(n_mby, n_mbx, -1)], -1).astype(jnp.float32))
+        cb_bits = jnp.where(ac_ > 0, 2.0 * jnp.log2(ac_ + 1.0) + 1.7,
+                            0.0).sum(-1)
+        mvbits_final = jnp.where(use_sub, mvbits_sub, mvbits16)
+        inter_cost = issd + lam2 * (lb + cb_bits + mvbits_final + 4.0)
+        ov = ird.intra_overlay_pass(y, u, v, recon_y, recon_u, recon_v,
+                                    inter_cost, qp, qpc)
+        intra_grid = ov["intra"]
+        recon_y, recon_u, recon_v = (ov["recon_y"], ov["recon_u"],
+                                     ov["recon_v"])
+        ipx = intra_grid[:, :, None]
+        out["luma"] = jnp.where(
+            ipx[..., None],
+            ov["luma_mux"].reshape(n_mby, n_mbx, 16, 16), out["luma"])
+        out["cb_dc"] = jnp.where(ipx, ov["cb_dc"], out["cb_dc"])
+        out["cr_dc"] = jnp.where(ipx, ov["cr_dc"], out["cr_dc"])
+        out["cb_ac"] = jnp.where(ipx[..., None], ov["cb_ac"],
+                                 out["cb_ac"])
+        out["cr_ac"] = jnp.where(ipx[..., None], ov["cr_ac"],
+                                 out["cr_ac"])
+        out["t8"] = jnp.where(intra_grid, ov["i8"], t8g)
+        out["intra"] = intra_grid
+        out["i8"] = ov["i8"]
+        out["imodes"] = ov["modes"]
+        out["icmodes"] = ov["cmodes"]
+        out["luma_dc"] = ov["luma_dc"]
+        out["i8_modes"] = ov["i8_modes"]
+        t8g = out["t8"]
+
+    if deblock:
+        from ...ops import deblock as dbf
+        qp_mb = jnp.full((n_mby, n_mbx), qp, jnp.int32)
+        recon_y, recon_u, recon_v = dbf.deblock_frame(
+            recon_y, recon_u, recon_v, qp_mb, intra_grid, nz4, mv8_final,
+            tf.CHROMA_QP_FULL, no_strong=not intra_mbs, qp_scalar=qp,
+            t8=t8g if (t8 or intra_mbs) else None)
+
+    out["recon_y"] = recon_y.astype(jnp.uint8)
+    out["recon_u"] = recon_u.astype(jnp.uint8)
+    out["recon_v"] = recon_v.astype(jnp.uint8)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -488,6 +534,16 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     lib = native.get_lib()
     t8 = data.get("t8")
     has_t8 = t8 is not None and bool(np.asarray(t8).any())
+    has_intra = data.get("intra") is not None and bool(np.asarray(
+        data["intra"]).any())
+    if has_intra:
+        # intra-overlay P frames need decoder-semantics MV derivations
+        # and the I16/i8-in-P syntax (CABAC-only quality path)
+        assert cabac, "intra-in-P requires the CABAC quality path"
+        from .cabac_syntax import write_pslice_cabac_intra
+        return write_pslice_cabac_intra(sp, pp, frame_num=frame_num,
+                                        qp=qp, data=data, deblock=deblock,
+                                        poc_lsb=poc_lsb)
     if data.get("parts") is not None and bool(np.asarray(
             data["parts"]).any()):
         # partitioned P frames (quality presets)
