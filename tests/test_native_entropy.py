@@ -136,6 +136,34 @@ def test_cabac_bslice_bit_identical_quality_shape(lib):
         assert a == b, f"quality-shape frame {i} differs"
 
 
+@pytest.mark.parametrize("qp", [24, 34])
+def test_cabac_i8_and_intra_p_bit_identical(lib, qp):
+    """The i8 IDR writer (vcp_write_islice_cabac_i8) and the intra-
+    overlay P writer (vcp_write_pslice_cabac_intra) must be byte-
+    identical to their Python twins across a gradient-clip GOP at the
+    shipping quality shape (where most MBs go i8/intra)."""
+    if not hasattr(lib, "vcp_write_pslice_cabac_intra"):
+        pytest.skip("native lib lacks intra-P support")
+    import rdbench
+    frames = rdbench.load_clip("gradmotion_320x192")[:7]
+
+    def run():
+        enc = H264Encoder(EncoderConfig(width=320, height=192, qp=qp,
+                                        gop_size=7, effort=6, cabac=True,
+                                        bframes=2, transform8=True,
+                                        parts=True))
+        return [s[0] for s in enc.encode_gop(frames)]
+
+    os.environ["VCP_NO_NATIVE"] = "1"
+    try:
+        py = run()
+    finally:
+        del os.environ["VCP_NO_NATIVE"]
+    nat = run()
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, f"frame {i} differs at qp {qp}"
+
+
 def test_native_cabac_stream_decodes(lib):
     enc = H264Encoder(EncoderConfig(width=64, height=48, qp=26, gop_size=4,
                                     cabac=True))

@@ -75,6 +75,11 @@ def write_islice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
     has_i8 = data.get("i8") is not None and bool(np.any(data["i8"]))
     if cabac:
         assert pp.cabac, "pp.cabac must match the slice entropy mode"
+        if lib is not None and has_i8 \
+                and hasattr(lib, "vcp_write_islice_cabac_i8"):
+            return _write_islice_cabac_i8_native(
+                lib, sp, pp, frame_num=frame_num, idr_pic_id=idr_pic_id,
+                qp=qp, data=data, deblock=deblock, poc_lsb=poc_lsb)
         if lib is not None and not has_i8:
             return _write_islice_cabac_native(
                 lib, sp, pp, frame_num=frame_num, idr_pic_id=idr_pic_id,
@@ -104,6 +109,39 @@ def _mode_ptrs(data):
     m = np.ascontiguousarray(data["modes"], np.int32)
     c = np.ascontiguousarray(data["cmodes"], np.int32)
     return (m.ctypes.data_as(i32p), c.ctypes.data_as(i32p)), (m, c)
+
+
+def _write_islice_cabac_i8_native(lib, sp, pp, *, frame_num, idr_pic_id,
+                                  qp, data, deblock=False,
+                                  poc_lsb=0) -> bytes:
+    """Mixed I16 / I_NxN-i8 IDR slice through the C++ writer
+    (vcp_write_islice_cabac_i8) — bit-identical to
+    cabac_syntax.write_islice_cabac with "i8" (test_native_entropy)."""
+    import ctypes
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    i8 = np.ascontiguousarray(data["i8"], np.uint8)
+    # the native writer reads i8 MBs' 4x64 scans from the luma_ac slot
+    luma_ac = np.asarray(data["luma_ac"]).reshape(n_mby, n_mbx, 256)
+    i8_luma = np.asarray(data["i8_luma"]).reshape(n_mby, n_mbx, 256)
+    merged = np.where(i8[..., None].astype(bool), i8_luma, luma_ac)
+    arrs = [np.ascontiguousarray(a, np.int32) for a in
+            (data["luma_dc"], merged, data["cb_dc"], data["cb_ac"],
+             data["cr_dc"], data["cr_ac"], data["modes"], data["cmodes"],
+             data["i8_modes"])]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.vcp_write_islice_cabac_i8(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num,
+        frame_num, idr_pic_id, 0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+        *[a.ctypes.data_as(i32p) for a in arrs[:8]],
+        i8.ctypes.data_as(u8p), arrs[8].ctypes.data_as(i32p),
+        out.ctypes.data_as(u8p), cap)
+    if n < 0:
+        raise RuntimeError("native cabac i8 islice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_IDR, 3)
 
 
 def _write_islice_cabac_native(lib, sp, pp, *, frame_num, idr_pic_id, qp,

@@ -540,6 +540,10 @@ def write_pslice(sp: H.SeqParams, pp: H.PicParams, *, frame_num: int,
         # intra-overlay P frames need decoder-semantics MV derivations
         # and the I16/i8-in-P syntax (CABAC-only quality path)
         assert cabac, "intra-in-P requires the CABAC quality path"
+        if lib is not None and hasattr(lib, "vcp_write_pslice_cabac_intra"):
+            return _write_pslice_cabac_intra_native(
+                lib, sp, pp, frame_num=frame_num, qp=qp, data=data,
+                deblock=deblock, poc_lsb=poc_lsb)
         from .cabac_syntax import write_pslice_cabac_intra
         return write_pslice_cabac_intra(sp, pp, frame_num=frame_num,
                                         qp=qp, data=data, deblock=deblock,
@@ -652,6 +656,51 @@ def _write_pslice_cabac_native(lib, sp, pp, *, frame_num, qp, data,
         n = lib.vcp_write_pslice_cabac(*common, *tail)
     if n < 0:
         raise RuntimeError("native cabac pslice buffer overflow")
+    return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
+
+
+def _write_pslice_cabac_intra_native(lib, sp, pp, *, frame_num, qp, data,
+                                     deblock=False, poc_lsb=0) -> bytes:
+    """Intra-overlay P slice through the C++ writer
+    (vcp_write_pslice_cabac_intra) — bit-identical to
+    cabac_syntax.write_pslice_cabac_intra (test_native_entropy)."""
+    import ctypes
+    from .entropy import _nal_from_rbsp_native
+    n_mby, n_mbx = sp.mb_height, sp.mb_width
+    mv8_xy, parts = _mv8_grid_xy(data, n_mby, n_mbx)
+    mv8_xy = np.ascontiguousarray(mv8_xy, np.int32)
+    parts = np.ascontiguousarray(parts, np.int32)
+    arrs = [np.ascontiguousarray(data[k], np.int32)
+            for k in ("luma", "cb_dc", "cb_ac", "cr_dc", "cr_ac")]
+    intra = np.ascontiguousarray(data["intra"], np.uint8)
+    i8 = np.ascontiguousarray(data["i8"], np.uint8)
+    imodes = np.ascontiguousarray(data["imodes"], np.int32)
+    icmodes = np.ascontiguousarray(data["icmodes"], np.int32)
+    luma_dc = np.ascontiguousarray(data["luma_dc"], np.int32)
+    i8_modes = np.ascontiguousarray(data["i8_modes"], np.int32)
+    t8a = data.get("t8")
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if t8a is not None:
+        t8a = np.ascontiguousarray(t8a, np.uint8)
+        t8p = t8a.ctypes.data_as(u8p)
+    else:
+        t8p = ctypes.cast(None, u8p)
+    cap = n_mby * n_mbx * 2048 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.vcp_write_pslice_cabac_intra(
+        n_mby, n_mbx, qp, pp.init_qp, sp.log2_max_frame_num, frame_num,
+        0 if deblock else 1,
+        sp.log2_max_poc_lsb if sp.poc_type == 0 else 0, poc_lsb,
+        t8p, 1 if pp.transform_8x8 else 0,
+        intra.ctypes.data_as(u8p), i8.ctypes.data_as(u8p),
+        imodes.ctypes.data_as(i32p), icmodes.ctypes.data_as(i32p),
+        luma_dc.ctypes.data_as(i32p), i8_modes.ctypes.data_as(i32p),
+        mv8_xy.ctypes.data_as(i32p), parts.ctypes.data_as(i32p),
+        *[a.ctypes.data_as(i32p) for a in arrs],
+        out.ctypes.data_as(u8p), cap)
+    if n < 0:
+        raise RuntimeError("native cabac intra pslice buffer overflow")
     return _nal_from_rbsp_native(lib, out, int(n), H.NAL_SLICE_NONIDR, 2)
 
 

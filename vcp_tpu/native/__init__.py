@@ -49,6 +49,22 @@ def _configure(lib) -> None:
         i32p, i32p,                     # mv8_xy, parts
         i32p, i32p, i32p, i32p, i32p,   # luma + chroma arrays
         u8p, i64]
+    lib.vcp_write_islice_cabac_i8.restype = i64
+    lib.vcp_write_islice_cabac_i8.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32, i32, i32, i32,
+        i32p, i32p, i32p, i32p, i32p, i32p,     # level arrays
+        i32p, i32p,                             # modes, cmodes
+        u8p, i32p,                              # i8, i8_modes
+        u8p, i64]
+    lib.vcp_write_pslice_cabac_intra.restype = i64
+    lib.vcp_write_pslice_cabac_intra.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32, i32, i32,
+        u8p, i32,                               # t8, transform_8x8
+        u8p, u8p, i32p, i32p,                   # intra, i8, imodes, icmodes
+        i32p, i32p,                             # luma_dc, i8_modes
+        i32p, i32p,                             # mv8_xy, parts
+        i32p, i32p, i32p, i32p, i32p,           # luma + chroma arrays
+        u8p, i64]
     lib.vcp_write_bslice_cabac.restype = i64
     lib.vcp_write_bslice_cabac.argtypes = [
         i32, i32, i32, i32, i32, i32, i32, i32, i32, i32,

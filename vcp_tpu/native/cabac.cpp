@@ -294,7 +294,7 @@ const int CBLK_X[4] = {0, 1, 0, 1};
 
 struct MbState {
     int n_mby, n_mbx;
-    std::vector<uint8_t> avail, skip, intra, t8;
+    std::vector<uint8_t> avail, skip, intra, t8, i_nxn;
     std::vector<int32_t> chroma_mode, cbp_luma8, cbp_chroma;
     std::vector<int32_t> absmvd;     // (n_mby, n_mbx, 2)
     std::vector<int8_t> cbf_l4;      // (4*n_mby, 4*n_mbx)
@@ -306,6 +306,7 @@ struct MbState {
         : n_mby(h), n_mbx(w),
           avail((size_t)h * w, 0), skip((size_t)h * w, 0),
           intra((size_t)h * w, 0), t8((size_t)h * w, 0),
+          i_nxn((size_t)h * w, 0),
           chroma_mode((size_t)h * w, 0),
           cbp_luma8((size_t)4 * h * w, 0), cbp_chroma((size_t)h * w, 0),
           absmvd((size_t)2 * h * w, 0),
@@ -315,10 +316,14 @@ struct MbState {
     size_t mb(int mbx, int mby) const { return (size_t)mby * n_mbx + mbx; }
 
     int mbt_i_ctx(int mbx, int mby) const {
+        // condTerm counts intra neighbors that are NOT I_NxN
+        // (cabac_syntax.MbState.mbt_i_ctx)
         int ca = (mbx > 0 && avail[mb(mbx - 1, mby)] &&
-                  intra[mb(mbx - 1, mby)]) ? 1 : 0;
+                  intra[mb(mbx - 1, mby)] &&
+                  !i_nxn[mb(mbx - 1, mby)]) ? 1 : 0;
         int cb = (mby > 0 && avail[mb(mbx, mby - 1)] &&
-                  intra[mb(mbx, mby - 1)]) ? 1 : 0;
+                  intra[mb(mbx, mby - 1)] &&
+                  !i_nxn[mb(mbx, mby - 1)]) ? 1 : 0;
         return ca + cb;
     }
     int skip_ctx(int mbx, int mby) const {
@@ -375,10 +380,12 @@ struct MbState {
         int miss = cur_intra ? 1 : 0;
         int ca, cb;
         if (cat == CAT_I16_DC) {
-            ca = (mbx > 0 && intra[mb(mbx - 1, mby)])
-                     ? cbf_i16dc[mb(mbx - 1, mby)] : miss;
-            cb = (mby > 0 && intra[mb(mbx, mby - 1)])
-                     ? cbf_i16dc[mb(mbx, mby - 1)] : miss;
+            // an AVAILABLE neighbor without an I16 DC block contributes
+            // 0 (9.3.3.1.1.9) — the grid is only ever set for I16 MBs,
+            // so indexing it covers both; only out-of-picture uses the
+            // intra-miss value (mixed P slices hit the difference)
+            ca = mbx > 0 ? cbf_i16dc[mb(mbx - 1, mby)] : miss;
+            cb = mby > 0 ? cbf_i16dc[mb(mbx, mby - 1)] : miss;
         } else if (cat == CAT_I16_AC || cat == CAT_LUMA4) {
             int gy = 4 * mby + BLK_Y[blk], gx = 4 * mbx + BLK_X[blk];
             int w4 = 4 * n_mbx;
@@ -1161,6 +1168,190 @@ int64_t vcp_write_pslice_cabac_parts(
 }
 
 // ---------------------------------------------------------------------------
+// I_NxN / i8x8 macroblock (cabac_syntax._encode_mb_i8) + decoder-exact
+// MV prediction state (codec.h264.mvpred) for intra-overlay P slices.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// _encode_mb_i8: caller provides the 4x4-granular I_NxN mode grid i4g
+// (-1 = not I_NxN). modes4 (4,), i8_luma (4, 64) scans, cdc (2, 4),
+// cac (2, 4*16).
+void encode_mb_i8(CabacEnc& e, H264Ctxs& cx, MbState& st, int mbx,
+                  int mby, const int32_t* modes4, const int32_t* i8_luma,
+                  const int32_t* cdc[2], const int32_t* cac[2],
+                  int8_t* i4g, int chroma_mode, bool in_pslice) {
+    int n_mbx = st.n_mbx;
+    int w4 = 4 * n_mbx;
+    if (in_pslice) e.encode(*cx.mbt_p[0], 1);     // intra prefix
+    e.encode(*cx.mbt_i[st.mbt_i_ctx(mbx, mby)], 0);   // I_NxN
+    st.intra[st.mb(mbx, mby)] = 1;
+    st.i_nxn[st.mb(mbx, mby)] = 1;
+    e.encode(*cx.t8flag[st.t8_ctx(mbx, mby)], 1);
+    st.t8[st.mb(mbx, mby)] = 1;
+    for (int b8 = 0; b8 < 4; b8++) {
+        int by = 4 * mby + 2 * (b8 / 2);
+        int bx = 4 * mbx + 2 * (b8 % 2);
+        int pred;
+        if (bx == 0 || by == 0) {
+            pred = 2;
+        } else {
+            int a = i4g[(size_t)by * w4 + bx - 1];
+            int b = i4g[(size_t)(by - 1) * w4 + bx];
+            int pa = a >= 0 ? a : 2, pb = b >= 0 ? b : 2;
+            pred = pa < pb ? pa : pb;
+        }
+        int mode = modes4[b8];
+        if (mode == pred) {
+            e.encode(cx.g[68], 1);
+        } else {
+            e.encode(cx.g[68], 0);
+            int rem = mode < pred ? mode : mode - 1;
+            e.encode(cx.g[69], rem & 1);
+            e.encode(cx.g[69], (rem >> 1) & 1);
+            e.encode(cx.g[69], (rem >> 2) & 1);
+        }
+        for (int dy = 0; dy < 2; dy++)
+            for (int dx = 0; dx < 2; dx++)
+                i4g[(size_t)(by + dy) * w4 + bx + dx] = (int8_t)mode;
+    }
+    int cm_ctx = st.chroma_mode_ctx(mbx, mby);
+    if (chroma_mode == 0) {
+        e.encode(*cx.chroma_mode[cm_ctx], 0);
+    } else {
+        e.encode(*cx.chroma_mode[cm_ctx], 1);
+        for (int b = 1; b < 3; b++) {
+            if (chroma_mode == b) { e.encode(*cx.chroma_mode[3], 0); break; }
+            e.encode(*cx.chroma_mode[3], 1);
+        }
+    }
+    st.chroma_mode[st.mb(mbx, mby)] = chroma_mode;
+    int cbp_l = 0;
+    for (int b8 = 0; b8 < 4; b8++)
+        for (int k = 0; k < 64; k++)
+            if (i8_luma[b8 * 64 + k]) { cbp_l |= 1 << b8; break; }
+    bool any_cac = false, any_cdc = false;
+    for (int c = 0; c < 2; c++) {
+        for (int k = 0; k < 4; k++) if (cdc[c][k]) any_cdc = true;
+        for (int blk = 0; blk < 4; blk++)
+            for (int k = 1; k < 16; k++)
+                if (cac[c][blk * 16 + k]) any_cac = true;
+    }
+    int cbp_c = any_cac ? 2 : (any_cdc ? 1 : 0);
+    for (int b8 = 0; b8 < 4; b8++) {
+        int bit = (cbp_l >> b8) & 1;
+        e.encode(*cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
+        st.set_cbp_luma8(mbx, mby, b8, bit);
+    }
+    e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)], cbp_c > 0 ? 1 : 0);
+    if (cbp_c > 0)
+        e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
+                 cbp_c == 2 ? 1 : 0);
+    st.cbp_chroma[st.mb(mbx, mby)] = cbp_c;
+    if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
+    for (int b8 = 0; b8 < 4; b8++) {
+        int bit = (cbp_l >> b8) & 1;
+        if (bit) encode_block8(e, cx, i8_luma + b8 * 64);
+        int gy = 4 * mby + 2 * (b8 / 2), gx = 4 * mbx + 2 * (b8 % 2);
+        for (int dy = 0; dy < 2; dy++)
+            for (int dx = 0; dx < 2; dx++)
+                st.cbf_l4[(size_t)(gy + dy) * w4 + gx + dx] = (int8_t)bit;
+    }
+    if (cbp_c) {
+        for (int c = 0; c < 2; c++)
+            encode_block(e, cx, st, cdc[c], 4, CAT_CHROMA_DC, mbx, mby, 0,
+                         true, c);
+    } else {
+        for (int c = 0; c < 2; c++)
+            st.set_cbf(CAT_CHROMA_DC, mbx, mby, 0, 0, c);
+    }
+    for (int c = 0; c < 2; c++) {
+        for (int blk = 0; blk < 4; blk++) {
+            if (cbp_c == 2)
+                encode_block(e, cx, st, cac[c] + blk * 16 + 1, 15,
+                             CAT_CHROMA_AC, mbx, mby, blk, true, c);
+            else
+                st.set_cbf(CAT_CHROMA_AC, mbx, mby, blk, 0, c);
+        }
+    }
+}
+
+// decoder-exact MV prediction over (mv8, ref8, dec8) — mirrors
+// codec.h264.mvpred (spec 8.4.1.3, single-ref P usage).
+struct NbP { int x, y, ref; bool ok; };
+
+static NbP getp(const int32_t* mv8, const int8_t* ref8,
+                const uint8_t* dec8, int nbx2, int by, int bx) {
+    if (by < 0 || bx < 0 || bx >= nbx2) return {0, 0, -1, false};
+    size_t i = (size_t)by * nbx2 + bx;
+    if (!dec8[i]) return {0, 0, -1, false};
+    return {mv8[2 * i + 0], mv8[2 * i + 1], ref8[i], true};
+}
+
+static void nbsp(const int32_t* mv8, const int8_t* ref8,
+                 const uint8_t* dec8, int nbx2, int by, int bx, int pw,
+                 NbP* a, NbP* b, NbP* c) {
+    *a = getp(mv8, ref8, dec8, nbx2, by, bx - 1);
+    *b = getp(mv8, ref8, dec8, nbx2, by - 1, bx);
+    *c = getp(mv8, ref8, dec8, nbx2, by - 1, bx + pw);
+    if (!c->ok) *c = getp(mv8, ref8, dec8, nbx2, by - 1, bx - 1);
+}
+
+static void mv_pred_state(const int32_t* mv8, const int8_t* ref8,
+                          const uint8_t* dec8, int nbx2, int by, int bx,
+                          int pw, int ph, int part_idx, int out[2]) {
+    NbP a, b, c;
+    nbsp(mv8, ref8, dec8, nbx2, by, bx, pw, &a, &b, &c);
+    if (pw == 2 && ph == 1) {
+        if (part_idx == 0 && b.ok && b.ref == 0) {
+            out[0] = b.x; out[1] = b.y; return; }
+        if (part_idx == 1 && a.ok && a.ref == 0) {
+            out[0] = a.x; out[1] = a.y; return; }
+    } else if (pw == 1 && ph == 2) {
+        if (part_idx == 0 && a.ok && a.ref == 0) {
+            out[0] = a.x; out[1] = a.y; return; }
+        if (part_idx == 1 && c.ok && c.ref == 0) {
+            out[0] = c.x; out[1] = c.y; return; }
+    }
+    if (!b.ok && !c.ok && a.ok) { out[0] = a.x; out[1] = a.y; return; }
+    int hits = (a.ok && a.ref == 0) + (b.ok && b.ref == 0)
+        + (c.ok && c.ref == 0);
+    if (hits == 1) {
+        const NbP& m = (a.ok && a.ref == 0) ? a
+            : ((b.ok && b.ref == 0) ? b : c);
+        out[0] = m.x; out[1] = m.y; return;
+    }
+    auto med3 = [](int u, int v, int w) {
+        int lo = u < v ? u : v, hi = u < v ? v : u;
+        return w < lo ? lo : (w > hi ? hi : w);
+    };
+    int ax = a.ok ? a.x : 0, ay = a.ok ? a.y : 0;
+    int bx2 = b.ok ? b.x : 0, by2 = b.ok ? b.y : 0;
+    int cx2 = c.ok ? c.x : 0, cy2 = c.ok ? c.y : 0;
+    out[0] = med3(ax, bx2, cx2);
+    out[1] = med3(ay, by2, cy2);
+}
+
+static void p_skip_mv_state(const int32_t* mv8, const int8_t* ref8,
+                            const uint8_t* dec8, int nbx2, int mby,
+                            int mbx, int out[2]) {
+    // mvpred.p_skip_mv: A or B out-of-picture/undecoded -> 0; A or B
+    // inter-ref0 with zero mv -> 0; else median pred (intra neighbors
+    // participate as (0,0) ref -1)
+    int by = 2 * mby, bx = 2 * mbx;
+    NbP a, b, c;
+    nbsp(mv8, ref8, dec8, nbx2, by, bx, 2, &a, &b, &c);
+    if (!a.ok || !b.ok) { out[0] = out[1] = 0; return; }
+    if ((a.ref == 0 && a.x == 0 && a.y == 0)
+        || (b.ref == 0 && b.x == 0 && b.y == 0)) {
+        out[0] = out[1] = 0; return;
+    }
+    mv_pred_state(mv8, ref8, dec8, nbx2, by, bx, 2, 2, 0, out);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
 // CABAC B slice — native counterpart of cabac_syntax.write_bslice_cabac
 // (B_Skip / B_Direct_16x16 / B_L0/L1/Bi_16x16, spatial direct, two-list
 // mvd, non-reference picture). Bit-identical to the Python writer
@@ -1422,6 +1613,304 @@ extern "C" int64_t vcp_write_bslice_cabac(
             if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
             p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac,
                        false);
+            e.terminate(last ? 1 : 0);
+        }
+    }
+    std::vector<uint8_t>& buf = bw.buf;
+    e.flush_to(buf);
+    if ((int64_t)buf.size() > out_cap) return -1;
+    std::memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+// CABAC IDR slice with mixed I16 / I_NxN-i8 macroblocks (the RD-intra
+// rd8 wavefront's output; cabac_syntax.write_islice_cabac with "i8").
+// For i8 MBs ``luma`` rows hold the 4x64 scans (i8_luma layout).
+int64_t vcp_write_islice_cabac_i8(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int idr_pic_id, int deblock_idc,
+    int poc_bits, int poc_lsb,
+    const int32_t* luma_dc, const int32_t* luma_ac,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    const int32_t* modes, const int32_t* cmodes,
+    const uint8_t* i8, const int32_t* i8_modes,
+    uint8_t* out, int64_t out_cap) {
+    HdrWriter bw;
+    cabac_slice_header(bw, true, frame_num_bits, frame_num, idr_pic_id, qp,
+                       init_qp, deblock_idc, poc_bits, poc_lsb);
+    bw.align_ones();
+
+    CabacEnc e;
+    e.bits.reserve((size_t)n_mby * n_mbx * 256);
+    H264Ctxs cx(qp, false);
+    MbState st(n_mby, n_mbx);
+    std::vector<int8_t> i4g((size_t)16 * n_mby * n_mbx, -1);
+
+    for (int mby = 0; mby < n_mby; mby++) {
+        for (int mbx = 0; mbx < n_mbx; mbx++) {
+            size_t mb = (size_t)mby * n_mbx + mbx;
+            const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
+            const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
+            if (i8[mb]) {
+                encode_mb_i8(e, cx, st, mbx, mby, i8_modes + mb * 4,
+                             luma_ac + mb * 256, cdc, cac, i4g.data(),
+                             cmodes[mb], false);
+            } else {
+                const int32_t* zdc = luma_dc + mb * 16;
+                const int32_t* zac = luma_ac + mb * 256;
+                bool cbp_luma15 = false;
+                for (int blk = 0; blk < 16 && !cbp_luma15; blk++)
+                    for (int k = 1; k < 16; k++)
+                        if (zac[blk * 16 + k]) { cbp_luma15 = true; break; }
+                bool any_cac = false, any_cdc = false;
+                for (int c = 0; c < 2; c++) {
+                    for (int k = 0; k < 4; k++)
+                        if (cdc[c][k]) any_cdc = true;
+                    for (int blk = 0; blk < 4; blk++)
+                        for (int k = 1; k < 16; k++)
+                            if (cac[c][blk * 16 + k]) any_cac = true;
+                }
+                int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
+                encode_mb_i16(e, cx, st, mbx, mby, modes[mb], cmodes[mb],
+                              cbp_luma15, cbp_chroma);
+                e.encode(*cx.qp_delta[0], 0);
+                mb_i16_residual(e, cx, st, mbx, mby, cbp_luma15,
+                                cbp_chroma, zdc, zac, cdc, cac);
+            }
+            st.avail[mb] = 1;
+            bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+            e.terminate(last ? 1 : 0);
+        }
+    }
+    std::vector<uint8_t>& buf = bw.buf;
+    e.flush_to(buf);
+    if ((int64_t)buf.size() > out_cap) return -1;
+    std::memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+// Partitioned CABAC P slice WITH intra macroblocks — native counterpart
+// of cabac_syntax.write_pslice_cabac_intra (decoder-exact MV state).
+int64_t vcp_write_pslice_cabac_intra(
+    int n_mby, int n_mbx, int qp, int init_qp, int frame_num_bits,
+    int frame_num, int deblock_idc, int poc_bits, int poc_lsb,
+    const uint8_t* t8, int transform_8x8,
+    const uint8_t* intra, const uint8_t* i8,
+    const int32_t* imodes, const int32_t* icmodes,
+    const int32_t* luma_dc, const int32_t* i8_modes,
+    const int32_t* mv8_xy, const int32_t* parts,
+    const int32_t* luma,
+    const int32_t* cb_dc, const int32_t* cb_ac,
+    const int32_t* cr_dc, const int32_t* cr_ac,
+    uint8_t* out, int64_t out_cap) {
+    int nbx2 = 2 * n_mbx;
+    HdrWriter bw;
+    cabac_slice_header(bw, false, frame_num_bits, frame_num, 0, qp,
+                       init_qp, deblock_idc, poc_bits, poc_lsb);
+    bw.align_ones();
+
+    CabacEnc e;
+    e.bits.reserve((size_t)n_mby * n_mbx * 160);
+    H264Ctxs cx(qp, true);
+    MbState st(n_mby, n_mbx);
+    std::vector<int8_t> i4g((size_t)16 * n_mby * n_mbx, -1);
+    // decoder-exact MV state
+    std::vector<int32_t> mv8g((size_t)2 * n_mby * nbx2 * 2, 0);
+    std::vector<int8_t> ref8g((size_t)2 * n_mby * nbx2, -1);
+    std::vector<uint8_t> dec8g((size_t)2 * n_mby * nbx2, 0);
+    // per-8x8 |mvd| grid for the mvd contexts (mvd_ctx8)
+    std::vector<int32_t> absmvd8((size_t)2 * n_mby * nbx2 * 2, 0);
+
+    auto mark = [&](int by, int bx, int ph, int pw, int mx, int my,
+                    int8_t ref) {
+        for (int dy = 0; dy < ph; dy++)
+            for (int dx = 0; dx < pw; dx++) {
+                size_t i = (size_t)(by + dy) * nbx2 + bx + dx;
+                mv8g[2 * i + 0] = mx;
+                mv8g[2 * i + 1] = my;
+                ref8g[i] = ref;
+                dec8g[i] = 1;
+            }
+    };
+
+    const int PT_GEO[3][2][4] = {      // pframe._P_PARTS for pt 1, 2
+        {{0, 0, 2, 1}, {1, 0, 2, 1}},  // 16x8: (dy, dx, pw, ph)
+        {{0, 0, 1, 2}, {0, 1, 1, 2}},
+        {{0, 0, 0, 0}, {0, 0, 0, 0}},
+    };
+
+    for (int mby = 0; mby < n_mby; mby++) {
+        for (int mbx = 0; mbx < n_mbx; mbx++) {
+            size_t mb = (size_t)mby * n_mbx + mbx;
+            int by0 = 2 * mby, bx0 = 2 * mbx;
+            bool last = (mby == n_mby - 1) && (mbx == n_mbx - 1);
+            const int32_t* zl = luma + mb * 256;
+            const int32_t* cdc[2] = {cb_dc + mb * 4, cr_dc + mb * 4};
+            const int32_t* cac[2] = {cb_ac + mb * 64, cr_ac + mb * 64};
+            if (intra[mb]) {
+                e.encode(*cx.skip[st.skip_ctx(mbx, mby)], 0);
+                st.avail[mb] = 1;
+                if (i8[mb]) {
+                    encode_mb_i8(e, cx, st, mbx, mby, i8_modes + mb * 4,
+                                 zl, cdc, cac, i4g.data(), icmodes[mb],
+                                 true);
+                } else {
+                    bool cbp_luma15 = false;
+                    for (int blk = 0; blk < 16 && !cbp_luma15; blk++)
+                        for (int k = 1; k < 16; k++)
+                            if (zl[blk * 16 + k]) {
+                                cbp_luma15 = true; break;
+                            }
+                    bool any_cac = false, any_cdc = false;
+                    for (int c = 0; c < 2; c++) {
+                        for (int k = 0; k < 4; k++)
+                            if (cdc[c][k]) any_cdc = true;
+                        for (int blk = 0; blk < 4; blk++)
+                            for (int k = 1; k < 16; k++)
+                                if (cac[c][blk * 16 + k]) any_cac = true;
+                    }
+                    int cbp_chroma = any_cac ? 2 : (any_cdc ? 1 : 0);
+                    e.encode(*cx.mbt_p[0], 1);       // intra prefix
+                    encode_mb_i16(e, cx, st, mbx, mby, imodes[mb],
+                                  icmodes[mb], cbp_luma15, cbp_chroma);
+                    e.encode(*cx.qp_delta[0], 0);
+                    mb_i16_residual(e, cx, st, mbx, mby, cbp_luma15,
+                                    cbp_chroma, luma_dc + mb * 16, zl,
+                                    cdc, cac);
+                }
+                mark(by0, bx0, 2, 2, 0, 0, -1);
+                e.terminate(last ? 1 : 0);
+                continue;
+            }
+            int pt = parts[mb];
+            int m[2] = {mv8_xy[2 * ((size_t)by0 * nbx2 + bx0) + 0],
+                        mv8_xy[2 * ((size_t)by0 * nbx2 + bx0) + 1]};
+            int cbp_l = 0;
+            for (int blk = 0; blk < 16; blk++)
+                for (int k = 0; k < 16; k++)
+                    if (zl[blk * 16 + k]) { cbp_l |= 1 << (blk / 4); break; }
+            bool any_cac = false, any_cdc = false;
+            for (int c = 0; c < 2; c++) {
+                for (int k = 0; k < 4; k++) if (cdc[c][k]) any_cdc = true;
+                for (int blk = 0; blk < 4; blk++)
+                    for (int k = 1; k < 16; k++)
+                        if (cac[c][blk * 16 + k]) any_cac = true;
+            }
+            int cbp_c = any_cac ? 2 : (any_cdc ? 1 : 0);
+            bool is_skip = false;
+            if (pt == 0) {
+                int smv[2];
+                p_skip_mv_state(mv8g.data(), ref8g.data(), dec8g.data(),
+                                nbx2, mby, mbx, smv);
+                is_skip = cbp_l == 0 && cbp_c == 0 && smv[0] == m[0]
+                    && smv[1] == m[1];
+            }
+            e.encode(*cx.skip[st.skip_ctx(mbx, mby)], is_skip ? 1 : 0);
+            st.avail[mb] = 1;
+            st.skip[mb] = is_skip ? 1 : 0;
+            if (is_skip) {
+                st.fill_cbp_luma8(mbx, mby, 0);
+                st.cbp_chroma[mb] = 0;
+                mark(by0, bx0, 2, 2, m[0], m[1], 0);
+                e.terminate(last ? 1 : 0);
+                continue;
+            }
+            auto enc_mvd8_here = [&](int by, int bx, int comp, int mvd) {
+                int c0 = mvd_ctx8(absmvd8.data(), st.avail.data(), n_mbx,
+                                  nbx2, by, bx, comp);
+                encode_mvd8(e, cx, c0, comp, mvd);
+            };
+            auto set_absmvd8 = [&](int by, int bx, int ph, int pw,
+                                   int ax, int ay) {
+                for (int dy = 0; dy < ph; dy++)
+                    for (int dx = 0; dx < pw; dx++) {
+                        size_t i = (size_t)(by + dy) * nbx2 + bx + dx;
+                        absmvd8[2 * i + 0] = ax;
+                        absmvd8[2 * i + 1] = ay;
+                    }
+            };
+            if (pt == 3) {
+                e.encode(*cx.mbt_p[0], 0);
+                e.encode(*cx.mbt_p[1], 0);
+                e.encode(*cx.mbt_p[2], 1);
+                for (int q = 0; q < 4; q++)
+                    e.encode(cx.g[21], 1);           // sub_mb_type P_L0_8x8
+                for (int q = 0; q < 4; q++) {
+                    int by = by0 + (q >> 1), bx = bx0 + (q & 1);
+                    size_t bi = (size_t)by * nbx2 + bx;
+                    int pred[2];
+                    mv_pred_state(mv8g.data(), ref8g.data(), dec8g.data(),
+                                  nbx2, by, bx, 1, 1, q, pred);
+                    int mvd0 = mv8_xy[2 * bi + 0] - pred[0];
+                    int mvd1 = mv8_xy[2 * bi + 1] - pred[1];
+                    enc_mvd8_here(by, bx, 0, mvd0);
+                    enc_mvd8_here(by, bx, 1, mvd1);
+                    set_absmvd8(by, bx, 1, 1,
+                                mvd0 < 0 ? -mvd0 : mvd0,
+                                mvd1 < 0 ? -mvd1 : mvd1);
+                    mark(by, bx, 1, 1, mv8_xy[2 * bi + 0],
+                         mv8_xy[2 * bi + 1], 0);
+                }
+            } else if (pt == 1 || pt == 2) {
+                e.encode(*cx.mbt_p[0], 0);
+                e.encode(*cx.mbt_p[1], 1);
+                // bin2 ctx 17 (mbt_p_alt): 16x8 -> 1, 8x16 -> 0
+                e.encode(cx.g[17], pt == 1 ? 1 : 0);
+                for (int i = 0; i < 2; i++) {
+                    int dy = PT_GEO[pt - 1][i][0];
+                    int dx = PT_GEO[pt - 1][i][1];
+                    int pw = PT_GEO[pt - 1][i][2];
+                    int ph = PT_GEO[pt - 1][i][3];
+                    int by = by0 + dy, bx = bx0 + dx;
+                    size_t bi = (size_t)by * nbx2 + bx;
+                    int pred[2];
+                    mv_pred_state(mv8g.data(), ref8g.data(), dec8g.data(),
+                                  nbx2, by, bx, pw, ph, i, pred);
+                    int mvd0 = mv8_xy[2 * bi + 0] - pred[0];
+                    int mvd1 = mv8_xy[2 * bi + 1] - pred[1];
+                    enc_mvd8_here(by, bx, 0, mvd0);
+                    enc_mvd8_here(by, bx, 1, mvd1);
+                    set_absmvd8(by, bx, ph, pw,
+                                mvd0 < 0 ? -mvd0 : mvd0,
+                                mvd1 < 0 ? -mvd1 : mvd1);
+                    mark(by, bx, ph, pw, mv8_xy[2 * bi + 0],
+                         mv8_xy[2 * bi + 1], 0);
+                }
+            } else {
+                e.encode(*cx.mbt_p[0], 0);
+                e.encode(*cx.mbt_p[1], 0);
+                e.encode(*cx.mbt_p[2], 0);
+                int pred[2];
+                mv_pred_state(mv8g.data(), ref8g.data(), dec8g.data(),
+                              nbx2, by0, bx0, 2, 2, 0, pred);
+                int mvd0 = m[0] - pred[0];
+                int mvd1 = m[1] - pred[1];
+                enc_mvd8_here(by0, bx0, 0, mvd0);
+                enc_mvd8_here(by0, bx0, 1, mvd1);
+                set_absmvd8(by0, bx0, 2, 2,
+                            mvd0 < 0 ? -mvd0 : mvd0,
+                            mvd1 < 0 ? -mvd1 : mvd1);
+                mark(by0, bx0, 2, 2, m[0], m[1], 0);
+            }
+            for (int b8 = 0; b8 < 4; b8++) {
+                int bit = (cbp_l >> b8) & 1;
+                e.encode(*cx.cbp_l[st.cbp_luma_ctx(mbx, mby, b8)], bit);
+                st.set_cbp_luma8(mbx, mby, b8, bit);
+            }
+            e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 0)],
+                     cbp_c > 0 ? 1 : 0);
+            if (cbp_c > 0)
+                e.encode(*cx.cbp_c[st.cbp_chroma_ctx(mbx, mby, 1)],
+                         cbp_c == 2 ? 1 : 0);
+            st.cbp_chroma[mb] = cbp_c;
+            bool t8f = t8 && t8[mb];
+            if (cbp_l > 0 && transform_8x8)
+                e.encode(*cx.t8flag[st.t8_ctx(mbx, mby)], t8f ? 1 : 0);
+            st.t8[mb] = t8f ? 1 : 0;
+            if (cbp_l || cbp_c) e.encode(*cx.qp_delta[0], 0);
+            p_residual(e, cx, st, mbx, mby, cbp_l, cbp_c, zl, cdc, cac,
+                       t8f);
             e.terminate(last ? 1 : 0);
         }
     }
