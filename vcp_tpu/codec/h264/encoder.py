@@ -669,8 +669,7 @@ class H264Encoder:
                 [jnp.asarray(o[name]).astype(jnp.int16).ravel()
                  for name, _, _ in fields])
 
-        def unpack(buf, fields):
-            host = np.asarray(buf)
+        def unpack(host, fields):
             data, off = {}, 0
             for name, shape, dtype in fields:
                 cnt = int(np.prod(shape))
@@ -679,41 +678,107 @@ class H264Encoder:
                 off += cnt
             return data
 
+        # word-sparse fetch (gop_ops.sparsify_buf): ship only nonzero
+        # 16-word chunks of each packed buffer — the dense 73 MB/GOP
+        # fetch is the quality-shape wall on tunneled links (round 5)
+        sparse = os.environ.get("VCP_SPARSE_B", "1") != "0"
+        spcaps = getattr(self, "_spcaps", None)
+        if spcaps is None:
+            spcaps = self._spcaps = {}
+
+        def sp_pack(o, fields, key):
+            buf = pack_dev(o, fields)
+            if not sparse:
+                return (buf, None, 0, fields, key, 0)
+            n = buf.shape[0]
+            cap = spcaps.setdefault(key, 2048)
+            comb, comp = gop_ops.sparsify_buf(buf, cap)
+            return (comb, comp, n, fields, key, cap)
+
+        def sp_unpack(token):
+            buf, comp, n, fields, key, cap = token
+            if not sparse:
+                return unpack(np.asarray(buf), fields)
+            dense, count = gop_ops.unsparsify_buf(np.asarray(buf), n, cap,
+                                                  comp)
+            if count > cap:
+                # grow the sticky cap so later GOPs fetch in one buffer
+                nc = (n + gop_ops.SP_K - 1) // gop_ops.SP_K
+                spcaps[key] = min(gop_ops.fetch_bucket(2 * count, nc,
+                                                       base=2048), nc)
+            return unpack(dense, fields)
+
+        # conditional-replenishment upload (same carry as the speed path:
+        # bit-exact, tiles verbatim; decode-order walk just makes the
+        # per-frame deltas a little larger than display order would)
+        delta = self._use_delta()
+        n_mb = nby * nbx
+        h16, w16 = 16 * nby, 16 * nbx
+        prev_tiles = getattr(self, "_prev_tiles", None)
+        src_dev = getattr(self, "_src_dev", None)
+        if delta and (prev_tiles is None or prev_tiles.shape[0] != n_mb):
+            prev_tiles = np.zeros((n_mb, gop_ops.TILE_WORDS), np.uint8)
+            src_dev = None
+
+        def upload(fi):
+            """Pad + upload source frame ``fi``; returns (y, u, v) planes
+            for the device encode entry points (device-resident under
+            delta) plus the host padded planes."""
+            nonlocal src_dev
+            yp, up, vp = self._pad(*frames[fi])
+            if not delta:
+                return yp, up, vp, (yp, up, vp)
+            if src_dev is None:
+                gop_ops.tile_delta(yp, up, vp, prev_tiles, full=True)
+                src_dev = gop_ops.source_tiles(yp, up, vp, h16, w16)
+                return yp, up, vp, (yp, up, vp)
+            idx, t = gop_ops.tile_delta(yp, up, vp, prev_tiles)
+            bucket = gop_ops.delta_bucket(len(idx), n_mb)
+            idxp, tp = gop_ops.pad_delta(idx, t, bucket, n_mb)
+            sy, su, sv, y, u, v = gop_ops.delta_planes(*src_dev, idxp, tp,
+                                                       h16, w16)
+            src_dev = (sy, su, sv)
+            return y, u, v, (yp, up, vp)
+
         # ---- phase 1: dispatch IDR, anchors and Bs (device-chained) ----
-        yp, up, vp = self._pad(*frames[0])
+        iy, iu, iv, (yp, up, vp) = upload(0)
         ikeys = ("luma_dc", "luma_ac", "cb_dc", "cb_ac", "cr_dc", "cr_ac")
         if cfg.use_rd_intra():
-            iout, extra = self._rd_iframe(yp, up, vp, qp_i, qpc_i)
+            iout, extra = self._rd_iframe(iy, iu, iv, qp_i, qpc_i)
             ikeys += extra
         else:
-            iout = frame_ops.encode_iframe(yp, up, vp, qp_i, qpc_i,
+            iout = frame_ops.encode_iframe(iy, iu, iv, qp_i, qpc_i,
                                            cfg.deblock)
+        ifields = [(k, tuple(iout[k].shape),
+                    np.bool_ if iout[k].dtype == bool else np.int32)
+                   for k in ikeys]
+        itok = sp_pack(iout, ifields, "i")
         prev_a = 0
         prev_recon = (iout["recon_y"], iout["recon_u"], iout["recon_v"])
 
         segs = []
         for k, a in enumerate(anchors[1:], start=1):
-            ayp, aup, avp = self._pad(*frames[a])
+            ay, au, av, _ = upload(a)
             pout = pframe.encode_pframe(
-                ayp, aup, avp, *prev_recon, qp, qpc, search_range=sr_a,
+                ay, au, av, *prev_recon, qp, qpc, search_range=sr_a,
                 deblock=cfg.deblock, subpel=subpel, t8=cfg.transform8,
                 parts=cfg.parts, intra_mbs=intra_p)
-            pbuf = pack_dev(pout, pfields)
+            ptok = sp_pack(pout, pfields, "p")
             cur_recon = (pout["recon_y"], pout["recon_u"], pout["recon_v"])
-            bbufs = []
+            btoks = []
             for d in range(prev_a + 1, a):
-                byp, bup, bvp = self._pad(*frames[d])
+                by, bu, bv, _ = upload(d)
                 bout = gop_ops.encode_bframe(
-                    byp, bup, bvp, *prev_recon, *cur_recon,
+                    by, bu, bv, *prev_recon, *cur_recon,
                     qp_b, qpc_b, sr, pframe.lam_for_qp(qp_b),
                     subpel, cfg.deblock)
-                bbufs.append(pack_dev(bout, bfields))
-            segs.append((k, a, prev_a, pbuf, bbufs))
+                btoks.append(sp_pack(bout, bfields, "b"))
+            segs.append((k, a, prev_a, ptok, btoks))
             prev_a, prev_recon = a, cur_recon
-        for _, _, _, pbuf, bbufs in segs:
-            for x in (pbuf, *bbufs):
+        for _, _, _, ptok, btoks in segs + [(0, 0, 0, itok, [])]:
+            for x in (ptok, *btoks):
                 try:
-                    x.copy_to_host_async()
+                    x[0].copy_to_host_async()
                 except Exception:
                     pass
 
@@ -722,7 +787,7 @@ class H264Encoder:
             # decode index of the sample about to be appended is len(out)
             return disp - len(out) + 1
 
-        idata = {k: np.asarray(iout[k]) for k in ikeys}
+        idata = sp_unpack(itok)
         out.append((entropy.write_islice(
             self.sp, self.pp, frame_num=0,
             idr_pic_id=self.idr_count % 65536, qp=qp_i, data=idata,
@@ -730,8 +795,8 @@ class H264Encoder:
             cabac=cfg.cabac, poc_lsb=0), True, cts(0)))
         self.idr_count += 1
 
-        for k, a, seg_prev, pbuf, bbufs in segs:
-            pdata = unpack(pbuf, pfields)
+        for k, a, seg_prev, ptok, btoks in segs:
+            pdata = sp_unpack(ptok)
             if cfg.parts:
                 pdata["mv"] = pdata["mv8"][::2, ::2]
             out.append((pframe.write_pslice(
@@ -760,7 +825,7 @@ class H264Encoder:
                 col_safe = None
 
             for i, d in enumerate(range(seg_prev + 1, a)):
-                bdata = unpack(bbufs[i], bfields)
+                bdata = sp_unpack(btoks[i])
                 bdata["col_zero"] = col_zero
                 if col_safe is not None:
                     bdata["col_safe"] = col_safe
@@ -772,8 +837,14 @@ class H264Encoder:
         self._recon = prev_recon
         self._frame_num = len(anchors)
         self.frame_index += n
-        self._prev_tiles = None         # bypasses the delta-upload carry
-        self._src_dev = None
+        if delta:
+            # carry the delta-upload source across GOPs (the next IDR
+            # deltas against the last uploaded frame of this GOP)
+            self._prev_tiles = prev_tiles
+            self._src_dev = src_dev
+        else:
+            self._prev_tiles = None
+            self._src_dev = None
         if self.rc:
             self.rc.update(n, sum(len(s[0]) for s in out))
         return out

@@ -159,17 +159,23 @@ def _pstep_core(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp, qpc, sr, lam,
     else:
         mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam, row0)
 
-    if subpel:
+    if subpel == 1:
+        # fused half-pel refine + MC: one aligned-window gather instead
+        # of 13 full-frame gathers (ops.motion.refine_half_mc)
+        pad = sr + 6
+        margin = pad - 3
+        planes = jnp.stack(
+            mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
+        mv, pred_y = mops.refine_half_mc(cur_y, planes, mv_full, lam,
+                                         margin, row0=row0)
+    elif subpel:
         pad = sr + 6
         margin = pad - 3
         planes = jnp.stack(
             mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
         mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin,
-                                quarter=subpel >= 2, row0=row0)
-        if subpel >= 2:
-            pred_y = mops.mc_luma_q(planes, mv, margin, row0)
-        else:
-            pred_y = mops.mc_luma_h(planes, mv, margin, row0)
+                                quarter=True, row0=row0)
+        pred_y = mops.mc_luma_q(planes, mv, margin, row0)
     else:
         # full-pel: no interpolated planes
         mv = mv_full * 4
@@ -343,25 +349,36 @@ def _search_mc_luma(cur_y, ref_y, sr: int, lam, subpel: int):
                                                     with_pred=True)
     else:
         mv_full, _ = mops.full_search(cur_y, ref_y, sr, lam, 0)
-    if subpel:
+    h, w = cur_y.shape
+    n_mby, n_mbx = h // 16, w // 16
+    if subpel == 1:
+        pad = sr + 6
+        margin = pad - 3
+        planes = jnp.stack(
+            mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
+        mv, pred_y = mops.refine_half_mc(cur_y, planes, mv_full, lam,
+                                         margin, row0=0)
+        # uniform-vector MC (the B path's dominant-MV candidates): four
+        # dynamic slices instead of a full-frame gather
+        mcu = lambda g: mops.mc_luma_uniform(planes, g, margin,  # noqa: E731
+                                             0, h, w)
+    elif subpel:
         pad = sr + 6
         margin = pad - 3
         planes = jnp.stack(
             mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
         mv = mops.refine_subpel(cur_y, planes, mv_full, lam, margin,
-                                quarter=subpel >= 2, row0=0)
-        if subpel >= 2:
-            pred_y = mops.mc_luma_q(planes, mv, margin, 0)
-            mc = lambda g: mops.mc_luma_q(planes, g, margin, 0)  # noqa: E731
-        else:
-            pred_y = mops.mc_luma_h(planes, mv, margin, 0)
-            mc = lambda g: mops.mc_luma_h(planes, g, margin, 0)  # noqa: E731
+                                quarter=True, row0=0)
+        pred_y = mops.mc_luma_q(planes, mv, margin, 0)
+        mcu = lambda g: mops.mc_luma_q(  # noqa: E731
+            planes, jnp.broadcast_to(g, (n_mby, n_mbx, 2)), margin, 0)
     else:
         mv = mv_full * 4
         pred_y = pred_full if pred_full is not None \
             else mops.mc_luma(ref_y, mv_full, sr, 0)
-        mc = lambda g: mops.mc_luma(ref_y, g // 4, sr, 0)  # noqa: E731
-    return mv, pred_y, mc
+        mcu = lambda g: mops.mc_luma(  # noqa: E731
+            ref_y, jnp.broadcast_to(g // 4, (n_mby, n_mbx, 2)), sr, 0)
+    return mv, pred_y, mcu
 
 
 def _mc_chroma_pair(ref_u, ref_v, mv, sr: int):
@@ -411,8 +428,8 @@ def encode_bframe(cur_y, cur_u, cur_v, r0y, r0u, r0v, r1y, r1u, r1v,
     g0, g1 = dominant(mv0), dominant(mv1)
     mv0_u = jnp.broadcast_to(g0, mv0.shape)
     mv1_u = jnp.broadcast_to(g1, mv1.shape)
-    pu0 = mc0(mv0_u)
-    pu1 = mc1(mv1_u)
+    pu0 = mc0(g0)
+    pu1 = mc1(g1)
     pub = (pu0 + pu1 + 1) >> 1
 
     # Rate-distortion mode decision: per candidate prediction, quantize
@@ -1039,6 +1056,72 @@ def encode_iframe_delta(sy, su, sv, idx, tiles, qp, qpc,
     meta, count, buffer, ry, ru, rv = encode_iframe_sparse.__wrapped__(
         y, u, v, qp, qpc, deblock)
     return meta, count, buffer, sy, su, sv, ry, ru, rv
+
+
+# ---------------------------------------------------------------------------
+# Generic word-sparse fetch (B-GOP / RD-I path)
+# ---------------------------------------------------------------------------
+#
+# The quality-preset (effort >= 5) GOP packs MANY per-frame fields (levels,
+# mv8 grids, partition/intra masks, i8 modes ...) whose union has no fixed
+# MB_WORDS layout, so the structured _sparsify_packed above doesn't apply.
+# This is the layout-agnostic equivalent: view the packed int16 buffer as
+# 16-word chunks, keep only nonzero chunks (levels are overwhelmingly zero
+# at production QPs), and ship [count | chunk bitmap | compacted chunks] in
+# ONE buffer. At 1080p effort 6 this turns a 73 MB/GOP dense fetch into
+# ~1 MB — on tunneled deployments (~5-70 MB/s, shared) the dense fetch IS
+# the quality-shape wall (13.3 s of a 13.5 s 12-frame GOP, profiled
+# round 5).
+SP_K = 16  # words per sparsity chunk (one 4x4 block)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def sparsify_buf(buf, cap: int):
+    """(n,) int16 → (combined, comp). combined (int16 flat) =
+    [nonzero-chunk count as 2 words | chunk bitmap | comp[:cap] rows];
+    comp stays on device for the rare overflow-tail fetch."""
+    n = buf.shape[0]
+    pad = (-n) % SP_K
+    if pad:
+        buf = jnp.concatenate([buf, jnp.zeros((pad,), buf.dtype)])
+    chunks = buf.reshape(-1, SP_K)
+    flags = jnp.any(chunks != 0, axis=-1)
+    count, comp = _compact_rows(flags, chunks)
+    bitmap = _flag_words(flags[None, :])[0]
+    combined = jnp.concatenate([
+        jax.lax.bitcast_convert_type(count.reshape(1), jnp.int16).reshape(-1),
+        bitmap,
+        comp[:cap].reshape(-1),
+    ])
+    return combined, comp
+
+
+def unsparsify_buf(arr: np.ndarray, n: int, cap: int, comp=None):
+    """Host inverse of sparsify_buf: rebuild the dense (n,) int16 buffer.
+    When the chunk count overflowed ``cap``, the tail rows are fetched
+    from the device-resident ``comp``. Returns (dense, count)."""
+    count = int(np.ascontiguousarray(arr[:2]).view(np.int32)[0])
+    nchunks = (n + SP_K - 1) // SP_K
+    nw = (nchunks + 15) // 16
+    flags = _unpack_bits(arr[2:2 + nw].reshape(1, nw), nchunks)[0]
+    k = min(count, cap)
+    rows = arr[2 + nw:2 + nw + k * SP_K].reshape(k, SP_K)
+    if count > cap:
+        rows = np.concatenate([rows, np.asarray(comp[cap:count])])
+    out = np.zeros((nchunks, SP_K), np.int16)
+    out[flags] = rows
+    return out.reshape(-1)[:n], count
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def delta_planes(sy, su, sv, idx, tiles, h: int, w: int):
+    """Apply one frame's delta tiles to the carried MB-tiled source and
+    return (sy', su', sv', y, u, v) — the updated carry plus dense padded
+    planes for the per-frame encode entry points (B-GOP upload path)."""
+    n_mby, n_mbx = h // 16, w // 16
+    sy, su, sv = _apply_tiles(sy, su, sv, idx, tiles)
+    y, u, v = _tiled_to_planes(sy, su, sv, n_mby, n_mbx)
+    return sy, su, sv, y, u, v
 
 
 def unpack_frame(packed: np.ndarray, n_mby: int, n_mbx: int) -> dict:

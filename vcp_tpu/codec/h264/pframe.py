@@ -142,30 +142,46 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
     pad = sr + 6
     margin = pad - 3
     planes = jnp.stack(mops.half_planes(jnp.pad(ref_y, pad, mode="edge")))
-    if subpel:
-        q = subpel >= 2
-
-        def refine(mvf, bs):
-            return mops.refine_subpel(y, planes, mvf, lam, margin,
-                                      quarter=q, bs=bs)
-        mv16 = refine(mv16f, 16)
-        mv8 = refine(mv8f, 8)
-        mvh = refine(mvhf, (8, 16))
-        mvv = refine(mvvf, (16, 8))
-        mc = mops.mc_luma_q if q else mops.mc_luma_h
+    if subpel == 1:
+        # fused half-pel refine + MC per geometry: one aligned-window
+        # gather each instead of 13 full-frame gathers (the effort-6
+        # device wall — see ops.motion.aligned_windows)
+        mv16, pred16 = mops.refine_half_mc(y, planes, mv16f, lam, margin,
+                                           bs=16)
+        mv8, pred8 = mops.refine_half_mc(y, planes, mv8f, lam, margin,
+                                         bs=8)
+        mvh, predh = mops.refine_half_mc(y, planes, mvhf, lam, margin,
+                                         bs=(8, 16))
+        mvv, predv = mops.refine_half_mc(y, planes, mvvf, lam, margin,
+                                         bs=(16, 8))
+        mv16_q = jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1)
+        mvh_q = jnp.repeat(mvh, 2, 1)
+        mvv_q = jnp.repeat(mvv, 2, 0)
     else:
-        mv16, mv8 = mv16f * 4, mv8f * 4
-        mvh, mvv = mvhf * 4, mvvf * 4
-        mc = mops.mc_luma_q
-    # every shape's MC runs on the common 8x8 grid (interpolation is a
-    # pure function of (position, mv), so replication is exact)
-    mv16_q = jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1)   # (2nby, 2nbx, 2)
-    mvh_q = jnp.repeat(mvh, 2, 1)
-    mvv_q = jnp.repeat(mvv, 2, 0)
-    pred16 = mc(planes, mv16_q, margin, 0, bs=8)
-    pred8 = mc(planes, mv8, margin, 0, bs=8)
-    predh = mc(planes, mvh_q, margin, 0, bs=8)
-    predv = mc(planes, mvv_q, margin, 0, bs=8)
+        if subpel:
+            q = subpel >= 2
+
+            def refine(mvf, bs):
+                return mops.refine_subpel(y, planes, mvf, lam, margin,
+                                          quarter=q, bs=bs)
+            mv16 = refine(mv16f, 16)
+            mv8 = refine(mv8f, 8)
+            mvh = refine(mvhf, (8, 16))
+            mvv = refine(mvvf, (16, 8))
+            mc = mops.mc_luma_q
+        else:
+            mv16, mv8 = mv16f * 4, mv8f * 4
+            mvh, mvv = mvhf * 4, mvvf * 4
+            mc = mops.mc_luma_q
+        # every shape's MC runs on the common 8x8 grid (interpolation is
+        # a pure function of (position, mv), so replication is exact)
+        mv16_q = jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1)
+        mvh_q = jnp.repeat(mvh, 2, 1)
+        mvv_q = jnp.repeat(mvv, 2, 0)
+        pred16 = mc(planes, mv16_q, margin, 0, bs=8)
+        pred8 = mc(planes, mv8, margin, 0, bs=8)
+        predh = mc(planes, mvh_q, margin, 0, bs=8)
+        predv = mc(planes, mvv_q, margin, 0, bs=8)
 
     def sad8_of(pred):
         return jnp.abs(y - pred).reshape(n_mby * 2, 8, n_mbx * 2,

@@ -662,6 +662,79 @@ def refine_subpel(cur, planes, mv_full, lam, margin: int, quarter=False,
     return mvq
 
 
+def aligned_windows(planes, mv_full, margin: int, row0=0, bs=16, e=1):
+    """ONE batched gather of per-block aligned interpolation windows.
+
+    W[p, by, y, bx, x] = planes[p] at integer position
+    (row0 + bh*by + y - e + mv_full[by,bx,0], bw*bx + x - e +
+    mv_full[by,bx,1]) — i.e. every block's (bh+2e)x(bw+2e) neighborhood
+    of all four half-pel planes, aligned at its own full-pel vector.
+
+    Why: each dense 2-D gather at 1080p costs ~30 ms on tunneled v5e
+    (generic gather lowers to scalar loads), and the half-pel refine +
+    MC chain of the quality presets issues 13 of them PER GEOMETRY
+    (52/frame with partitions — profiled as the effort-6 wall, round 5).
+    After this single gather, every refine candidate and the final MC
+    are static slices / per-block selects of W — pure VPU work.
+    """
+    bh, bw = _bs2(bs)
+    n_mby, n_mbx = mv_full.shape[:2]
+    rows = (row0 + bh * jnp.arange(n_mby)[:, None, None, None]
+            + (jnp.arange(bh + 2 * e) - e)[None, :, None, None]
+            + mv_full[:, None, :, None, 0] + margin)
+    cols = (bw * jnp.arange(n_mbx)[None, None, :, None]
+            + (jnp.arange(bw + 2 * e) - e)[None, None, None, :]
+            + mv_full[:, None, :, None, 1] + margin)
+    return planes[:, rows, cols]    # (4, n_mby, bh+2e, n_mbx, bw+2e)
+
+
+def refine_half_mc(cur, planes, mv_full, lam, margin: int, row0=0, bs=16):
+    """Fused half-pel refinement + MC: returns (mvq, pred) with mvq
+    bit-identical to refine_half and pred to mc_luma_h(planes, mvq) —
+    but from ONE aligned-window gather instead of 13 full-frame gathers
+    (see aligned_windows). The winning candidate's prediction is
+    accumulated alongside the cost argmin, so no second MC pass."""
+    bh, bw = _bs2(bs)
+    n_mby, n_mbx = mv_full.shape[:2]
+    W = aligned_windows(planes, mv_full, margin, row0, bs, e=1)
+    cur_b = cur.reshape(n_mby, bh, n_mbx, bw)
+    base = mv_full * 4
+    mvq = base
+    best = jnp.full((n_mby, n_mbx), 2**30, jnp.int32)
+    pred = jnp.zeros_like(cur_b)
+    for dy in (-2, 0, 2):
+        for dx in (-2, 0, 2):
+            p = (2 if dy else 0) + (1 if dx else 0)   # 0=G 1=b 2=h 3=j
+            iy = 1 + (-1 if dy < 0 else 0)            # e + int offset
+            ix = 1 + (-1 if dx < 0 else 0)
+            pr = W[p, :, iy:iy + bh, :, ix:ix + bw]
+            cand = base + jnp.asarray([dy, dx], jnp.int32)
+            cost = jnp.abs(cur_b - pr).sum(axis=(1, 3)) + lam * (
+                (jnp.abs(cand[..., 0]) + jnp.abs(cand[..., 1])) >> 1)
+            better = cost < best
+            mvq = jnp.where(better[..., None], cand, mvq)
+            pred = jnp.where(better[:, None, :, None], pr, pred)
+            best = jnp.minimum(cost, best)
+    h, w = cur.shape
+    return mvq, pred.reshape(h, w)
+
+
+def mc_luma_uniform(planes, g, margin: int, row0: int, h: int, w: int):
+    """Luma MC for ONE frame-uniform quarter-pel vector ``g`` (2,) with
+    half-pel phases (g & 1 == 0): four dynamic slices + a scalar plane
+    select — replaces a full-frame gather for the B path's dominant-MV
+    candidates. Bit-identical to mc_luma_h with a broadcast grid."""
+    iy = (g[0] >> 2) + margin + row0
+    ix = (g[1] >> 2) + margin
+    hy = (g[0] >> 1) & 1
+    hx = (g[1] >> 1) & 1
+    sl = [jax.lax.dynamic_slice(planes[p], (iy, ix), (h, w))
+          for p in range(4)]
+    top = jnp.where(hx == 1, sl[1], sl[0])
+    bot = jnp.where(hx == 1, sl[3], sl[2])
+    return jnp.where(hy == 1, bot, top)
+
+
 def mc_luma_h(planes, mvq, margin: int, row0=0, bs=16):
     """Half-pel-only luma MC: mvq phases are in {0, 2}² (the refine_half
     output), so each pixel needs exactly one of the four planes — 4
