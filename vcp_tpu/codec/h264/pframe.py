@@ -340,8 +340,84 @@ def _encode_pframe_device_parts(y, u, v, ref_y, ref_u, ref_v,
                             0.0).sum(-1)
         mvbits_final = jnp.where(use_sub, mvbits_sub, mvbits16)
         inter_cost = issd + lam2 * (lb + cb_bits + mvbits_final + 4.0)
-        ov = ird.intra_overlay_pass(y, u, v, recon_y, recon_u, recon_v,
-                                    inter_cost, qp, qpc)
+
+        # Gate: the sequential wavefront costs ~0.2 s/frame on v5e; an
+        # optimistic parallel probe (bits-free SSD of I16 V/H/DC built
+        # from inter-recon neighbors + the mode-overhead constant) lower-
+        # bounds what intra could achieve. If it beats the inter cost
+        # NOWHERE, the wavefront provably finds no win — skip it (one
+        # lax.cond; the frame result is identical because the overlay
+        # replaces nothing). Content where inter predicts well (static,
+        # clean motion) skips; gradients keep the RD tool. VCP_INTRA_GATE
+        # =0 forces the wavefront on.
+        ymb_p = y.reshape(n_mby, 16, n_mbx, 16).astype(jnp.float32)
+        above = jnp.concatenate(
+            [jnp.full((1, w), 128, jnp.int32), recon_y[15::16][:-1]]) \
+            .reshape(n_mby, n_mbx, 16).astype(jnp.float32)
+        left = jnp.concatenate(
+            [jnp.full((h, 1), 128, jnp.int32), recon_y[:, 15::16][:, :-1]],
+            axis=1).reshape(n_mby, 16, n_mbx).astype(jnp.float32)
+        dc = (above.sum(-1) + left.sum(1) + 16.0) // 32.0
+        ssd_v = ((ymb_p - above[:, None]) ** 2).sum(axis=(1, 3))
+        ssd_h = ((ymb_p - left[..., None]) ** 2).sum(axis=(1, 3))
+        ssd_dc = ((ymb_p - dc[:, None, :, None]) ** 2).sum(axis=(1, 3))
+        # I16 Plane (spec 8.3.3.4) — the gradient workhorse; without it
+        # the probe misses exactly the content the overlay exists for
+        tl = jnp.concatenate(
+            [jnp.full((n_mby, 1), 128.0, jnp.float32),
+             above[:, :-1, 15]], axis=1)               # p[-1,-1] per MB
+        a_ext = jnp.concatenate([tl[..., None], above], axis=-1)  # A[i]=p[-1,i-1]
+        l_ext = jnp.concatenate(
+            [tl[:, None, :], left], axis=1)            # L[j]=p[j-1,-1]
+        xs = jnp.arange(1, 9, dtype=jnp.float32)
+        hh = (xs * (a_ext[..., 9:17] - a_ext[..., 7::-1])).sum(-1)
+        vv = (xs[:, None] * (l_ext[:, 9:17] - l_ext[:, 7::-1])).sum(1)
+        a_p = 16.0 * (above[..., 15] + left[:, 15])
+        b_p = jnp.floor((5.0 * hh + 32.0) / 64.0)
+        c_p = jnp.floor((5.0 * vv + 32.0) / 64.0)
+        gy = jnp.arange(16, dtype=jnp.float32) - 7.0
+        plane = jnp.clip(jnp.floor(
+            (a_p[:, None, :, None] + b_p[:, None, :, None] * gy[None, None,
+                                                                None, :]
+             + c_p[:, None, :, None] * gy[None, :, None, None] + 16.0)
+            / 32.0), 0, 255)
+        ssd_p = ((ymb_p - plane) ** 2).sum(axis=(1, 3))
+        probe = 0.6 * jnp.minimum(
+            jnp.minimum(ssd_p, ssd_dc), jnp.minimum(ssd_v, ssd_h)) \
+            + lam2 * float(ird.I16_OVERHEAD_BITS)
+        gate = jnp.any(probe < inter_cost) | (
+            os.environ.get("VCP_INTRA_GATE") == "0")
+
+        ov_sig = (
+            ("intra", (n_mby, n_mbx), jnp.bool_),
+            ("i8", (n_mby, n_mbx), jnp.bool_),
+            ("modes", (n_mby, n_mbx), jnp.int32),
+            ("cmodes", (n_mby, n_mbx), jnp.int32),
+            ("luma_dc", (n_mby, n_mbx, 16), jnp.int32),
+            ("luma_mux", (n_mby, n_mbx, 256), jnp.int32),
+            ("i8_modes", (n_mby, n_mbx, 4), jnp.int32),
+            ("cb_dc", (n_mby, n_mbx, 4), jnp.int32),
+            ("cb_ac", (n_mby, n_mbx, 4, 16), jnp.int32),
+            ("cr_dc", (n_mby, n_mbx, 4), jnp.int32),
+            ("cr_ac", (n_mby, n_mbx, 4, 16), jnp.int32),
+        )
+
+        def _run_overlay(_):
+            o = ird.intra_overlay_pass(y, u, v, recon_y, recon_u,
+                                       recon_v, inter_cost, qp, qpc)
+            return tuple(
+                [o[k].astype(dt).reshape(sh) for k, sh, dt in ov_sig]
+                + [o["recon_y"].astype(recon_y.dtype),
+                   o["recon_u"].astype(recon_u.dtype),
+                   o["recon_v"].astype(recon_v.dtype)])
+
+        def _skip_overlay(_):
+            return tuple([jnp.zeros(sh, dt) for _k, sh, dt in ov_sig]
+                         + [recon_y, recon_u, recon_v])
+
+        res = jax.lax.cond(gate, _run_overlay, _skip_overlay, None)
+        ov = {k: v for (k, _sh, _dt), v in zip(ov_sig, res[:len(ov_sig)])}
+        ov["recon_y"], ov["recon_u"], ov["recon_v"] = res[len(ov_sig):]
         intra_grid = ov["intra"]
         recon_y, recon_u, recon_v = (ov["recon_y"], ov["recon_u"],
                                      ov["recon_v"])

@@ -182,21 +182,58 @@ def _coarse_search(cur4, ref4, sr4: int, lam):
 
 
 def _rebase_windows(ref, mv_base, sr: int, r: int):
-    """Gather per-MB (16+2r)^2 reference windows centered at each MB's
-    base MV into one dense plane (nMBy*(16+2r), nMBx*(16+2r))."""
+    """Per-MB (16+2r)^2 reference windows centered at each MB's base MV
+    as one dense plane (nMBy*(16+2r), nMBx*(16+2r)).
+
+    The bases come from the 4x-downsampled coarse sweep, so they are
+    multiples of 4 within +-(sr - r): the windows assemble from ~11
+    masked shift-selects per axis (dense VPU work) instead of a generic
+    2-D gather, which lowers to scalar loads on TPU (~77 ms at 1080p —
+    profiled as the hierarchical-ME wall, round 5). Falls back to the
+    gather when the clip bound isn't 4-aligned."""
     nby, nbx = mv_base.shape[:2]
     pad = sr + r
-    ref_pad = jnp.pad(ref, pad, mode="edge")
     ws = 16 + 2 * r
-    i = jnp.arange(nby * ws)
-    j = jnp.arange(nbx * ws)
-    by = i // ws
-    bx = j // ws
-    rows = (by * 16 + (i % ws)) [:, None] \
-        + mv_base[:, :, 0][by][:, bx] + (pad - r)
-    cols = (bx * 16 + (j % ws))[None, :] \
-        + mv_base[:, :, 1][by][:, bx] + (pad - r)
-    return ref_pad[rows, cols]
+    lim = sr - r
+    if lim % 4:
+        ref_pad = jnp.pad(ref, pad, mode="edge")
+        i = jnp.arange(nby * ws)
+        j = jnp.arange(nbx * ws)
+        by = i // ws
+        bx = j // ws
+        rows = (by * 16 + (i % ws))[:, None] \
+            + mv_base[:, :, 0][by][:, bx] + (pad - r)
+        cols = (bx * 16 + (j % ws))[None, :] \
+            + mv_base[:, :, 1][by][:, bx] + (pad - r)
+        return ref_pad[rows, cols]
+
+    # extra right padding so the +dx band slice below never overruns
+    ref_pad = jnp.pad(ref, ((pad, pad), (pad, pad + 16)), mode="edge")
+    wp = ref_pad.shape[1]
+    band_rows = ws + 2 * lim
+    # per-MB-row bands covering every vertical base (static slices)
+    band = jnp.stack([
+        jax.lax.dynamic_slice(ref_pad, (16 * by + pad - r - lim, 0),
+                              (band_rows, wp))
+        for by in range(nby)])                 # (nby, band_rows, wp)
+
+    dx_base = mv_base[..., 1]                  # (nby, nbx), multiples of 4
+    dy_base = mv_base[..., 0]
+    csel = jnp.zeros((nby, band_rows, nbx, ws), ref.dtype)
+    for dx in range(-lim, lim + 1, 4):
+        start = pad - r + dx
+        a = band[:, :, start:start + 16 * nbx] \
+            .reshape(nby, band_rows, nbx, 16)
+        b = band[:, :, start + 16:start + 16 + 16 * nbx] \
+            .reshape(nby, band_rows, nbx, 16)[..., :ws - 16]
+        w_dx = jnp.concatenate([a, b], axis=-1)
+        csel = jnp.where((dx_base == dx)[:, None, :, None], w_dx, csel)
+
+    out = jnp.zeros((nby, ws, nbx, ws), ref.dtype)
+    for dy in range(-lim, lim + 1, 4):
+        sl = csel[:, dy + lim:dy + lim + ws]
+        out = jnp.where((dy_base == dy)[:, None, :, None], sl, out)
+    return out.reshape(nby * ws, nbx * ws)
 
 
 def _refine_sweep(cur, windows, mv_base, lam, r: int, track_parts: bool):
