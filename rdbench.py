@@ -111,7 +111,12 @@ def bd_rate(r1, p1, r2, p2):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--qps", default="22,26,30,34,38")
-    ap.add_argument("--bframes", type=int, default=0)
+    # default = the SHIPPING quality-preset shape (-bf 2, like
+    # EncoderConfig.from_params at effort >= 5). RD.md is generated at
+    # these defaults; running with --bframes 0 measures a non-shipping
+    # shape ~48 BD-rate points worse on gradmotion (round-5 lesson: a
+    # defaults run was briefly mistaken for a regression).
+    ap.add_argument("--bframes", type=int, default=2)
     ap.add_argument("--t8", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--parts", action=argparse.BooleanOptionalAction,
